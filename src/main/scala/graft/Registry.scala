@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Shared registry plumbing. Each query entry is (name, spark fn, oracle
+  * SQL) — the driver runs the fn at sf0.01, the SQL in DuckDB over the
+  * same parquet tables, and hash-compares (CORRECTNESS gate).
+  *
+  * Determinism rules used throughout (so hash-compare is exact):
+  *  - every float is either a pure row-wise function of identical inputs
+  *    or an exact DECIMAL sum divided once by a count — no
+  *    order-dependent double accumulation anywhere;
+  *  - every ranking/limit has a total order (unique tie-break key);
+  *  - outputs are sorted by their key columns on both sides.
+  */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+object Registry {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Events table with its TIMESTAMP(NANOS) parquet column surfaced as a
+    * microsecond TimestampType. Spark has no nanos timestamp: sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader does the
+    * ns→us conversion once (integer `div`, no double rounding).
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+
+  /** Exact decimal sum surfaced as double (order-independent). */
+  def decSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** 90-day rolling frame over a date column, per-team (SURVEY A1–A3). */
+  def rolling90(team: String, date: String) =
+    Window.partitionBy(team)
+      .orderBy(col(date).cast("timestamp").cast("long"))
+      .rangeBetween(-90L * 86400L, 0L)
+
+  /** o_orderstatus → match-result points, X6 shape: F=win, P=draw, O=loss. */
+  def statusPoints(c: Column): Column =
+    when(c === "F", 1.0).when(c === "P", 0.5).otherwise(0.0)
+
+  val statusPointsSql =
+    "CASE o_orderstatus WHEN 'F' THEN 1.0 WHEN 'P' THEN 0.5 ELSE 0.0 END"
+
+  def all: Seq[Q] =
+    RegistryCore.entries ++ RegistryScalars.entries ++ RegistryLlm.entries
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import Registry._
+
+/** LLM-training-data-pipeline operators (builder brief §extension): text
+  * analysis, dedup, similarity search, multimodal plumbing, plus the
+  * batch form of the streaming windowed aggregation. Oracle SQL is
+  * provided wherever DuckDB can express the same computation; hash-based
+  * ops whose hash family DuckDB lacks (xxhash64 minhash/simhash, seeded
+  * LSH planes) register as rows-only checks with summary rows so the
+  * check is never vacuous.
+  */
+object RegistryLlm {
+
+  def entries: Seq[Q] = Seq(
+
+    // ---- T1: token counting ------------------------------------------------
+    Q("t01_token_stats",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TextAnalysis.charCount(col("text")).as("n_chars_calc"),
+          TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             |    text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+             |  CAST(strlen(text) AS BIGINT) AS n_chars_calc,
+             |  CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)
+             |    / CAST(len(toks) AS BIGINT) AS mean_word_len
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- T2: quality scoring -----------------------------------------------
+    Q("t02_quality_score",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ltoks,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS n,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             |      AS BIGINT) AS npunct,
+             |    CAST(strlen(text) AS BIGINT) AS nchars
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, n, nchars, npunct,
+             |    CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and',
+             |      'or','of','to','in','is','it'))) AS BIGINT) AS nsw
+             |  FROM r)
+             |SELECT doc_id,
+             |  nsw / greatest(n, 1) AS stopword_ratio,
+             |  npunct / greatest(nchars, 1) AS punct_ratio,
+             |  (CAST(n >= 10 AND n <= 100000 AS INT)
+             |   + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
+             |   + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT)) / 3.0
+             |    AS quality
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- T3: language ID (heuristic argmax — rows-only) ---------------------
+    Q("t03_lang_id",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- T4: document fingerprint -------------------------------------------
+    Q("t04_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- D1: exact dedup stats ------------------------------------------------
+    Q("d01_exact_dedup",
+      (s, dir) => Dedup.exactDupStats(t(s, dir, "documents"), "text"),
+      Some("""SELECT count(*) AS total_docs,
+             |  count(DISTINCT md5(text)) AS distinct_docs,
+             |  count(*) - count(DISTINCT md5(text)) AS exact_dups
+             |FROM documents""".stripMargin)),
+
+    // ---- D2: MinHash-LSH near-dup summary (banded, never all-pairs) ----------
+    Q("d02_minhash_neardup",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+          "text", "doc_id", k = 5, numHashes = 32, bands = 8,
+          threshold = 0.5)
+        pairs.agg(count(lit(1)).as("verified_pairs"),
+          coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+      },
+      None),
+
+    // ---- D3: SimHash signatures ------------------------------------------------
+    Q("d03_simhash",
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id"),
+      None),
+
+    // ---- D4: n-gram Jaccard (consecutive-doc pairs) -----------------------------
+    Q("d04_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val a = docs.as("a"); val b = docs.as("b")
+        a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+          .filter(col("a.doc_id") % 10 === 0)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("jaccard"))
+          .orderBy("id_a")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(1, greatest(len(toks) - 1, 2)),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      AS grams
+             |  FROM (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS toks
+             |    FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             |    greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1)
+             |    AS jaccard
+             |FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id
+             |WHERE a.doc_id % 10 = 0
+             |ORDER BY id_a""".stripMargin)),
+
+    // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
+    Q("n01_ann_bruteforce",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim
+             |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+             |SELECT query_id, neighbor_id,
+             |  CAST(row_number() OVER (PARTITION BY query_id
+             |    ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+             |FROM scored
+             |QUALIFY rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- N2: LSH-bucketed ANN (the scale path; planes not in SQL) -----------------
+    Q("n02_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+            nPlanes = 6)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- N3: embedding-cosine near-dup summary -------------------------------------
+    Q("n03_cosine_neardup",
+      (s, dir) => Similarity.cosineNearDups(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.8, nPlanes = 10)
+        .agg(count(lit(1)).as("neardup_pairs")),
+      None),
+
+    // ---- M1: multimodal binary metadata ----------------------------------------------
+    Q("m01_binary_meta",
+      (s, dir) => Multimodal.withBinaryMetadata(
+          t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("byte_len"), col("content_sha"),
+          col("format_tag"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  sha256(text) AS content_sha,
+             |  substr(hex(encode(text)), 1, 4) AS format_tag
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- M2: batched decode/feature-extract plumbing (stub decoder) -----------------
+    Q("m02_decode_features",
+      (s, dir) => Multimodal.decodeFeatures(
+          Multimodal.withBinaryMetadata(t(s, dir, "documents"), "text"),
+          "doc_id")
+        .select(col("id"), col("byte_len"), size(col("features"))
+          .cast("long").as("feature_dim"))
+        .orderBy("id"),
+      None),
+
+    // ---- W2: tumbling-window aggregation (streaming-shared logic, batch run) --------
+    Q("w02_event_window",
+      (s, dir) => EventStream.windowedCounts(events(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("events"), col("total_value"))
+        .orderBy("day", "event_type"),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  event_type, count(*) AS events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+  )
+}

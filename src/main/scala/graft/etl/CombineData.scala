@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1 — the reference's core query: fixtures double-left-joined against
+  * team metrics with `home_`/`away_` column-prefix fan-out
+  * (`utils/data_utils.py:122-191`; prefix fan-out `:153-172` = P3).
+  *
+  * Scale design: the metrics side is one row per team (after the as-of
+  * reduction) — a dimension. Both legs are `broadcast()` hash joins: zero
+  * shuffle of the (huge) fixtures fact at any scale. The reference
+  * instead does two pandas merges on a single thread.
+  *
+  * Join-multiplicity semantics (SURVEY §7.4): the reference joins on team
+  * only, so a fixture matches EVERY (team, date) metrics row — row
+  * multiplication. `faithful = true` reproduces that bug-compatibly;
+  * the default reduces metrics to the latest row per team first (the
+  * corrected as-of form the combined output implies).
+  */
+object CombineData {
+
+  /** Rename every non-key column of `metrics` to `prefix<col>` (P3). */
+  def prefixed(metrics: DataFrame, teamCol: String, prefix: String): DataFrame =
+    metrics.select(col(teamCol) +: metrics.columns.filter(_ != teamCol)
+      .map(c => col(c).as(s"$prefix$c")): _*)
+
+  /** @param fixtures  fact side with `homeKey`/`awayKey` team columns
+    * @param metrics   per-team metrics; reduced to latest-per-team unless
+    *                  `faithful` (needs `dateCol` + `tieBreak` for a total
+    *                  order — deterministic under parallelism)
+    */
+  def combine(fixtures: DataFrame, metrics: DataFrame,
+              teamCol: String, homeKey: String, awayKey: String,
+              dateCol: String, tieBreakCols: Seq[String],
+              faithful: Boolean = false): DataFrame = {
+    val m =
+      if (faithful) metrics
+      else TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,
+        tieBreakCols.map(col))
+    val home = prefixed(m, teamCol, "home_")
+    val away = prefixed(m, teamCol, "away_")
+    fixtures
+      .join(broadcast(home), fixtures(homeKey) === home(teamCol), "left")
+      .drop(home(teamCol))
+      .join(broadcast(away), fixtures(awayKey) === away(teamCol), "left")
+      .drop(away(teamCol))
+  }
+}

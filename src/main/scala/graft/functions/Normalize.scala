@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar cleaning/normalization library — the Spark-native re-expression
+  * of the reference's row-wise Python helpers (X1–X17 in SURVEY.md §2.8).
+  *
+  * Everything here is a pure `Column => Column` built from codegen'd
+  * built-in expressions (no UDFs): the reference applies these via pandas
+  * `.apply` per row — the slowest possible path — while these stay inside
+  * whole-stage codegen and scale linearly with partitions.
+  *
+  * ANSI note: Spark 4 defaults to ANSI mode where failed casts throw.
+  * These helpers use null-on-failure semantics (pandas `errors='coerce'`
+  * parity), so engine sessions set `spark.sql.ansi.enabled=false`; the
+  * few cast sites are also guarded so they stay total on dirty input.
+  */
+object Normalize {
+
+  /** X1 — normalize_team_name (`utils/data_utils.py:14-33`; alias map
+    * `config.py:40-76`): trim, strip club-suffix regex, then apply a
+    * cross-source alias map. The map is a `typedLit` literal (constant
+    * folded + broadcast with the plan — never a per-row UDF dictionary
+    * like the reference); lookup is guarded with `map_contains_key` so it
+    * is ANSI-safe.
+    */
+  def normalizeTeamName(c: Column, aliases: Map[String, String]): Column = {
+    val stripped = regexp_replace(trim(c), "\\s+(FC|CF|AFC)$", "")
+    if (aliases.isEmpty) stripped
+    else {
+      val m = typedLit(aliases)
+      when(map_contains_key(m, stripped), element_at(m, stripped))
+        .otherwise(stripped)
+    }
+  }
+
+  /** Default 30-entry alias table shape (`config.py:40-76`) — a small
+    * sample preserving the semantics; callers pass their own map.
+    */
+  val defaultAliases: Map[String, String] = Map(
+    "Man United" -> "Manchester United",
+    "Man Utd" -> "Manchester United",
+    "Man City" -> "Manchester City",
+    "Spurs" -> "Tottenham Hotspur",
+    "Wolves" -> "Wolverhampton Wanderers",
+    "Inter" -> "Inter Milan",
+    "Atletico" -> "Atletico Madrid",
+    "PSG" -> "Paris Saint-Germain"
+  )
+
+  /** X2 — normalize_date (`utils/data_utils.py:36-71`): try an explicit
+    * format list, first success wins, null otherwise. `to_date` returns
+    * null on mismatch (non-ANSI) — the exact analog of the reference's
+    * try/except cascade.
+    */
+  val defaultDateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy/MM/dd",
+    "dd.MM.yyyy", "yyyyMMdd", "dd MMM yyyy", "MMM dd, yyyy", "EEEE, MMM dd, yyyy"
+  )
+  def normalizeDate(c: Column, formats: Seq[String] = defaultDateFormats): Column =
+    coalesce(formats.map(f => to_date(c, f)): _*)
+
+  /** X3 — clean_number (`utils/data_utils.py:74-98`): strip everything but
+    * digits/dot/minus, cast to double, null on failure.
+    */
+  def cleanNumber(c: Column): Column =
+    nullifEmpty(regexp_replace(c.cast("string"), "[^0-9.\\-]", "")).cast("double")
+
+  private def nullifEmpty(c: Column): Column = when(c =!= "", c)
+
+  /** X4 — generate_match_id (`utils/data_utils.py:101-119`):
+    * `yyyyMMdd_{home}_{away}` with lowercased alnum-only team names.
+    */
+  def matchId(date: Column, home: Column, away: Column): Column =
+    concat_ws("_",
+      date_format(date, "yyyyMMdd"),
+      regexp_replace(lower(home), "[^a-z0-9]", ""),
+      regexp_replace(lower(away), "[^a-z0-9]", ""))
+
+  /** X5 — result standardization (`processors/data_processor.py:182-193`):
+    * map {W/Win/win/1→W, D/Draw/0.5→D, L/Loss/0→L, else→U}.
+    */
+  def standardizeResult(c: Column): Column = {
+    val s = trim(c.cast("string"))
+    when(s.isin("W", "Win", "win", "w", "1", "1.0"), "W")
+      .when(s.isin("D", "Draw", "draw", "d", "0.5"), "D")
+      .when(s.isin("L", "Loss", "loss", "l", "0", "0.0"), "L")
+      .otherwise("U")
+  }
+
+  /** X6 — result→numeric {W:1, D:0.5, L:0} (`utils/data_utils.py:281-285`). */
+  def resultPoints(c: Column): Column =
+    when(c === "W", 1.0).when(c === "D", 0.5).otherwise(0.0)
+
+  /** X7 — shot_accuracy (`processors/data_processor.py:207-212`). */
+  def shotAccuracy(shots: Column, onTarget: Column): Column =
+    when(shots > 0, onTarget / shots).otherwise(0.0)
+
+  /** X8 — conversion_rate (`processors/data_processor.py:214-219`). */
+  def conversionRate(onTarget: Column, goals: Column): Column =
+    when(onTarget > 0, goals / onTarget).otherwise(0.0)
+
+  /** X9 — kickoff-time cleanup (`processors/data_processor.py:86-95`):
+    * token after the last space; null unless it contains ':'.
+    */
+  def cleanKickoffTime(c: Column): Column = {
+    val tok = regexp_extract(trim(c), "([^ ]+)$", 1)
+    when(tok.contains(":"), tok)
+  }
+
+  /** X10 — score split (`scrapers/team_scraper.py:656-667`): "2-1" →
+    * (goals_for, goals_against), swapped when playing away.
+    */
+  def scoreGoalsFor(score: Column, isHome: Column): Column =
+    when(isHome, element_at(split(score, "-"), 1).cast("double"))
+      .otherwise(element_at(split(score, "-"), 2).cast("double"))
+  def scoreGoalsAgainst(score: Column, isHome: Column): Column =
+    scoreGoalsFor(score, !isHome)
+
+  /** X11 — match_quality (`examples/visualize_data.py:276-279`). */
+  def matchQuality(homeWinRatio: Column, awayWinRatio: Column): Column =
+    (coalesce(homeWinRatio, lit(0.5)) + coalesce(awayWinRatio, lit(0.5))) / 2
+
+  /** X12 — epoch seconds → "HH:mm" (`daily_match_scraper.py:486-492`);
+    * session timezone must be UTC for golden parity.
+    */
+  def epochToHHmm(epochSeconds: Column): Column =
+    date_format(timestamp_seconds(epochSeconds), "HH:mm")
+
+  /** X13 — season derivation (`scrapers/team_scraper.py:152-174`):
+    * month ≥ 8 → "Y-(Y+1)" else "(Y-1)-Y".
+    */
+  def season(date: Column): Column = {
+    val startYear = when(month(date) >= 8, year(date)).otherwise(year(date) - 1)
+    concat(startYear.cast("string"), lit("-"), (startYear + 1).cast("string"))
+  }
+
+  /** X15 — is_home flag + team/opponent derivation
+    * (`scrapers/team_scraper.py:669-681`).
+    */
+  def isHome(venue: Column): Column = (venue === "Home").cast("int")
+  def homeTeam(venue: Column, team: Column, opponent: Column): Column =
+    when(venue === "Home", team).otherwise(opponent)
+  def awayTeam(venue: Column, team: Column, opponent: Column): Column =
+    when(venue === "Home", opponent).otherwise(team)
+
+  /** X16 — percent strip (`scrapers/team_scraper.py:562-567`). */
+  def stripPercent(c: Column): Column =
+    nullifEmpty(regexp_replace(c.cast("string"), "%", "")).cast("double")
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All pure column expressions → whole-stage codegen, embarrassingly
+  * parallel, no shuffle: at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty-safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: word / number / punctuation-run pattern — the
+    * usual cheap proxy for subword tokenizers when the real tokenizer
+    * can't ship with the engine.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Quality-score components: length, punctuation ratio, stopword ratio,
+    * mean word length. Exact integer counts; single divisions → stable
+    * doubles.
+    */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwords: _*))).cast("long")
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text) / greatest(tokenCount(text), lit(1L))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text) / greatest(charCount(text), lit(1L))
+
+  def meanWordLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)) /
+      greatest(tokenCount(text), lit(1L))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalizes
+    * punctuation soup and stopword-free keyword stuffing (a heuristic in
+    * the C4/Gopher-rules family, reduced to engine-friendly arithmetic).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = (n >= 10 && n <= 100000).cast("double")
+    val sw = stopwordRatio(text)
+    val swOk = (sw >= 0.01).cast("double")
+    val punctOk = (punctRatio(text) <= 0.2).cast("double")
+    (lengthOk + swOk + punctOk) / 3
+  }
+
+  /** Language ID via stopword-hit scoring: argmax over per-language marker
+    * sets. A cheap n-gram/stopword heuristic (fastText-style without the
+    * model); ties broken by language code for determinism.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on structs compares field-by-field: max hits, then max
+    // lang code — a deterministic argmax.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive canonical hash (rolling-hash fingerprint family).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming form of the reference's per-date incremental loop
+  * (`daily_match_scraper.py:574-628`, SURVEY §2.9): the reference appends
+  * a CSV partition per day from a driver loop; natively that is a file-
+  * source stream with a daily tumbling window + watermark.
+  *
+  * The windowed aggregation is defined once over a plain DataFrame so the
+  * SAME code runs batch (correctness oracle) and streaming (incremental):
+  * the Dataset API makes that free.
+  */
+object EventStream {
+
+  /** Tumbling-window counts per event type — batch/stream shared logic.
+    * In streaming mode the watermark bounds state: late rows beyond 1 day
+    * are dropped, so state is O(open windows), not O(history).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("events"), col("total_value"))
+
+  /** File-source stream over a directory of event data (the daily-append
+    * directory pattern), parquet or json.
+    */
+  def readEvents(spark: SparkSession, dir: String, format: String = "parquet",
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** Sink with checkpointing; append mode works because the watermark
+    * closes windows.
+    */
+  def writeCounts(counts: DataFrame, outDir: String, checkpointDir: String)
+      : DataStreamWriter[Row] =
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+}
