@@ -439,12 +439,15 @@ object RegistryCore {
               |  ORDER BY date DESC, o_orderkey DESC) <= 3
               |ORDER BY o_custkey, date DESC, o_orderkey DESC""".stripMargin)),
 
-    // ---- O1: multi-key sort (observable via global position) ---------------
+    // ---- O1: multi-key sort (observable via global position). orderBy+
+    //      limit compiles to TakeOrderedAndProject (distributed top-k, no
+    //      single-partition sort); the rank window then runs on 100 rows.
     Q("o01_multikey_sort",
       (s, dir) => ordersD(s, dir)
+        .select(col("o_orderkey"), col("date"))
+        .orderBy(col("date"), col("o_orderkey")).limit(100)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("date"), col("o_orderkey"))))
-        .filter(col("pos") <= 100)
         .select(col("pos"), col("o_orderkey"),
           date_format(col("date"), "yyyy-MM-dd").as("date")),
       Some(s"""WITH $ordersDSql
@@ -456,10 +459,12 @@ object RegistryCore {
     // ---- O2: mixed-direction sort ------------------------------------------
     Q("o02_mixed_sort",
       (s, dir) => ordersD(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+          col("o_orderkey")).limit(50)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("o_orderstatus"), col("o_totalprice").desc,
             col("o_orderkey"))))
-        .filter(col("pos") <= 50)
         .select(col("pos"), col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice")),
       Some("""SELECT row_number() OVER (ORDER BY o_orderstatus,

@@ -98,7 +98,7 @@ object RegistryLlm {
     Q("d02_minhash_neardup",
       (s, dir) => {
         val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
-          "text", "doc_id", k = 5, numHashes = 32, bands = 8,
+          "text", "doc_id", k = 3, numHashes = 32, bands = 8,
           threshold = 0.5)
         pairs.agg(count(lit(1)).as("verified_pairs"),
           coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))

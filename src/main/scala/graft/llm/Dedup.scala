@@ -42,13 +42,36 @@ object Dedup {
         i => substr(text, i + 1, lit(k)))))
       .otherwise(array(text))
 
-  /** MinHash signature: `numHashes` independent permutations approximated
-    * by seeded xxhash64; each signature row is `min` over the shingle set
-    * — computed per row with zero shuffle.
+  /** Word n-gram shingles (distinct) — ~5× fewer elements than char
+    * shingles on normal text and far more selective LSH buckets; the
+    * default unit for near-dup detection at scale.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(seed))))): _*)
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: each shingle is hashed ONCE (xxhash64), then the
+    * `numHashes` "permutations" are cheap linear maps `a_i*h + b_i`
+    * (seeded, odd multipliers; wrap-around multiply is a fine
+    * pseudo-permutation for LSH). The whole signature is one `aggregate`
+    * fold so the hash array is evaluated once — O(shingles) hashes +
+    * O(shingles·numHashes) mul-adds per row, zero shuffle.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int = 32): Column = {
+    val rnd = new scala.util.Random(0x5eed1e5L)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    def perms(h: Column): Column =
+      array((0 until numHashes).map(i => h * lit(as(i)) + lit(bs(i))): _*)
+    aggregate(
+      transform(shingleArr, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, perms(h), (x, y) => least(x, y)))
+  }
 
   /** LSH band keys: split the signature into `bands` bands of
     * `numHashes/bands` rows; hash each band. Docs sharing ANY band hash
@@ -64,18 +87,28 @@ object Dedup {
     * with id_a < id_b, jaccard >= threshold.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.7): DataFrame = {
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7,
+                      charShingles: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"),
-        shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // Signature via the native kernel (graft.plans.MinHashSig) for word
+    // grams — bit-identical to minhashSignature(wordShingles(txt)) but one
+    // compiled call per row instead of tokens*numHashes interpreted
+    // expression evals. Char-shingle mode keeps the expression form.
+    val sigCol =
+      if (charShingles) minhashSignature(shingles(col("txt"), k), numHashes)
+      else graft.plans.MinHashSig(col("txt"), k, numHashes)
+    val withSig = base.select(col("id"), sigCol.as("sig"))
       .withColumn("bands", bandHashes(col("sig"), bands, rowsPerBand))
 
     // Explode to (bucket key → id); the join below is a plain shuffled
-    // equi-join on small keys — never an all-pairs product.
+    // equi-join on small keys — never an all-pairs product. Persisted:
+    // the self-join would otherwise recompute every signature twice (at
+    // cluster scale this would be a checkpoint/bucketed table instead).
     val buckets = withSig.select(col("id"), explode(col("bands")).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -85,15 +118,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val sh = withSig.select(col("id"), col("sh"))
+    // Exact-Jaccard verification: shingle sets are built ONLY for the
+    // (few) candidate pairs, not the whole corpus.
+    def sh(c: Column): Column =
+      if (charShingles) shingles(c, k) else wordShingles(c, k)
     candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
-        "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
-        "id_b")
+      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(sh(col("txt_a")), sh(col("txt_b"))))
+          .cast("double") /
+          size(array_union(sh(col("txt_a")), sh(col("txt_b")))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -121,14 +156,7 @@ object Dedup {
     * the verify kernel used on candidate pairs.
     */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    def grams(t: Column): Column = {
-      val toks = TextAnalysis.tokens(lower(t))
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-        .otherwise(array(concat_ws(" ", toks)))
-    }
-    val ga = grams(a); val gb = grams(b)
+    val ga = wordShingles(a, n); val gb = wordShingles(b, n)
     size(array_intersect(ga, gb)).cast("double") /
       greatest(size(array_union(ga, gb)), lit(1))
   }

@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash-signature kernel.
+  *
+  * The pure-expression form (`Dedup.minhashSignature`) is portable but
+  * pays Catalyst's interpreted higher-order-function cost per array
+  * element: tokens × numHashes expression evaluations per row (~20 s for
+  * 50k docs). This custom `Expression` runs the whole kernel — tokenize,
+  * word-n-gram, xxhash64, numHashes linear permutations, running min —
+  * as one compiled-Scala call per row (~50× fewer dispatches).
+  * Bit-identical to the expression form: same gram construction
+  * (lowercased whitespace tokens joined with ' '), same xxhash64 seed 42
+  * (via `XxHash64Function`, the exact code path of the built-in), same
+  * seeded permutation coefficients.
+  *
+  * `CodegenFallback` is deliberate: codegen granularity is the row, and
+  * the row's work is a bulk loop that is compiled Scala either way — a
+  * `doGenCode` body would just call this kernel.
+  */
+object MinHashKernel {
+  val Seed = 0x5eed1e5L
+
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(Seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+
+  def signature(text: UTF8String, n: Int, numHashes: Int,
+                as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val toks = text.toString.toLowerCase.trim
+      .split("\\s+").filter(_.nonEmpty)
+    val grams: Iterator[String] =
+      if (toks.length >= n)
+        (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" "))
+      else Iterator.single(toks.mkString(" "))
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    grams.foreach { g =>
+      val h = XxHash64Function.hash(UTF8String.fromString(g), StringType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = h * as(i) + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+}
+
+case class MinHashSig(child: Expression, nGram: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val (as, bs) = MinHashKernel.coeffs(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects STRING, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashKernel.signature(
+      input.asInstanceOf[UTF8String], nGram, numHashes, as, bs))
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Column-API wrapper (no SQL registration needed). */
+  def apply(text: Column, nGram: Int = 3, numHashes: Int = 32): Column =
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(text), nGram, numHashes))
+
+  /** SQL registration payload for `SparkSessionExtensions.injectFunction`
+    * / `spark.sql.extensions=graft.plans.GraftExtensions`:
+    * `minhash_sig(text[, n[, numHashes]])`.
+    */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      def intArg(e: Expression, default: Int): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+        case _ => default
+      }
+      children match {
+        case Seq(c) => MinHashSig(c, 3, 32)
+        case Seq(c, n) => MinHashSig(c, intArg(n, 3), 32)
+        case Seq(c, n, k) => MinHashSig(c, intArg(n, 3), intArg(k, 32))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, n[, numHashes]])")
+      }
+    })
+}
+
+/** Engine extensions: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * registers the native functions for SQL use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(MinHashSig.descriptor)
+}
