@@ -38,12 +38,15 @@ object CombineData {
       if (faithful) metrics
       else TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,
         tieBreakCols.map(col))
-    val home = prefixed(m, teamCol, "home_")
-    val away = prefixed(m, teamCol, "away_")
+    // join keys get unique names so the post-join drop is by-name
+    // (dropping by Column reference silently no-ops once the attribute
+    // is wrapped in a broadcast subtree)
+    val home = prefixed(m, teamCol, "home_").withColumnRenamed(teamCol, "__hk")
+    val away = prefixed(m, teamCol, "away_").withColumnRenamed(teamCol, "__ak")
     fixtures
-      .join(broadcast(home), fixtures(homeKey) === home(teamCol), "left")
-      .drop(home(teamCol))
-      .join(broadcast(away), fixtures(awayKey) === away(teamCol), "left")
-      .drop(away(teamCol))
+      .join(broadcast(home), fixtures(homeKey) === col("__hk"), "left")
+      .drop("__hk")
+      .join(broadcast(away), fixtures(awayKey) === col("__ak"), "left")
+      .drop("__ak")
   }
 }

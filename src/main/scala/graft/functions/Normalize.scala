@@ -56,7 +56,7 @@ object Normalize {
     */
   val defaultDateFormats: Seq[String] = Seq(
     "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy/MM/dd",
-    "dd.MM.yyyy", "yyyyMMdd", "dd MMM yyyy", "MMM dd, yyyy", "EEEE, MMM dd, yyyy"
+    "dd.MM.yyyy", "yyyyMMdd", "dd MMM yyyy", "MMM dd, yyyy"
   )
   def normalizeDate(c: Column, formats: Seq[String] = defaultDateFormats): Column =
     coalesce(formats.map(f => to_date(c, f)): _*)

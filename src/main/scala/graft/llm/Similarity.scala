@@ -64,19 +64,30 @@ object Similarity {
 
   /** Approximate top-k: bucket corpus and queries with the same planes,
     * equi-join on the bucket id, rank within. Recall is tuned by
-    * `nPlanes` (fewer planes → bigger buckets → higher recall/cost).
-    * The join is a plain shuffled/broadcast equi-join on a long key —
-    * never a cartesian product.
+    * `nPlanes` (fewer planes → bigger buckets) and multi-probe: each
+    * query also probes every bucket at Hamming distance 1 (flip one
+    * plane bit), the standard recall boost that costs only nPlanes extra
+    * probe rows per QUERY — corpus cost is unchanged. The join is a
+    * plain shuffled/broadcast equi-join on a long key — never a
+    * cartesian product.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64,
+              multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
+    val probes =
+      if (multiProbe)
+        explode(array(col("bucket0") +: (0 until nPlanes).map(i =>
+          col("bucket0").bitwiseXOR(lit(1L << i))): _*))
+      else col("bucket0")
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes)))
+      .withColumn("bucket0", lshBucket(col("qv"), planes))
+      .withColumn("bucket", probes)
+      .drop("bucket0"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))

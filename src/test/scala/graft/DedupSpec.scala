@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+import graft.plans.MinHashSig
+
+/** Dedup operators: exact, MinHash-LSH (with planted near-dups), native
+  * kernel parity, SimHash, n-gram Jaccard.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // varied vocabulary: 40 distinct words -> 38 distinct 3-grams, so one
+  // edited word changes only 3 grams (jaccard ~0.85, solidly bandable)
+  private val base = (1 to 40).map(i => s"alpha$i").mkString(" ")
+  private val nearDup = base.replace("alpha20", "beta20")
+  private val unrelated = (1 to 40).map(i => s"gamma$i").mkString(" ")
+
+  private val docs = Seq(
+    (0L, base), (1L, base),        // exact dups
+    (2L, nearDup),                 // near dup of 0/1
+    (3L, unrelated), (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 4)
+    // keep-first under id order: doc 0 survives, doc 1 dropped
+    assert(out.filter(col("doc_id") === 1L).count() == 0)
+    val stats = Dedup.exactDupStats(docs, "text").collect()(0)
+    assert(stats.getAs[Long]("total_docs") == 5)
+    assert(stats.getAs[Long]("exact_dups") == 1)
+  }
+
+  test("minhash LSH finds planted exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))            // exact pair
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("native MinHashSig == expression-form signature, bit for bit") {
+    val df = docs.select(col("doc_id"),
+      MinHashSig(col("text"), 3, 32).as("fast"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32)
+        .as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("simhash: identical docs share signature; distinct content differs") {
+    val sims = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(1L))
+    assert(sims(0L) != sims(3L))
+    // near-dup is hamming-close
+    val ham = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(ham <= 12, s"near-dup hamming=$ham")
+  }
+
+  test("ngram jaccard: identity=1, near-dup high, unrelated ~0") {
+    val df = Seq((base, base, nearDup, unrelated))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b")),
+      Dedup.ngramJaccard(col("a"), col("c")),
+      Dedup.ngramJaccard(col("a"), col("d"))).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) > 0.5)
+    assert(r.getDouble(2) < 0.05)
+  }
+
+  test("LSH join plan contains no cartesian product") {
+    val plan = Dedup.minhashNearDups(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in plan:\n$plan")
+  }
+}

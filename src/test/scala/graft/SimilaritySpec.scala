@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** ANN similarity search: cosine kernel, brute-force baseline, LSH recall. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel on known vectors") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f),
+      Array(2f, 0f, 0f), Array(1f, 1f, 0f))).toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks planted neighbors correctly") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val top = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", 2).select("neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(top == Map(1L -> 1, 3L -> 2)) // most-aligned first
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force on real data") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+
+  test("cosine near-dup via buckets finds self-similar planted pair") {
+    val df = Seq(
+      (0L, Array.fill(8)(1f)),
+      (1L, Array.fill(8)(1f).updated(0, 0.95f)), // near-identical
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = 4, dim = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ANN plans: corpus side is scanned once, queries broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val plan = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
