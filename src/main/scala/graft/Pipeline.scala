@@ -57,6 +57,18 @@ object Pipeline {
     val fixtures = Process.processFixtures(rawFixtures, today, cfg.aliases)
     writeCsv(isoDates(fixtures), s"${cfg.outDir}/fixtures")
 
+    // F7 — non-empty guard (`processors/data_processor.py:43-46` et al):
+    // nothing upcoming → emit empty stats, skip the downstream stages.
+    if (fixtures.isEmpty) {
+      val empty = Stats(0, 0, 0, 0, 0.0, "", "", cfg.lookbackMatches)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(cfg.outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${cfg.outDir}/pipeline_stats.json"),
+        s"{\"fixtures_count\":0,\"teams_count\":0,\"joined_records\":0}")
+      return empty
+    }
+
     // Stage 4 — process team history.
     val rawHistory = readCsv(spark, cfg.historyPath, graft.model.Tables.teamHistory)
     val history = Process.processHistory(rawHistory, today, cfg.aliases)

@@ -52,7 +52,8 @@ object Registry {
     "CASE o_orderstatus WHEN 'F' THEN 1.0 WHEN 'P' THEN 0.5 ELSE 0.0 END"
 
   def all: Seq[Q] =
-    RegistryCore.entries ++ RegistryScalars.entries ++ RegistryLlm.entries
+    RegistryCore.entries ++ RegistryScalars.entries ++
+      RegistryLlm.entries ++ RegistryExtra.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{AsOfJoin, CombineData}
+import graft.sources.Ingest
+import Registry._
+
+/** Second-wave operator coverage: as-of join, ingest-side scan semantics
+  * (S5/S6, X14), prefix fan-out / drop projections, ordered group-concat.
+  */
+object RegistryExtra {
+
+  def entries: Seq[Q] = Seq(
+
+    // ---- J5: point-in-time (as-of) join — union+last form, DuckDB ASOF
+    //      JOIN as the oracle --------------------------------------------
+    Q("j05_asof_join",
+      (s, dir) => {
+        val od = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey").as("team"),
+          col("o_orderdate").cast("date").as("date"),
+          col("o_totalprice"))
+        val metrics = od.groupBy(col("team"), col("date"))
+          .agg((decSum(col("o_totalprice")) / count(lit(1))).as("mprice"))
+        val fixtures = od.select(col("o_orderkey").as("match_id"),
+          col("team"), date_add(col("date"), 10).as("fdate"))
+        AsOfJoin.asOf(fixtures, metrics, "team", "fdate", "date",
+            valueCols = Seq("date", "mprice"))
+          .select(col("match_id"), col("team"),
+            date_format(col("fdate"), "yyyy-MM-dd").as("fdate"),
+            date_format(col("asof_date"), "yyyy-MM-dd").as("asof_date"),
+            col("asof_mprice"))
+          .orderBy("match_id")
+      },
+      Some("""WITH orders_d AS (
+             |  SELECT o_orderkey, o_custkey AS team,
+             |         CAST(o_orderdate AS DATE) AS date, o_totalprice
+             |  FROM orders),
+             |metrics AS (
+             |  SELECT team, date,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS mprice
+             |  FROM orders_d GROUP BY team, date),
+             |fixtures AS (
+             |  SELECT o_orderkey AS match_id, team,
+             |         date + INTERVAL 10 DAY AS fdate
+             |  FROM orders_d)
+             |SELECT f.match_id, f.team,
+             |  strftime(f.fdate, '%Y-%m-%d') AS fdate,
+             |  strftime(m.date, '%Y-%m-%d') AS asof_date,
+             |  m.mprice AS asof_mprice
+             |FROM fixtures f
+             |ASOF LEFT JOIN metrics m
+             |  ON f.team = m.team AND f.fdate >= m.date
+             |ORDER BY f.match_id""".stripMargin)),
+
+    // ---- X14: column-name pattern resolution (schema drift) -------------
+    Q("x14_column_resolution",
+      (s, dir) => {
+        val drifted = t(s, dir, "lineitem").select(
+          col("l_orderkey").as("RowId"),
+          col("l_linenumber").as("Line No"),
+          col("l_shipdate").cast("date").as("Match Date"),
+          col("l_quantity").as("Gls For"))
+        Ingest.resolveColumns(drifted, Seq(
+            "id" -> "rowid", "line" -> "line no",
+            "date" -> "date", "goals" -> "gls"))
+          .select(col("id"), col("line"),
+            date_format(col("date"), "yyyy-MM-dd").as("date"), col("goals"))
+          .orderBy("id", "line")
+      },
+      Some("""SELECT l_orderkey AS id, l_linenumber AS line,
+             |  strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS date,
+             |  l_quantity AS goals
+             |FROM lineitem ORDER BY id, line""".stripMargin)),
+
+    // ---- S5: long→wide stat pivot ----------------------------------------
+    Q("s05_stat_pivot",
+      (s, dir) => {
+        val long = t(s, dir, "lineitem").select(col("l_orderkey"),
+          when(col("l_linenumber") % 3 === 0, "possession")
+            .when(col("l_linenumber") % 3 === 1, "shots")
+            .otherwise("corners").as("stat"),
+          col("l_quantity").as("value"))
+        Ingest.pivotStats(long, "l_orderkey", "stat", "value",
+            Seq("possession", "shots", "corners"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |  max(CASE WHEN l_linenumber % 3 = 0 THEN l_quantity END)
+             |    AS possession,
+             |  max(CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END)
+             |    AS shots,
+             |  max(CASE WHEN l_linenumber % 3 = 2 THEN l_quantity END)
+             |    AS corners
+             |FROM lineitem GROUP BY l_orderkey
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- S6: cache scan with freshness TTL -------------------------------
+    Q("s06_cache_freshness",
+      (s, dir) => Ingest.freshCache(
+          events(s, dir).withColumn("cached_at", col("ts").cast("date")),
+          "cached_at", lit("2024-01-10").cast("date"), ttlDays = 7)
+        .select(col("event_id")).orderBy("event_id"),
+      Some("""SELECT event_id FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- A4: ordered per-group concat ------------------------------------
+    Q("a04_group_concat",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("date"),
+          col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("date"),
+            col("o_orderkey")))),
+            x => x.getField("o_orderkey").cast("string"))).as("match_ids"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+             |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+             |    AS match_ids
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- P3: prefix fan-out ----------------------------------------------
+    Q("p03_prefix_fanout",
+      (s, dir) => CombineData.prefixed(
+          t(s, dir, "customer").select(col("c_custkey").as("team"),
+            col("c_name"), col("c_acctbal")),
+          "team", "home_")
+        .orderBy("team"),
+      Some("""SELECT c_custkey AS team, c_name AS home_c_name,
+             |  c_acctbal AS home_c_acctbal
+             |FROM customer ORDER BY team""".stripMargin)),
+
+    // ---- P4: drop helper columns -----------------------------------------
+    Q("p04_drop_columns",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("date", col("o_orderdate").cast("date"))
+        .drop("o_orderdate", "o_orderpriority", "o_orderstatus")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("date"), "yyyy-MM-dd").as("date"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}

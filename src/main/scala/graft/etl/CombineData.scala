@@ -34,10 +34,15 @@ object CombineData {
               teamCol: String, homeKey: String, awayKey: String,
               dateCol: String, tieBreakCols: Seq[String],
               faithful: Boolean = false): DataFrame = {
+    // The reduced per-team dim feeds BOTH join legs; the home/away alias
+    // projections differ, so Spark cannot reuse the broadcast exchange and
+    // would compute the (expensive) upstream metrics twice. Persisting the
+    // tiny dim computes it once. (Plan-audited: see Explain j01_combined.)
     val m =
       if (faithful) metrics
       else TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,
         tieBreakCols.map(col))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // join keys get unique names so the post-join drop is by-name
     // (dropping by Column reference silently no-ops once the attribute
     // is wrapped in a broadcast subtree)

@@ -47,6 +47,18 @@ object Reports {
   def topN(df: DataFrame, by: Column, tieBreak: Column, n: Int): DataFrame =
     df.orderBy(by.desc, tieBreak).limit(n)
 
+  /** K5 — chart-sink boundary (`examples/visualize_data.py:74-314`):
+    * charts render driver-side from SMALL aggregates; the collect is
+    * guarded so an unaggregated frame cannot flood the driver.
+    */
+  def chartData(df: DataFrame, maxRows: Int = 10000)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"chart data exceeds $maxRows rows; aggregate further before collecting")
+    rows
+  }
+
   /** A11 — stats report (`daily_match_scraper.py:670-701`): date coverage
     * summary in one aggregation.
     */

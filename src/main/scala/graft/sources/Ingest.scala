@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+
+/** Ingest-side table normalization — the engine-side halves of the
+  * reference's HTML/JSON scan operators (S3–S6). The network/browser
+  * fetch itself is out-of-engine (SURVEY §7.4); these functions take the
+  * captured tables and apply the scan-time semantics.
+  */
+object Ingest {
+
+  /** X14 — column-name pattern resolution (`scrapers/team_scraper.py:
+    * 622-631,773-788`): FBref headers drift across seasons, so each
+    * target column binds to the FIRST source column whose name contains
+    * the pattern (case-insensitive). Resolution happens at plan time in
+    * the driver — zero runtime cost.
+    */
+  def resolveColumns(df: DataFrame, mapping: Seq[(String, String)])
+      : DataFrame = {
+    val cols = mapping.flatMap { case (target, pattern) =>
+      df.columns.find(_.toLowerCase.contains(pattern.toLowerCase))
+        .map(c => col(c).as(target))
+    }
+    require(cols.nonEmpty, s"no source column matched any of $mapping")
+    df.select(cols: _*)
+  }
+
+  /** S3 — schedule-table scan: parse the drifted date column and keep the
+    * target date (`daily_match_scraper.py:321-429`, filter at `:371-388`).
+    */
+  def scheduleForDate(df: DataFrame, rawDateCol: String, target: Column)
+      : DataFrame =
+    df.filter(Normalize.normalizeDate(col(rawDateCol)) === target)
+
+  /** S4 — matchlog scan: resolve drifted headers then drop separator rows
+    * (null date) — `scrapers/team_scraper.py:327-400`, row drop `:371-372`
+    * (F6).
+    */
+  def cleanMatchlog(df: DataFrame, mapping: Seq[(String, String)],
+                    dateCol: String = "date"): DataFrame =
+    resolveColumns(df, mapping).na.drop(Seq(dateCol))
+
+  /** S5 — match-detail stat tables arrive long (one row per stat); pivot
+    * to wide with an explicit stat list (one pass, no value-discovery
+    * job) — `scrapers/team_scraper.py:461-584`.
+    */
+  def pivotStats(long: DataFrame, keyCol: String, nameCol: String,
+                 valueCol: String, stats: Seq[String]): DataFrame =
+    long.groupBy(col(keyCol))
+      .pivot(nameCol, stats)
+      .agg(max(col(valueCol))) // max: deterministic under duplicate rows
+
+  /** S6 — cache scan with freshness TTL (`scrapers/team_scraper.py:
+    * 89-126`, 7-day TTL at `:110`): keep cached entries newer than
+    * `asOf - ttlDays`. On parquet this predicate is pushed to the scan
+    * (and prunes partitions when the cache is date-partitioned).
+    */
+  def freshCache(df: DataFrame, cachedAtCol: String, asOf: Column,
+                 ttlDays: Int = 7): DataFrame =
+    df.filter(col(cachedAtCol) >= date_sub(asOf, ttlDays))
+}
