@@ -137,6 +137,22 @@ object RegistryExtra {
              |  c_acctbal AS home_c_acctbal
              |FROM customer ORDER BY team""".stripMargin)),
 
+    // ---- A15: typed Aggregator UDAF (exact integer buffer) ----------------
+    Q("a15_udaf_win_ratio",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("result", when(col("o_orderstatus") === "F", "W")
+          .when(col("o_orderstatus") === "P", "D").otherwise("L"))
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.WinRatioAgg.column(col("result"))
+          .as("win_ratio"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |  CAST(sum(CASE o_orderstatus WHEN 'F' THEN 2
+             |    WHEN 'P' THEN 1 ELSE 0 END) AS BIGINT) / 2.0 / count(*)
+             |    AS win_ratio
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
     // ---- P4: drop helper columns -----------------------------------------
     Q("p04_drop_columns",
       (s, dir) => t(s, dir, "orders")
