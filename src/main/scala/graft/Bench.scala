@@ -14,6 +14,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + parquet footer/IO caches, so per-query numbers
+    // reflect steady state instead of charging startup to the first query.
+    Seq("orders", "lineitem", "customer", "part", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
     val errors = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

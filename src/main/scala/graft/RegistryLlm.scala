@@ -174,6 +174,17 @@ object RegistryLlm {
       },
       None),
 
+    // ---- N4: IVF-bucketed ANN (centroid cells, multi-probe) -------------------------
+    Q("n04_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ---- N3: embedding-cosine near-dup summary -------------------------------------
     Q("n03_cosine_neardup",
       (s, dir) => Similarity.cosineNearDups(t(s, dir, "embeddings"),

@@ -98,6 +98,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** IVF-style ANN — the other classic scale path: corpus vectors are
+    * assigned to their nearest of K fixed centroids (one scan-side pass,
+    * bucketed by centroid id); queries probe their `nProbe` nearest
+    * centroids and rank only within those cells. Centroids here are a
+    * deterministic sample of the corpus (ids 0..K-1) — in production a
+    * k-means fit; the engine-side plumbing (assignment, cell join,
+    * in-cell rank) is identical.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids: Array[(Int, Array[Double])] =
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(vecCol)).collect()
+        .zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Float](0).map(_.toDouble).toArray
+        }
+
+    def dist2(vec: Column, c: Array[Double]): Column =
+      aggregate(zip_with(vec, typedLit(c.toSeq),
+        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0), (acc, v) => acc + v)
+
+    /** struct(dist, cell) per centroid; array_sort ranks cells by dist. */
+    def cellsRanked(vec: Column): Column =
+      array_sort(array(centroids.map { case (i, c) =>
+        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
+      }: _*))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", element_at(cellsRanked(col("cv")), 1)
+        .getField("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("cell", explode(slice(
+        transform(cellsRanked(col("qv")), s => s.getField("cell")),
+        1, nProbe))))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: within-bucket
     * pairs above a cosine threshold. Same banding logic as Dedup — no
     * all-pairs product.

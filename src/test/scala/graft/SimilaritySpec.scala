@@ -47,6 +47,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k: recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("cosine near-dup via buckets finds self-similar planted pair") {
     val df = Seq(
       (0L, Array.fill(8)(1f)),
