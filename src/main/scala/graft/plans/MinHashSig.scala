@@ -115,6 +115,8 @@ object MinHashSig {
   * registers the native functions for SQL use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSig.descriptor)
+    ext.injectOptimizerRule(_ => AliasLookupSimplification)
+  }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.plans.AliasLookupSimplification
+
+/** Injected optimizer rule: guarded alias-map lookup → single-probe
+  * coalesce form.
+  */
+class RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val aliases = Map("Spurs" -> "Tottenham", "Wolves" -> "Wanderers")
+
+  test("rule rewrites CaseWhen(map_contains_key) into Coalesce(element_at)") {
+    val df = Seq("Spurs").toDF("v")
+      .select(Normalize.normalizeTeamName(col("v"), aliases).as("team"))
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.expressions.map(_.toString).mkString
+      .contains("CASE WHEN"))
+    val rewritten = AliasLookupSimplification(analyzed)
+    val s = rewritten.expressions.map(_.toString).mkString
+    assert(!s.contains("CASE WHEN"), s)
+    assert(s.contains("coalesce") && s.contains("element_at"), s)
+  }
+
+  test("rewrite is semantics-preserving (hit, miss, null input)") {
+    val df = Seq(Some("Spurs"), Some("Arsenal FC"), None).toDF("v")
+    val viaCase = df.select(
+      Normalize.normalizeTeamName(col("v"), aliases).as("t")).collect()
+    val viaCoalesce = df.select({
+      val stripped = regexp_replace(trim(col("v")), "\\s+(FC|CF|AFC)$", "")
+      coalesce(element_at(typedLit(aliases), stripped), stripped).as("t")
+    }).collect()
+    assert(viaCase.map(r => Option(r.get(0))).toSeq ==
+      viaCoalesce.map(r => Option(r.get(0))).toSeq)
+  }
+}
