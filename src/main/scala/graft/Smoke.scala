@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
+    // deliberately a PLAIN session (no graft extensions, ANSI on) —
+    // the driver's t1 smoke uses its own session, so entry() must not
+    // depend on our extensions or configs
     val spark = SparkSession.builder()
-      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -13,14 +13,25 @@ class RulesSpec extends SparkSpec {
 
   private val aliases = Map("Spurs" -> "Tottenham", "Wolves" -> "Wanderers")
 
-  test("rule rewrites CaseWhen(map_contains_key) into Coalesce(element_at)") {
+  test("injected rule fires in the production optimizer pipeline") {
+    // parquet scan input: a LocalRelation would be evaluated wholesale by
+    // ConvertToLocalRelation before the rule could observe anything
+    val df = spark.read.parquet(s"$sf/part.parquet")
+      .select(Normalize.normalizeTeamName(col("p_name"), aliases).as("team"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("CASE WHEN"), optimized)
+    assert(optimized.contains("coalesce") && optimized.contains("element_at"),
+      optimized)
+  }
+
+  test("rule also matches the pre-replacement (analyzed-plan) shape") {
     val df = Seq("Spurs").toDF("v")
       .select(Normalize.normalizeTeamName(col("v"), aliases).as("team"))
     val analyzed = df.queryExecution.analyzed
     assert(analyzed.expressions.map(_.toString).mkString
       .contains("CASE WHEN"))
-    val rewritten = AliasLookupSimplification(analyzed)
-    val s = rewritten.expressions.map(_.toString).mkString
+    val s = AliasLookupSimplification(analyzed)
+      .expressions.map(_.toString).mkString
     assert(!s.contains("CASE WHEN"), s)
     assert(s.contains("coalesce") && s.contains("element_at"), s)
   }
