@@ -53,6 +53,23 @@ object Ingest {
       .pivot(nameCol, stats)
       .agg(max(col(valueCol))) // max: deterministic under duplicate rows
 
+  /** S1/S2 — replay captured SofaScore responses as event rows: the
+    * DataSource V2 reader strips the HTTP preamble per file, then
+    * `from_json` with the declared nested schema + `explode` yields one
+    * row per event (`daily_match_scraper.py:130-319`, extraction paths
+    * `:449-527`).
+    */
+  def readSofaCaptures(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("events",
+        org.apache.spark.sql.types.ArrayType(graft.model.Tables.sofaEvent))))
+    spark.read.format("graft.sources.SofaRawSource").load(dir)
+      .select(col("source_file"),
+        from_json(col("body"), payload).as("payload"))
+      .select(col("source_file"), explode(col("payload.events")).as("event"))
+  }
+
   /** S6 — cache scan with freshness TTL (`scrapers/team_scraper.py:
     * 89-126`, 7-day TTL at `:110`): keep cached entries newer than
     * `asOf - ttlDays`. On parquet this predicate is pushed to the scan
