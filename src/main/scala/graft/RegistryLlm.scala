@@ -69,12 +69,30 @@ object RegistryLlm {
              |    AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // ---- T3: language ID (heuristic argmax — rows-only) ---------------------
+    // ---- T3: language ID (stopword-hit argmax; DuckDB struct-sort
+    //      argmax as the oracle) -------------------------------------------
     Q("t03_lang_id",
       (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ltoks
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  list_sort([
+             |    {'hits': len(list_filter(ltoks, x -> x IN ('der','die',
+             |      'und','das','nicht','ist','ich','ein'))), 'lang': 'de'},
+             |    {'hits': len(list_filter(ltoks, x -> x IN ('the','and',
+             |      'of','to','is','in','that','it'))), 'lang': 'en'},
+             |    {'hits': len(list_filter(ltoks, x -> x IN ('el','la','de',
+             |      'que','y','en','los','del'))), 'lang': 'es'},
+             |    {'hits': len(list_filter(ltoks, x -> x IN ('le','la','les',
+             |      'des','est','une','dans','que'))), 'lang': 'fr'},
+             |    {'hits': len(list_filter(ltoks, x -> x IN ('的','是','了',
+             |      '在','我','有','和','不'))), 'lang': 'zh'}
+             |  ])[-1]['lang'] AS lang_pred
+             |FROM r ORDER BY doc_id""".stripMargin)),
 
     // ---- T4: document fingerprint -------------------------------------------
     Q("t04_fingerprint",
@@ -214,6 +232,46 @@ object RegistryLlm {
           .cast("long").as("feature_dim"))
         .orderBy("id"),
       None),
+
+    // ---- W3: stateful rolling form (flatMapGroupsWithState, batch run);
+    //      oracle = the equivalent ROWS window. goalsFor values are small
+    //      integers so double sums are exact regardless of order. -------
+    Q("w03_stateful_form",
+      (s, dir) => {
+        import s.implicits._
+        val ds = t(s, dir, "orders").select(
+            col("o_custkey").cast("string").as("team"),
+            col("o_orderkey").cast("string").as("matchId"),
+            col("o_orderdate").cast("timestamp").as("ts"),
+            when(col("o_orderstatus") === "F", "W")
+              .when(col("o_orderstatus") === "P", "D").otherwise("L")
+              .as("result"),
+            (col("o_orderkey") % 7).cast("double").as("goalsFor"))
+          .as[graft.streaming.TeamFormState.MatchResult]
+        graft.streaming.TeamFormState.rollingForm(ds, lookback = 7)
+          .toDF()
+          .select(col("team"), col("matchId").as("match_id"), col("matches"),
+            col("winRatio").as("win_ratio"),
+            col("avgGoalsFor").as("avg_goals"))
+          .orderBy("team", "match_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(o_custkey AS VARCHAR) AS team,
+             |    CAST(o_orderkey AS VARCHAR) AS match_id,
+             |    CAST(o_orderdate AS TIMESTAMP) AS ts,
+             |    CASE o_orderstatus WHEN 'F' THEN 2 WHEN 'P' THEN 1
+             |      ELSE 0 END AS half,
+             |    CAST(o_orderkey % 7 AS DOUBLE) AS goals
+             |  FROM orders)
+             |SELECT team, match_id,
+             |  CAST(count(*) OVER w AS INT) AS matches,
+             |  CAST(sum(half) OVER w AS BIGINT) / 2.0
+             |    / count(*) OVER w AS win_ratio,
+             |  sum(goals) OVER w / count(*) OVER w AS avg_goals
+             |FROM m
+             |WINDOW w AS (PARTITION BY team ORDER BY ts, match_id
+             |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY team, match_id""".stripMargin)),
 
     // ---- W2: tumbling-window aggregation (streaming-shared logic, batch run) --------
     Q("w02_event_window",

@@ -36,8 +36,12 @@ object TeamFormState {
       state: GroupState[FormBuf]): Iterator[TeamForm] = {
     var buf = state.getOption.getOrElse(FormBuf(Nil)).entries
     val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.matchId)).map { r =>
+      // keep the N LARGEST (ts, matchId) entries — exactly the frame a
+      // ROWS BETWEEN N-1 PRECEDING window ordered by (ts, matchId) sees
       buf = ((r.ts.getTime, r.matchId, r.result, r.goalsFor) :: buf)
-        .sortBy(e => (-e._1, e._2)).take(lookback)
+        .sortBy(e => (e._1, e._2))(
+          Ordering.Tuple2(Ordering.Long, Ordering.String).reverse)
+        .take(lookback)
       val n = buf.size
       // exact integer half-points, same arithmetic as the batch path
       val halfPts = buf.map(e => (points(e._3) * 2).toLong).sum
