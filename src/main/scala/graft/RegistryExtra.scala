@@ -56,6 +56,41 @@ object RegistryExtra {
              |  ON f.team = m.team AND f.fdate >= m.date
              |ORDER BY f.match_id""".stripMargin)),
 
+    // ---- J1 faithful mode: the reference's team-only join with row
+    //      multiplication, bug-compatible (SURVEY §7.4); fixtures sampled
+    //      so the multiplied output stays bounded ------------------------
+    Q("j06_faithful_combined",
+      (s, dir) => {
+        val od = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("date"), col("o_totalprice"))
+        val fixtures = od.filter(col("o_orderkey") % 50 === 0).select(
+          col("o_orderkey").as("match_id"),
+          col("o_custkey").as("home_team"),
+          ((col("o_custkey") * 13 + 7) % 100).as("away_team"))
+        val metrics = od.select(col("o_custkey").as("team"),
+          col("o_orderkey").as("mkey"), col("o_totalprice").as("price"))
+        CombineData.combine(fixtures, metrics, "team",
+            "home_team", "away_team", "date", Nil, faithful = true)
+          .select(col("match_id"), col("home_mkey"), col("away_mkey"),
+            col("home_price"), col("away_price"))
+          .orderBy("match_id", "home_mkey", "away_mkey")
+      },
+      Some("""WITH fixtures AS (
+             |  SELECT o_orderkey AS match_id, o_custkey AS home_team,
+             |    (o_custkey*13+7)%100 AS away_team
+             |  FROM orders WHERE o_orderkey % 50 = 0),
+             |metrics AS (
+             |  SELECT o_custkey AS team, o_orderkey AS mkey,
+             |    o_totalprice AS price
+             |  FROM orders)
+             |SELECT f.match_id, h.mkey AS home_mkey, a.mkey AS away_mkey,
+             |  h.price AS home_price, a.price AS away_price
+             |FROM fixtures f
+             |LEFT JOIN metrics h ON f.home_team = h.team
+             |LEFT JOIN metrics a ON f.away_team = a.team
+             |ORDER BY match_id, home_mkey, away_mkey""".stripMargin)),
+
     // ---- X14: column-name pattern resolution (schema drift) -------------
     Q("x14_column_resolution",
       (s, dir) => {

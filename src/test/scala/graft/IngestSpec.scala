@@ -22,6 +22,14 @@ class IngestSpec extends SparkSpec {
     assert(out.collect()(0).getDouble(2) == 2.0)
   }
 
+  test("S3: schedule scan keeps only the target date (drifted formats)") {
+    val df = Seq("23/05/2025", "2025-05-24", "garbage")
+      .toDF("Date")
+    val out = Ingest.scheduleForDate(df, "Date",
+      lit("2025-05-23").cast("date"))
+    assert(out.count() == 1)
+  }
+
   test("S4: matchlog clean drops separator (null-date) rows") {
     val df = Seq(
       (Some("2025-05-01"), Some("Arsenal")),
