@@ -61,4 +61,38 @@ object TeamFormState {
       .flatMapGroupsWithState[FormBuf, TeamForm](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateTeam(lookback))
   }
+
+  /** Time-windowed variant — the streaming-native form of the 90-day
+    * rolling metrics A1–A3 (`utils/data_utils.py:238-301`): state keeps
+    * only entries within `windowDays` of the newest processed match, so
+    * per-team state is bounded by window density, and each emitted row
+    * equals the batch `rangeBetween(-windowDays·86400, 0)` frame.
+    * Integer half-points keep the ratio exact.
+    */
+  def updateTeamByDays(windowDays: Int)(
+      team: String, rows: Iterator[MatchResult],
+      state: GroupState[FormBuf]): Iterator[TeamForm] = {
+    val windowMs = windowDays.toLong * 86400000L
+    var buf = state.getOption.getOrElse(FormBuf(Nil)).entries
+    val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.matchId)).map { r =>
+      buf = ((r.ts.getTime, r.matchId, r.result, r.goalsFor) :: buf)
+        .filter(_._1 >= r.ts.getTime - windowMs) // inclusive [t-w, t]
+      val n = buf.size
+      val halfPts = buf.map(e => (points(e._3) * 2).toLong).sum
+      val goals = buf.map(_._4).sum
+      TeamForm(team, r.matchId, n, halfPts.toDouble / 2.0 / n, goals / n)
+    }
+    state.update(FormBuf(buf))
+    out.iterator
+  }
+
+  def rollingFormByDays(ds: Dataset[MatchResult], windowDays: Int = 90)
+      : Dataset[TeamForm] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.team)
+      .flatMapGroupsWithState[FormBuf, TeamForm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateTeamByDays(windowDays))
+  }
 }
