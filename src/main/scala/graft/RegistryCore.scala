@@ -472,6 +472,22 @@ object RegistryCore {
              |  o_orderkey, o_orderstatus, o_totalprice
              |FROM orders QUALIFY pos <= 50 ORDER BY pos""".stripMargin)),
 
+    // ---- O3: sort by date (combined-output order; top-k observable form) ------
+    Q("o03_sort_by_date",
+      (s, dir) => ordersD(s, dir)
+        .select(col("o_orderkey"), col("date"))
+        .orderBy(col("date"), col("o_orderkey")).limit(200)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("date"), col("o_orderkey"))))
+        .select(col("pos"),
+          date_format(col("date"), "yyyy-MM-dd").as("date"),
+          col("o_orderkey")),
+      Some(s"""WITH $ordersDSql
+              |SELECT row_number() OVER (ORDER BY date, o_orderkey) AS pos,
+              |  strftime(date, '%Y-%m-%d') AS date, o_orderkey
+              |FROM orders_d
+              |QUALIFY pos <= 200 ORDER BY pos""".stripMargin)),
+
     // ---- O6: global top-N ---------------------------------------------------
     Q("o06_global_topn",
       (s, dir) => Reports.topN(ordersD(s, dir)

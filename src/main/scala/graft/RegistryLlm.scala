@@ -112,6 +112,15 @@ object RegistryLlm {
              |  count(*) - count(DISTINCT md5(text)) AS exact_dups
              |FROM documents""".stripMargin)),
 
+    // ---- D1b: exact dedup row output (keep-first under id order) -------------
+    Q("d05_exact_dedup_rows",
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY md5(text)
+             |  ORDER BY doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- D2: MinHash-LSH near-dup summary (banded, never all-pairs) ----------
     Q("d02_minhash_neardup",
       (s, dir) => {
