@@ -44,7 +44,7 @@ object AsOfJoin {
     val rAligned = lTagged.columns.foldLeft(rTagged) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(lTagged.schema(c).dataType))
-    }.select(lTagged.columns.map(col): _*)
+    }.select(lTagged.columns.toIndexedSeq.map(col): _*)
 
     // Right rows sort BEFORE left rows at equal time (__side 0 < 1), so
     // the as-of is inclusive of same-timestamp metrics — pandas

@@ -22,8 +22,8 @@ object CombineData {
 
   /** Rename every non-key column of `metrics` to `prefix<col>` (P3). */
   def prefixed(metrics: DataFrame, teamCol: String, prefix: String): DataFrame =
-    metrics.select(col(teamCol) +: metrics.columns.filter(_ != teamCol)
-      .map(c => col(c).as(s"$prefix$c")): _*)
+    metrics.select(col(teamCol) +: metrics.columns.toIndexedSeq
+      .filter(_ != teamCol).map(c => col(c).as(s"$prefix$c")): _*)
 
   /** @param fixtures  fact side with `homeKey`/`awayKey` team columns
     * @param metrics   per-team metrics; reduced to latest-per-team unless

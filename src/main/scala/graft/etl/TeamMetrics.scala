@@ -60,7 +60,7 @@ object TeamMetrics {
       (sum(Normalize.resultPoints(col(r)).cast("decimal(9,1)")).over(w)
         .cast("double") / n).as("win_ratio"))
 
-    df.select(df.columns.map(col) ++ means ++ sums ++ ratio
+    df.select((df.columns.toIndexedSeq.map(col) ++ means ++ sums ++ ratio)
       :+ n.as("window_n"): _*)
   }
 

@@ -124,7 +124,7 @@ object Similarity {
 
     /** struct(dist, cell) per centroid; array_sort ranks cells by dist. */
     def cellsRanked(vec: Column): Column =
-      array_sort(array(centroids.map { case (i, c) =>
+      array_sort(array(centroids.toIndexedSeq.map { case (i, c) =>
         struct(dist2(vec, c).as("d"), lit(i).as("cell"))
       }: _*))
 
