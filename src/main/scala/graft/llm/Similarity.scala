@@ -4,29 +4,43 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.{CosineSim, NearestCells, SignBucket}
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force top-k: broadcast the (small) query set against the
   *    corpus — a broadcast nested-loop that scans the corpus ONCE however
   *    large it is; correct baseline and the oracle for recall tests.
   *  - LSH-bucketed (random hyperplanes): corpus is bucketed by sign
-  *    pattern scan-side, queries probe their bucket via an equi-join —
-  *    the 100 TB path (no corpus × query product).
+  *    pattern scan-side, queries probe their bucket via an equi-join.
+  *  - IVF (centroid cells): corpus assigned to nearest centroid, queries
+  *    probe their nProbe nearest cells.
   *
-  * Dot products run in double via `zip_with` + `aggregate` (a sequential
-  * left fold — deterministic summation order, so results are reproducible
-  * across partitionings and match a row-at-a-time oracle bit-for-bit).
+  * All vector math runs through the native kernels in
+  * `graft.plans.VectorKernels` — one compiled call per row instead of
+  * per-element interpreted `aggregate`/`zip_with` dispatch (the round-2
+  * scale blocker). Summation is a sequential left fold in double, so
+  * results are reproducible across partitionings and match a
+  * row-at-a-time oracle bit-for-bit.
+  *
+  * The embedding dimension is DERIVED from the data (first row) wherever
+  * hyperplanes/centroids are built, and every kernel fails fast on a
+  * mismatched vector instead of silently null-padding (which would
+  * collapse all vectors into one bucket).
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double
+    * (native kernel — codegen-compiled loop, not per-element dispatch).
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
+
+  /** Embedding dimension, derived from the first row. Fails fast on an
+    * empty corpus — hyperplane/centroid construction needs a dimension.
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Exact top-k neighbors for each query vector (broadcast nested loop +
     * per-query rank window). Deterministic: ties broken by corpus id.
@@ -51,16 +65,9 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern LSH bucket id for a vector column. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = typedLit(p.toSeq)
-      val d = aggregate(zip_with(vec, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-pattern LSH bucket id for a vector column (native kernel). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    SignBucket(vec, planes)
 
   /** Approximate top-k: bucket corpus and queries with the same planes,
     * equi-join on the bucket id, rank within. Recall is tuned by
@@ -70,12 +77,17 @@ object Similarity {
     * probe rows per QUERY — corpus cost is unchanged. The join is a
     * plain shuffled/broadcast equi-join on a long key — never a
     * cartesian product.
+    *
+    * @param dim embedding dimension; -1 (default) derives it from the
+    *            corpus first row. A corpus vector of any other length
+    *            fails fast in the kernel.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nPlanes: Int = 8, dim: Int = 64,
+              nPlanes: Int = 8, dim: Int = -1,
               multiProbe: Boolean = true): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes)
+    val d = if (dim > 0) dim else vecDim(corpus, vecCol)
+    val planes = hyperplanes(d, nPlanes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
     val probes =
@@ -98,44 +110,92 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Deterministic k-means fit over a bounded corpus sample: the first
+    * `sampleSize` vectors by id seed a k-means++ init (seeded), then
+    * Lloyd iterations run driver-side on the sample only. The SAMPLE is
+    * bounded (default 2048 vectors) regardless of corpus size — fitting
+    * centroids on a sample is the standard IVF construction; assignment
+    * of the full corpus stays distributed.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, sampleSize: Int = 2048, iters: Int = 10,
+                seed: Long = 42L): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] =
+      corpus.orderBy(col(idCol)).limit(sampleSize)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeansFit: empty corpus")
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+
+    // k-means++ init: first centroid is the first sample vector (by id —
+    // deterministic); each next is chosen proportional to D^2 using the
+    // seeded RNG.
+    val centroids = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    while (centroids.length < math.min(k, sample.length)) {
+      val dists = sample.map(v => centroids.map(c => d2(v, c)).min)
+      val total = dists.sum
+      if (total <= 0) {
+        // all sample points already coincide with a centroid: pad with
+        // copies (empty cells are harmless — no corpus vector lands there)
+        centroids += sample(centroids.length % sample.length).clone()
+      } else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centroids += sample(i).clone()
+      }
+    }
+    while (centroids.length < k) centroids += centroids(0).clone()
+
+    // Lloyd iterations on the sample.
+    var cs = centroids.map(_.clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var i = 0
+        while (i < k) { val d = d2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cs = Array.tabulate(k) { i =>
+        if (counts(i) == 0) cs(i)
+        else { val c = sums(i); var j = 0; while (j < dim) { c(j) /= counts(i); j += 1 }; c }
+      }
+      it += 1
+    }
+    cs
+  }
+
   /** IVF-style ANN — the other classic scale path: corpus vectors are
-    * assigned to their nearest of K fixed centroids (one scan-side pass,
+    * assigned to their nearest of K centroids (one scan-side pass,
     * bucketed by centroid id); queries probe their `nProbe` nearest
-    * centroids and rank only within those cells. Centroids here are a
-    * deterministic sample of the corpus (ids 0..K-1) — in production a
-    * k-means fit; the engine-side plumbing (assignment, cell join,
-    * in-cell rank) is identical.
+    * centroids and rank only within those cells. Centroids come from a
+    * deterministic seeded k-means++ fit over a bounded corpus sample
+    * (`kmeansFit`); cell assignment + ranking run through the native
+    * `NearestCells` kernel — all K distances in one compiled pass.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    val centroids: Array[(Int, Array[Double])] =
-      corpus.orderBy(col(idCol)).limit(nCells)
-        .select(col(vecCol)).collect()
-        .zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Float](0).map(_.toDouble).toArray
-        }
-
-    def dist2(vec: Column, c: Array[Double]): Column =
-      aggregate(zip_with(vec, typedLit(c.toSeq),
-        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-        lit(0.0), (acc, v) => acc + v)
-
-    /** struct(dist, cell) per centroid; array_sort ranks cells by dist. */
-    def cellsRanked(vec: Column): Column =
-      array_sort(array(centroids.toIndexedSeq.map { case (i, c) =>
-        struct(dist2(vec, c).as("d"), lit(i).as("cell"))
-      }: _*))
+    val centroids = kmeansFit(corpus, idCol, vecCol, nCells)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", element_at(cellsRanked(col("cv")), 1)
-        .getField("cell"))
+      .withColumn("cell",
+        element_at(NearestCells(col("cv"), centroids, 1), 1))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))
-      .withColumn("cell", explode(slice(
-        transform(cellsRanked(col("qv")), s => s.getField("cell")),
-        1, nProbe))))
+      .withColumn("cell", explode(NearestCells(col("qv"), centroids, nProbe))))
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -146,20 +206,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: within-bucket
-    * pairs above a cosine threshold. Same banding logic as Dedup — no
-    * all-pairs product.
+  /** Embedding-cosine near-duplicate pairs, skew-safe: B independent
+    * sign-LSH tables (banding — same family as `Dedup.bandHashes`), each
+    * with `planesPerTable` bits, so a pair is a candidate when it
+    * collides in ANY table. Within a bucket, pair generation is CAPPED:
+    * the first `cap` members (by id) pair all-against-all; members
+    * beyond the cap pair only against the bucket's minimum id (star
+    * form). A degenerate corpus of N near-identical vectors therefore
+    * produces O(B·(cap² + N)) candidates, never O(N²) — and every member
+    * still reaches the dup-cluster representative, which is what
+    * dedup needs.
+    *
+    * @param dim -1 derives the dimension from the data.
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nPlanes: Int = 12,
-                     dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes)
+                     dim: Int = -1, nTables: Int = 4,
+                     cap: Int = 64): DataFrame = {
+    val d = if (dim > 0) dim else vecDim(df, vecCol)
+    val planesPerTable = math.max(nPlanes / nTables, 1)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val a = v.as("a"); val b = v.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("bk", explode(array((0 until nTables).map { t =>
+        val planes = hyperplanes(d, planesPerTable, seed = 42L + t)
+        struct(lit(t).as("table"), lshBucket(col("v"), planes).as("bucket"))
+      }: _*)))
+      .select(col("id"), col("v"), col("bk.table").as("table"),
+        col("bk.bucket").as("bucket"))
+
+    // Rank within each (table, bucket) so the cap is deterministic; the
+    // rn=1 member is the bucket representative for the star fallback.
+    val wB = Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))
+    val ranked = v.withColumn("rn", row_number().over(wB))
+
+    val a = ranked.as("a"); val b = ranked.as("b")
+    // Head members: all-pairs among rn <= cap (bounded at cap² per bucket).
+    val headPairs = a.join(b,
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") &&
+          col("a.rn") <= cap && col("b.rn") <= cap)
+      .select(col("a.id").as("id_a"), col("a.v").as("va"),
+        col("b.id").as("id_b"), col("b.v").as("vb"))
+    // Tail members: star-pair against the bucket representative only.
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("table"), col("bucket"), col("id").as("rep_id"),
+        col("v").as("rep_v"))
+    val tailPairs = ranked.filter(col("rn") > cap).as("t")
+      .join(reps, Seq("table", "bucket"))
+      .select(col("rep_id").as("id_a"), col("rep_v").as("va"),
+        col("t.id").as("id_b"), col("t.v").as("vb"))
+
+    headPairs.unionByName(tailPairs)
+      .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
   }
 }
