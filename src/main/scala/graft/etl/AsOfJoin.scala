@@ -50,16 +50,26 @@ object AsOfJoin {
     // the as-of is inclusive of same-timestamp metrics — pandas
     // merge_asof / DuckDB ASOF JOIN parity. Among equal-time right rows
     // the tie-break ascends, so `last` picks the max.
+    //
+    // All value columns are carried as ONE struct filled with a single
+    // `last(ignoreNulls)` — so every asof_* value comes from the SAME
+    // matched right row. (Filling each column independently would mix
+    // columns from different right rows whenever the latest right row
+    // holds a NULL in one of them — merge_asof carries the row wholesale,
+    // nulls included.)
     val order = col("__t").asc +: col("__side").asc +: tbNames.map(col(_).asc)
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(lTagged.unionByName(rAligned)) {
-      (df, c) => df.withColumn(s"__v_$c",
-        last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val unioned = lTagged.unionByName(rAligned)
+      .withColumn("__vrow",
+        when(col("__side") === 0,
+          struct(valueCols.map(c => col(s"__v_$c")): _*)))
+    val filled = unioned.withColumn("__vrow",
+      last(col("__vrow"), ignoreNulls = true).over(w))
     val out = filled.filter(col("__side") === 1)
-      .drop("__t" +: "__side" +: tbNames: _*)
+      .drop("__t" +: "__side" +: (tbNames ++ valueCols.map(c => s"__v_$c")): _*)
     valueCols.foldLeft(out)((df, c) =>
-      df.withColumnRenamed(s"__v_$c", s"asof_$c"))
+        df.withColumn(s"asof_$c", col("__vrow").getField(s"__v_$c")))
+      .drop("__vrow")
   }
 }

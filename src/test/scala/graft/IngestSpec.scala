@@ -75,6 +75,23 @@ class IngestSpec extends SparkSpec {
     assert(out("m3").isEmpty)        // team B has no metrics
   }
 
+  test("as-of join carries the matched right row wholesale (no torn rows)") {
+    // The latest metric row has wr=NULL but shots=9: merge_asof semantics
+    // carry that ROW (null included) — never wr from an older row.
+    val fixtures = Seq(("m1", "A", "2025-05-10"))
+      .toDF("match_id", "team", "fdate")
+      .withColumn("fdate", col("fdate").cast("date"))
+    val metrics = Seq(
+      ("A", "2025-05-01", Some(0.3), Some(5.0)),
+      ("A", "2025-05-05", None: Option[Double], Some(9.0))
+    ).toDF("team", "date", "wr", "shots")
+      .withColumn("date", col("date").cast("date"))
+    val r = AsOfJoin.asOf(fixtures, metrics, "team", "fdate", "date",
+      Seq("wr", "shots")).select("asof_wr", "asof_shots").collect()(0)
+    assert(r.isNullAt(0), "wr must be NULL from the matched (latest) row")
+    assert(r.getDouble(1) == 9.0)
+  }
+
   test("as-of join plan has no range-join row explosion (single window)") {
     val fixtures = Seq(("m1", "A", "2025-05-10")).toDF("match_id", "team", "fdate")
       .withColumn("fdate", col("fdate").cast("date"))

@@ -74,6 +74,49 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("cosine near-dup is skew-safe: all-near-identical corpus stays sub-quadratic") {
+    // 300 near-identical vectors collapse into ONE bucket per table — the
+    // round-2 form exploded to C(300,2)=44850 candidate pairs. The capped
+    // banded form is bounded at nTables*(cap^2 + N) and every member must
+    // still reach the cluster representative (what dedup needs).
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val df = (0L until n).map(i =>
+      (i, Array.tabulate(16)(j => 1f + rnd.nextFloat() * 1e-3f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        threshold = 0.999, nPlanes = 8, nTables = 2, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length < 1000, s"pair count ${pairs.length} not bounded")
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered.size == n,
+      s"only ${covered.size}/$n members linked into the dup cluster")
+  }
+
+  test("IVF with k-means fit: recall@3 >= 0.8 on a clustered corpus") {
+    // 4 well-separated clusters; id-sample centroids (the round-2 form)
+    // would all land in cluster 0 here — the k-means++ fit must spread.
+    val rnd = new scala.util.Random(11)
+    val centers = Array(
+      Array.fill(16)(5f), Array.fill(16)(-5f),
+      Array.tabulate(16)(i => if (i % 2 == 0) 5f else -5f),
+      Array.tabulate(16)(i => if (i % 2 == 0) -5f else 5f))
+    val corpus = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(_ + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 3))
+    val ivf = pairs(Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", 3, nCells = 8, nProbe = 2))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
   test("ANN plans: corpus side is scanned once, queries broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
