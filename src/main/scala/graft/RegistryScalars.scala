@@ -14,45 +14,98 @@ object RegistryScalars {
 
   def entries: Seq[Q] = Seq(
 
-    // ---- X1: normalize_team_name (suffix strip + alias map) ---------------
+    // ---- X1: normalize_team_name (suffix strip + full alias table) --------
+    // Inputs cycle through four mapped aliases (one post-suffix-strip, one
+    // accent-adding, plus two plain) and a passthrough name, so the oracle
+    // exercises the real `defaultAliases` table, not a toy map.
     Q("x01_normalize_team",
-      (s, dir) => t(s, dir, "part").select(col("p_partkey"),
-          Normalize.normalizeTeamName(concat(col("p_name"), lit(" FC")),
-            Map("cold widget" -> "arctic widget")).as("team"))
-        .orderBy("p_partkey"),
-      Some("""SELECT p_partkey,
-             |  CASE WHEN regexp_replace(trim(p_name || ' FC'),
-             |      '\s+(FC|CF|AFC)$', '') = 'cold widget'
-             |    THEN 'arctic widget'
-             |    ELSE regexp_replace(trim(p_name || ' FC'),
-             |      '\s+(FC|CF|AFC)$', '') END AS team
-             |FROM part ORDER BY p_partkey""".stripMargin)),
+      (s, dir) => {
+        val raw = when(col("p_partkey") % 5 === 0, "Wolves FC")
+          .when(col("p_partkey") % 5 === 1, "Paris Saint-Germain")
+          .when(col("p_partkey") % 5 === 2, "Inter")
+          .when(col("p_partkey") % 5 === 3, "Bayern Munich")
+          .otherwise(col("p_name"))
+        t(s, dir, "part").select(col("p_partkey"), raw.as("raw"),
+            Normalize.normalizeTeamName(raw, Normalize.defaultAliases)
+              .as("team"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT p_partkey,
+             |    CASE p_partkey % 5
+             |      WHEN 0 THEN 'Wolves FC'
+             |      WHEN 1 THEN 'Paris Saint-Germain'
+             |      WHEN 2 THEN 'Inter'
+             |      WHEN 3 THEN 'Bayern Munich'
+             |      ELSE p_name END AS raw
+             |  FROM part),
+             |s AS (
+             |  SELECT p_partkey, raw,
+             |    regexp_replace(trim(raw), '\s+(FC|CF|AFC)$', '') AS stripped
+             |  FROM r)
+             |SELECT p_partkey, raw,
+             |  CASE stripped
+             |    WHEN 'Wolves' THEN 'Wolverhampton Wanderers'
+             |    WHEN 'Paris Saint-Germain' THEN 'PSG'
+             |    WHEN 'Inter' THEN 'Inter Milan'
+             |    WHEN 'Bayern Munich' THEN 'Bayern München'
+             |    ELSE stripped END AS team
+             |FROM s ORDER BY p_partkey""".stripMargin)),
 
     // ---- X2: multi-format date parse cascade ------------------------------
+    // Raw strings cycle through ALL 12 reference formats
+    // (`utils/data_utils.py:53-57`) and the parse uses the DEFAULT cascade,
+    // so the oracle proves both the format list and its ORDER (ambiguous
+    // day/month strings resolve day-first in both engines because
+    // `%d-%m-%Y` precedes `%m-%d-%Y`).
     Q("x02_normalize_date",
       (s, dir) => {
-        val raw = when(col("o_orderkey") % 3 === 0,
-            date_format(col("o_orderdate"), "yyyy-MM-dd"))
-          .when(col("o_orderkey") % 3 === 1,
-            date_format(col("o_orderdate"), "dd/MM/yyyy"))
-          .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        val d = col("o_orderdate")
+        val fmts = Seq(
+          "yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy", "MM/dd/yyyy",
+          "dd-MM-yyyy", "MM-dd-yyyy", "dd.MM.yyyy", "MM.dd.yyyy",
+          "ddMMyyyy", "MMddyyyy", "MMM dd, yyyy", "dd MMM yyyy")
+        val raw = fmts.zipWithIndex.tail.foldLeft(
+            when(col("o_orderkey") % 12 === 0, date_format(d, fmts.head))) {
+          case (acc, (f, i)) =>
+            acc.when(col("o_orderkey") % 12 === i, date_format(d, f))
+        }
         t(s, dir, "orders").select(col("o_orderkey"), raw.as("raw"),
-            date_format(Normalize.normalizeDate(raw,
-              Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy")), "yyyy-MM-dd")
+            date_format(Normalize.normalizeDate(raw), "yyyy-MM-dd")
               .as("parsed"))
           .orderBy("o_orderkey")
       },
       Some("""WITH r AS (
              |  SELECT o_orderkey,
-             |    CASE o_orderkey % 3
+             |    CASE o_orderkey % 12
              |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
-             |      WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
-             |      ELSE strftime(o_orderdate, '%m/%d/%Y') END AS raw
+             |      WHEN 1 THEN strftime(o_orderdate, '%Y%m%d')
+             |      WHEN 2 THEN strftime(o_orderdate, '%d/%m/%Y')
+             |      WHEN 3 THEN strftime(o_orderdate, '%m/%d/%Y')
+             |      WHEN 4 THEN strftime(o_orderdate, '%d-%m-%Y')
+             |      WHEN 5 THEN strftime(o_orderdate, '%m-%d-%Y')
+             |      WHEN 6 THEN strftime(o_orderdate, '%d.%m.%Y')
+             |      WHEN 7 THEN strftime(o_orderdate, '%m.%d.%Y')
+             |      WHEN 8 THEN strftime(o_orderdate, '%d%m%Y')
+             |      WHEN 9 THEN strftime(o_orderdate, '%m%d%Y')
+             |      WHEN 10 THEN strftime(o_orderdate, '%b %d, %Y')
+             |      ELSE strftime(o_orderdate, '%d %b %Y') END AS raw
              |  FROM orders)
              |SELECT o_orderkey, raw,
-             |  strftime(CAST(coalesce(try_strptime(raw, '%Y-%m-%d'),
+             |  strftime(CAST(coalesce(
+             |    try_strptime(raw, '%Y-%m-%d'),
+             |    try_strptime(raw, '%Y%m%d'),
              |    try_strptime(raw, '%d/%m/%Y'),
-             |    try_strptime(raw, '%m/%d/%Y')) AS DATE), '%Y-%m-%d')
+             |    try_strptime(raw, '%m/%d/%Y'),
+             |    try_strptime(raw, '%d-%m-%Y'),
+             |    try_strptime(raw, '%m-%d-%Y'),
+             |    try_strptime(raw, '%d.%m.%Y'),
+             |    try_strptime(raw, '%m.%d.%Y'),
+             |    try_strptime(raw, '%d%m%Y'),
+             |    try_strptime(raw, '%m%d%Y'),
+             |    try_strptime(raw, '%b %d, %Y'),
+             |    try_strptime(raw, '%d %b %Y'),
+             |    try_strptime(raw, '%Y/%m/%d')) AS DATE), '%Y-%m-%d')
              |    AS parsed
              |FROM r ORDER BY o_orderkey""".stripMargin)),
 

@@ -35,17 +35,43 @@ object Normalize {
     }
   }
 
-  /** Default 30-entry alias table shape (`config.py:40-76`) — a small
-    * sample preserving the semantics; callers pass their own map.
+  /** The complete cross-source alias table (`config.py:40-76`,
+    * `TEAM_NAME_MAPPING` verbatim, all 26 entries) — deliberately
+    * bidirectional for most clubs, because the reference harmonizes names
+    * in BOTH directions between its two sources. Callers may still pass
+    * their own map.
     */
   val defaultAliases: Map[String, String] = Map(
-    "Man United" -> "Manchester United",
-    "Man Utd" -> "Manchester United",
-    "Man City" -> "Manchester City",
-    "Spurs" -> "Tottenham Hotspur",
+    // Premier League
+    "Manchester United" -> "Man United",
+    "Manchester City" -> "Man City",
+    "Tottenham" -> "Tottenham Hotspur",
+    "Tottenham Hotspur" -> "Tottenham",
+    "Newcastle" -> "Newcastle United",
+    "Newcastle United" -> "Newcastle",
+    "Wolverhampton Wanderers" -> "Wolves",
     "Wolves" -> "Wolverhampton Wanderers",
+    // La Liga
+    "Atletico Madrid" -> "Atlético Madrid",
+    "Atlético Madrid" -> "Atletico Madrid",
+    "Atletico" -> "Atlético Madrid",
+    "Real Betis" -> "Betis",
+    "Betis" -> "Real Betis",
+    // Bundesliga
+    "Bayern Munich" -> "Bayern München",
+    "Bayern München" -> "Bayern Munich",
+    "RB Leipzig" -> "Leipzig",
+    "Leipzig" -> "RB Leipzig",
+    "Bayer Leverkusen" -> "Leverkusen",
+    "Leverkusen" -> "Bayer Leverkusen",
+    // Serie A
     "Inter" -> "Inter Milan",
-    "Atletico" -> "Atletico Madrid",
+    "Inter Milan" -> "Inter",
+    "AC Milan" -> "Milan",
+    "Milan" -> "AC Milan",
+    // Ligue 1
+    "Paris Saint Germain" -> "PSG",
+    "Paris Saint-Germain" -> "PSG",
     "PSG" -> "Paris Saint-Germain"
   )
 
@@ -53,10 +79,19 @@ object Normalize {
     * format list, first success wins, null otherwise. `to_date` returns
     * null on mismatch (non-ANSI) — the exact analog of the reference's
     * try/except cascade.
+    *
+    * The first 12 entries are the reference's format list VERBATIM and in
+    * ITS order — order is semantics here: an ambiguous "03-05-2025" parses
+    * day-first because `%d-%m-%Y` precedes `%m-%d-%Y` in the cascade.
+    * The trailing `yyyy/MM/dd` stands in for the reference's
+    * `pd.to_datetime` inference fallback (the one extra shape that
+    * fallback accepts which the explicit list does not).
     */
   val defaultDateFormats: Seq[String] = Seq(
-    "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy", "dd-MM-yyyy", "yyyy/MM/dd",
-    "dd.MM.yyyy", "yyyyMMdd", "dd MMM yyyy", "MMM dd, yyyy"
+    "yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy", "MM/dd/yyyy",
+    "dd-MM-yyyy", "MM-dd-yyyy", "dd.MM.yyyy", "MM.dd.yyyy",
+    "ddMMyyyy", "MMddyyyy", "MMM dd, yyyy", "dd MMM yyyy",
+    "yyyy/MM/dd"
   )
   def normalizeDate(c: Column, formats: Seq[String] = defaultDateFormats): Column =
     coalesce(formats.map(f => to_date(c, f)): _*)

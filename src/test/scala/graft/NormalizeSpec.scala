@@ -37,12 +37,32 @@ class NormalizeSpec extends SparkSpec {
     assert(eval1(c, "FC Porto") == "FC Porto") // prefix untouched
   }
 
+  test("X1 default alias table carries the full reference mapping") {
+    val c = Normalize.normalizeTeamName(col("v"), Normalize.defaultAliases)
+    assert(Normalize.defaultAliases.size == 26)
+    assert(eval1(c, "Wolves") == "Wolverhampton Wanderers")
+    assert(eval1(c, "Manchester United") == "Man United")
+    assert(eval1(c, "Bayern Munich") == "Bayern München")
+    assert(eval1(c, "Paris Saint-Germain") == "PSG")
+    assert(eval1(c, "Inter FC") == "Inter Milan") // strip, then alias
+  }
+
   test("X2 normalize_date parses the format cascade, null on garbage") {
     val c = Normalize.normalizeDate(col("v"))
     assert(eval1(c, "2025-05-23").toString == "2025-05-23")
+    assert(eval1(c, "20250523").toString == "2025-05-23")
     assert(eval1(c, "23/05/2025").toString == "2025-05-23")
     assert(eval1(c, "05/23/2025").toString == "2025-05-23")
     assert(eval1(c, "23.05.2025").toString == "2025-05-23")
+    assert(eval1(c, "05.23.2025").toString == "2025-05-23")
+    assert(eval1(c, "23012025").toString == "2025-01-23")
+    assert(eval1(c, "01232025").toString == "2025-01-23")
+    assert(eval1(c, "Jan 23, 2025").toString == "2025-01-23")
+    assert(eval1(c, "23 Jan 2025").toString == "2025-01-23")
+    assert(eval1(c, "2025/05/23").toString == "2025-05-23")
+    // Cascade ORDER is semantics: ambiguous day/month resolves day-first
+    // (%d-%m-%Y precedes %m-%d-%Y), exactly like the reference cascade.
+    assert(eval1(c, "03-05-2025").toString == "2025-05-03")
     assert(eval1(c, "not a date") == null)
   }
 
