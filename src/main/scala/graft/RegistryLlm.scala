@@ -26,8 +26,13 @@ object RegistryLlm {
           TextAnalysis.charCount(col("text")).as("n_chars_calc"),
           TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
         .orderBy("doc_id"),
+      // `list_filter(strlen > 0)` mirrors Spark's empty-safe tokenizer:
+      // a bare string_split_regex yields [''] (len 1) on empty/whitespace
+      // text, so counts and the mean divisor would diverge on empty docs.
       Some("""WITH r AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0) AS toks,
              |    text
              |  FROM documents)
              |SELECT doc_id,
@@ -35,8 +40,9 @@ object RegistryLlm {
              |  CAST(len(regexp_extract_all(text,
              |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
              |  CAST(strlen(text) AS BIGINT) AS n_chars_calc,
-             |  CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)
-             |    / CAST(len(toks) AS BIGINT) AS mean_word_len
+             |  CAST(coalesce(list_sum(list_transform(toks, x -> strlen(x))),
+             |      0) AS BIGINT)
+             |    / CAST(greatest(len(toks), 1) AS BIGINT) AS mean_word_len
              |FROM r ORDER BY doc_id""".stripMargin)),
 
     // ---- T2: quality scoring -----------------------------------------------
@@ -48,8 +54,10 @@ object RegistryLlm {
         .orderBy("doc_id"),
       Some("""WITH r AS (
              |  SELECT doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS ltoks,
-             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ltoks,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT)
              |      AS n,
              |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
              |      AS BIGINT) AS npunct,
@@ -77,7 +85,8 @@ object RegistryLlm {
         .orderBy("doc_id"),
       Some("""WITH r AS (
              |  SELECT doc_id, lang,
-             |    string_split_regex(trim(lower(text)), '\s+') AS ltoks
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ltoks
              |  FROM documents)
              |SELECT doc_id, lang,
              |  list_sort([
@@ -100,8 +109,9 @@ object RegistryLlm {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  md5(array_to_string(list_sort(list_distinct(
-             |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+             |  md5(array_to_string(list_sort(list_distinct(list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> strlen(x) > 0))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- D1: exact dedup stats ------------------------------------------------
@@ -195,7 +205,7 @@ object RegistryLlm {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
         Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
-            nPlanes = 6)
+            nPlanes = 6, nTables = 8)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy("query_id", "rank")
       },
@@ -206,9 +216,37 @@ object RegistryLlm {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
-        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+            nProbe = 6)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- N5/N6: recall@3 of the approximate paths vs the exact top-k ---------
+    // Single-row quantitative summaries (exact_pairs, hit_pairs, recall) so
+    // the rows-only driver check is non-vacuous; the >=0.8 floor is asserted
+    // in SimilaritySpec. No oracle: the LSH planes / k-means fit are seeded
+    // engine-side constructs DuckDB cannot reproduce.
+    Q("n05_lsh_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3),
+          Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+            nPlanes = 6, nTables = 8))
+      },
+      None),
+
+    Q("n06_ivf_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3),
+          Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+            nProbe = 6))
       },
       None),
 

@@ -16,6 +16,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release blocks persisted inside operators (CombineData/Dedup own
+      // plan-lifetime caches) so 75 queries don't accumulate cache memory.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -38,6 +38,10 @@ object CombineData {
     // projections differ, so Spark cannot reuse the broadcast exchange and
     // would compute the (expensive) upstream metrics twice. Persisting the
     // tiny dim computes it once. (Plan-audited: see Explain j01_combined.)
+    // Lifecycle: the cached blocks outlive this call (the returned plan
+    // references them lazily), so long-lived sessions running many
+    // pipelines must release between jobs — Verify/Bench call
+    // `spark.catalog.clearCache()` per query for exactly this reason.
     val m =
       if (faithful) metrics
       else TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,

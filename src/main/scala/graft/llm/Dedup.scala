@@ -106,6 +106,9 @@ object Dedup {
     // equi-join on small keys — never an all-pairs product. Persisted:
     // the self-join would otherwise recompute every signature twice (at
     // cluster scale this would be a checkpoint/bucketed table instead).
+    // Lifecycle: the cache outlives this call (the returned plan reads it
+    // lazily); long-lived sessions release via `spark.catalog.clearCache()`
+    // between jobs, as Verify/Bench do per query.
     val buckets = withSig.select(col("id"), explode(col("bands")).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -69,14 +69,19 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     SignBucket(vec, planes)
 
-  /** Approximate top-k: bucket corpus and queries with the same planes,
-    * equi-join on the bucket id, rank within. Recall is tuned by
-    * `nPlanes` (fewer planes → bigger buckets) and multi-probe: each
-    * query also probes every bucket at Hamming distance 1 (flip one
-    * plane bit), the standard recall boost that costs only nPlanes extra
-    * probe rows per QUERY — corpus cost is unchanged. The join is a
-    * plain shuffled/broadcast equi-join on a long key — never a
-    * cartesian product.
+  /** Approximate top-k via MULTI-TABLE sign LSH: `nTables` independent
+    * plane sets (seeded 42+t); corpus and queries are bucketed in every
+    * table, the probe is an equi-join on `(table, bucket)`, and a pair is
+    * a candidate when it collides in ANY table — the standard
+    * recall-vs-cost dial for random-hyperplane LSH (single-table recall
+    * tops out fast because one unlucky plane split hides a true
+    * neighbor). Multi-probe adds the Hamming-1 buckets per table, which
+    * costs only `nPlanes` probe rows per QUERY — corpus cost is
+    * `nTables` rows per vector, never query-dependent.
+    *
+    * Candidates are deduplicated on the pair key BEFORE scoring, so a
+    * pair colliding in several tables is scored once. The join is a
+    * plain broadcast/shuffled equi-join — never a cartesian product.
     *
     * @param dim embedding dimension; -1 (default) derives it from the
     *            corpus first row. A corpus vector of any other length
@@ -85,24 +90,33 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nPlanes: Int = 8, dim: Int = -1,
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true, nTables: Int = 4): DataFrame = {
     val d = if (dim > 0) dim else vecDim(corpus, vecCol)
-    val planes = hyperplanes(d, nPlanes)
+    val tables = (0 until nTables)
+      .map(t => t -> hyperplanes(d, nPlanes, seed = 42L + t))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
-    val probes =
-      if (multiProbe)
-        explode(array(col("bucket0") +: (0 until nPlanes).map(i =>
-          col("bucket0").bitwiseXOR(lit(1L << i))): _*))
-      else col("bucket0")
+      .withColumn("tb", explode(array(tables.map { case (t, planes) =>
+        struct(lit(t).as("t"), lshBucket(col("cv"), planes).as("bucket"))
+      }: _*)))
+      .select(col("neighbor_id"), col("cv"),
+        col("tb.t").as("table"), col("tb.bucket").as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))
-      .withColumn("bucket0", lshBucket(col("qv"), planes))
-      .withColumn("bucket", probes)
-      .drop("bucket0"))
-    val scored = c.join(q, Seq("bucket"))
+      .withColumn("tb", explode(array(tables.map { case (t, planes) =>
+        struct(lit(t).as("t"), lshBucket(col("qv"), planes).as("b0"))
+      }: _*)))
+      .withColumn("bucket",
+        if (multiProbe)
+          explode(array(col("tb.b0") +: (0 until nPlanes).map(i =>
+            col("tb.b0").bitwiseXOR(lit(1L << i))): _*))
+        else col("tb.b0"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("table"),
+        col("bucket")))
+    val candidates = c.join(q, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -261,5 +275,23 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .distinct()
+  }
+
+  /** Recall@k summary of an approximate ANN result against the exact one:
+    * one row `(exact_pairs, hit_pairs, recall)`. Both inputs are
+    * `(query_id, neighbor_id, ...)` top-k frames; the comparison is a
+    * left join on the pair key followed by one aggregation — no collect,
+    * so the quality gate itself scales with the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("exact_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("hit_pairs"))
+      .select(col("exact_pairs"), col("hit_pairs"),
+        (col("hit_pairs").cast("double") / col("exact_pairs"))
+          .as("recall"))
   }
 }

@@ -4,7 +4,6 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -15,6 +14,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for the reference's raw API capture files
   * (`sofascore_data/raw/api_response_*.txt`: an HTTP status+headers
@@ -60,13 +60,20 @@ private class SofaRawTable(path: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
+      // The SESSION Hadoop configuration (fs credentials, s3a/hdfs
+      // settings, `spark.hadoop.*` overrides) — a bare `new Configuration()`
+      // would silently drop them. Captured once on the driver, shipped to
+      // executors inside the serializable reader factory.
+      private val hadoopConf = new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf())
+
       override def build(): Scan = this
       override def readSchema(): StructType = SofaRawSource.schema
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
         val p = new Path(path)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(hadoopConf.value)
         val files =
           if (fs.getFileStatus(p).isDirectory)
             fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -74,15 +81,18 @@ private class SofaRawTable(path: String) extends Table with SupportsRead {
         files.sorted.map(f => SofaRawPartition(f): InputPartition)
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val conf = hadoopConf
         (partition: InputPartition) =>
-          new SofaRawReader(partition.asInstanceOf[SofaRawPartition].file)
+          new SofaRawReader(partition.asInstanceOf[SofaRawPartition].file,
+            conf)
+      }
     }
 }
 
 private case class SofaRawPartition(file: String) extends InputPartition
 
-private class SofaRawReader(file: String)
+private class SofaRawReader(file: String, conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private var consumed = false
 
@@ -91,7 +101,7 @@ private class SofaRawReader(file: String)
   override def get(): InternalRow = {
     consumed = true
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val content =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

@@ -18,7 +18,12 @@ class ProcessSpec extends SparkSpec {
       (null, "2025-06-01", "Man Utd", "Chelsea", "12:30"),  // dup after norm
       (null, "2020-01-01", "Old Match", "Gone", "10:00")    // past → dropped
     ).toDF("match_id", "date", "home_team", "away_team", "kickoff_time")
-    val out = Process.processFixtures(raw, lit("2025-05-23").cast("date"))
+    // Explicit alias map: this test exercises normalize+dedup machinery,
+    // not the default table (which maps neither "Man Utd" nor "Spurs").
+    val out = Process.processFixtures(raw, lit("2025-05-23").cast("date"),
+      aliases = Map("Man United" -> "Manchester United",
+        "Man Utd" -> "Manchester United",
+        "Spurs" -> "Tottenham Hotspur"))
     val rows = out.collect()
     assert(rows.length == 2)
     // sorted by (date, kickoff): Man United match first
@@ -38,7 +43,8 @@ class ProcessSpec extends SparkSpec {
     ).toDF("team", "date", "venue", "opponent", "result",
       "goals_for", "goals_against", "shots", "shots_on_target", "match_id")
       .withColumn("date", col("date").cast("date"))
-    val out = Process.processHistory(raw, lit("2025-05-23").cast("date"))
+    val out = Process.processHistory(raw, lit("2025-05-23").cast("date"),
+      aliases = Map("Spurs" -> "Tottenham Hotspur"))
     val rows = out.collect()
     assert(rows.length == 2)
     // sorted team asc, date desc → 05-10 first

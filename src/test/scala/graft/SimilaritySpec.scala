@@ -117,6 +117,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
+  test("recallAtK summaries: LSH and IVF recall@3 >= 0.8 on real data") {
+    // The exact frames the registry entries n05/n06 compute: one row
+    // (exact_pairs, hit_pairs, recall), no collect in the metric itself.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3)
+    val lsh = Similarity.recallAtK(exact, Similarity.lshTopK(emb, queries,
+      "vec_id", "embedding", 3, nPlanes = 6, nTables = 8)).head()
+    val ivf = Similarity.recallAtK(exact, Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", 3, nProbe = 6)).head()
+    assert(lsh.getAs[Long]("exact_pairs") == 15L)
+    assert(lsh.getAs[Double]("recall") >= 0.8,
+      s"LSH recall ${lsh.getAs[Double]("recall")} below floor")
+    assert(ivf.getAs[Double]("recall") >= 0.8,
+      s"IVF recall ${ivf.getAs[Double]("recall")} below floor")
+  }
+
   test("ANN plans: corpus side is scanned once, queries broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

@@ -30,6 +30,46 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).getAs[Double]("total_value") == 4.0)
   }
 
+  test("Append mode: a row later than the 1-day watermark is dropped") {
+    // Two AvailableNow runs over one checkpoint: run 1 processes on-time
+    // rows plus a 2024-01-03 row that advances the watermark to 01-02,
+    // closing and emitting the 01-01 window. Run 2 appends a LATE row
+    // inside that closed window; the persisted watermark must drop it —
+    // the emitted 01-01 counts stay at 2 and the window is not re-emitted.
+    val dir = Files.createTempDirectory("graft-late").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    def append(data: Seq[(String, String, Double)]): Unit =
+      data.toDF("ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = EventStream.readEvents(spark, in, schema = eventsDf.schema)
+      val q = EventStream.writeCounts(
+        EventStream.windowedCounts(stream), out, cp).start()
+      q.awaitTermination(120000)
+    }
+    append(Seq(
+      ("2024-01-01 01:00:00", "click", 1.0),
+      ("2024-01-01 02:00:00", "click", 2.0),
+      ("2024-01-03 00:00:00", "view", 5.0)))
+    runOnce()
+    val run1 = spark.read.parquet(out)
+      .filter(col("window_start") === "2024-01-01 00:00:00")
+      .collect()
+    assert(run1.length == 1 && run1(0).getAs[Long]("events") == 2,
+      "run 1 must close and emit the 01-01 window via the no-data batch")
+
+    append(Seq(("2024-01-01 12:00:00", "click", 100.0))) // late
+    runOnce()
+    val run2 = spark.read.parquet(out)
+      .filter(col("window_start") === "2024-01-01 00:00:00")
+      .collect()
+    assert(run2.length == 1, "closed window must not be re-emitted")
+    assert(run2(0).getAs[Long]("events") == 2 &&
+      run2(0).getAs[Double]("total_value") == 3.0,
+      "late row must be dropped by the persisted watermark")
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
