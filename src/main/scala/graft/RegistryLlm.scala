@@ -176,6 +176,60 @@ object RegistryLlm {
              |WHERE a.doc_id % 10 = 0
              |ORDER BY id_a""".stripMargin)),
 
+    // ---- D6: EXACT n-gram Jaccard near-dup pairs (inverted gram index) -------
+    // Fully DuckDB-expressible, so the near-dup FAMILY gets a hash-checked
+    // oracle row (the MinHash path then audits against this exact set in
+    // d07). Input bounded to doc_id < 500 so the audit query is the same
+    // size at every SF.
+    Q("d06_exact_ngram_neardup",
+      (s, dir) => Dedup.exactNgramNearDups(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(toks)-1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |    ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        x -> strlen(x) > 0) AS toks
+             |    FROM documents WHERE doc_id < 500)),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+             |FROM pairs
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- D7: MinHash recall vs the exact near-dup set ------------------------
+    // Quantitative single-row audit (same shape as n05/n06): banded-LSH
+    // verified pairs against d06's exact inverted-index pairs. No oracle
+    // (seeded xxhash64 signatures); the >=0.9 floor is asserted in
+    // DedupSpec.
+    Q("d07_minhash_recall",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        Similarity.recallAtK(
+          Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5)
+            .select(col("id_a").as("query_id"),
+              col("id_b").as("neighbor_id")),
+          Dedup.minhashNearDups(docs, "text", "doc_id", k = 3,
+              numHashes = 32, bands = 8, threshold = 0.5)
+            .select(col("id_a").as("query_id"),
+              col("id_b").as("neighbor_id")))
+      },
+      None),
+
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
     Q("n01_ann_bruteforce",
       (s, dir) => {

@@ -163,4 +163,33 @@ object Dedup {
     size(array_intersect(ga, gb)).cast("double") /
       greatest(size(array_union(ga, gb)), lit(1))
   }
+
+  /** EXACT n-gram Jaccard near-dup pairs via an inverted gram index — the
+    * exact counterpart to `minhashNearDups` (and its recall oracle). No
+    * all-pairs product anywhere: two docs meet only when they SHARE a
+    * gram (a pair below any positive threshold that shares none can never
+    * qualify), `|A∩B|` is a count over the gram equi-join, and `|A∪B|`
+    * comes from the per-doc distinct-gram sizes carried through the join.
+    * Cost: O(Σ grams) shuffle + O(co-gram pairs) aggregate — scales where
+    * verify-all-pairs O(N²) does not, PROVIDED gram document-frequency is
+    * bounded; for web-scale corpora cap or stoplist hot grams first (a
+    * gram shared by f docs contributes f² pairs).
+    */
+  def exactNgramNearDups(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val inv = grams.select(col("id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val a = inv.as("a"); val b = inv.as("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

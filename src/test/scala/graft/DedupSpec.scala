@@ -78,4 +78,34 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"all-pairs product in plan:\n$plan")
   }
+
+  test("exact n-gram near-dup (inverted index) finds planted pairs, no cartesian") {
+    val out = Dedup.exactNgramNearDups(docs, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dups 0/1 at jaccard 1.0; near-dup 2 pairs with both at ~0.85
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(pairs.find(p => (p._1, p._2) == (0L, 2L)).get._3 > 0.8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs product in plan:\n$plan")
+  }
+
+  test("minhash recall vs exact near-dup set >= 0.9 on real documents") {
+    // The d07 registry audit: banded-LSH verified pairs against the exact
+    // inverted-index set at the same threshold.
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.exactNgramNearDups(real, "text", "doc_id", 3, 0.5)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val mh = Dedup.minhashNearDups(real, "text", "doc_id", k = 3,
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val r = graft.llm.Similarity.recallAtK(exact, mh).head()
+    assert(r.getAs[Long]("exact_pairs") > 0, "vacuous: no exact pairs")
+    assert(r.getAs[Double]("recall") >= 0.9,
+      s"minhash recall ${r.getAs[Double]("recall")} below floor")
+  }
 }

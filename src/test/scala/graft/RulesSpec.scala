@@ -47,4 +47,16 @@ class RulesSpec extends SparkSpec {
     assert(viaCase.map(r => Option(r.get(0))).toSeq ==
       viaCoalesce.map(r => Option(r.get(0))).toSeq)
   }
+
+  test("injected native functions are callable from SQL") {
+    // GraftExtensions registers cosine_sim and minhash_sig via
+    // injectFunction — the SparkSessionExtensions path a user session
+    // reaches with spark.sql.extensions=graft.plans.GraftExtensions.
+    val r = spark.sql(
+      """SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c,
+        |  size(minhash_sig('one two three four five', 2, 16)) AS m
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 16)
+  }
 }
