@@ -18,5 +18,8 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet ships TIMESTAMP(NANOS); see Registry.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (sources.Bucketing) land outside the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end cleaning pass a training-data run actually executes,
+  * composed from the engine's verified pieces so the WHOLE pipeline is
+  * one declarative plan Catalyst can optimize across stage boundaries
+  * (gates push into the scan; nothing materializes between stages):
+  *
+  *   1. quality gate   — `TextAnalysis.qualityScore >= minQuality`
+  *   2. language gate  — `TextAnalysis.langId` ∈ `langs`
+  *   3. exact dedup    — digest groupBy, keep-first by id
+  *   4. near-dup prune — drop the higher id of every pair at
+  *      `neardupThreshold` (greedy cluster representative = lowest id)
+  *
+  * Stage 4 uses the exact inverted-index pairs by default (DuckDB-
+  * expressible, so the full pipeline hash-checks as `l01_clean_corpus`);
+  * at web scale pass `useMinhash = true` to swap in the banded-LSH
+  * candidate path — same contract, sub-quadratic always, recall audited
+  * by `d07_minhash_recall`.
+  */
+object CorpusPipeline {
+
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", minQuality: Double = 0.6,
+                  langs: Seq[String] = Seq("en"),
+                  neardupThreshold: Double = 0.5,
+                  useMinhash: Boolean = false): DataFrame = {
+    val gated = docs.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+        TextAnalysis.langId(col(textCol)).isin(langs: _*))
+    val deduped = Dedup.exactDedup(gated, textCol, idCol)
+    val pairs =
+      if (useMinhash)
+        Dedup.minhashNearDups(deduped, textCol, idCol,
+          threshold = neardupThreshold)
+      else
+        Dedup.exactNgramNearDups(deduped, textCol, idCol,
+          threshold = neardupThreshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    deduped.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One-row summary of a cleaning pass: input/survivor counts per stage
+    * boundary are what a 100 TB run monitors (a gate that drops 99% of a
+    * crawl is a bug, not a success).
+    */
+  def cleanStats(docs: DataFrame, cleaned: DataFrame,
+                 idCol: String = "doc_id"): DataFrame = {
+    val in = docs.agg(count(lit(1)).as("input_docs"))
+    val out = cleaned.agg(count(lit(1)).as("surviving_docs"))
+    in.crossJoin(out)
+      .withColumn("dropped_docs", col("input_docs") - col("surviving_docs"))
+  }
+}
