@@ -175,6 +175,47 @@ object Dedup {
     * bounded; for web-scale corpora cap or stoplist hot grams first (a
     * gram shared by f docs contributes f² pairs).
     */
+  /** Connected components over near-dup pairs → `(id, rep)` where `rep`
+    * is the MINIMUM id of the component — the principled dup-cluster
+    * assignment (greedy "drop every id_b" can keep two members of one
+    * cluster when both only ever appear on the left of a pair).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its label and its neighbors' labels; converges in
+    * O(component diameter) rounds. The loop is driver-COORDINATED but
+    * every step is a distributed join/aggregate (the GraphX/Pregel
+    * shape); lineage is cut per round with `localCheckpoint` — on a real
+    * cluster use reliable checkpointing. Near-dup components are
+    * low-diameter in practice (dup clusters, not social graphs), so
+    * `maxIter` is a safety rail; non-convergence throws rather than
+    * returning silently-wrong labels.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").as("rep"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("rep")).as("nrep"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep2"))
+        .localCheckpoint(true)
+      changed = stepped.filter(col("rep2") < col("rep")).count()
+      labels = stepped.select(col("id"), col("rep2").as("rep"))
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   def exactNgramNearDups(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val grams = df.select(col(idCol).as("id"),

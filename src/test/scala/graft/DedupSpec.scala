@@ -94,6 +94,19 @@ class DedupSpec extends SparkSpec {
       s"all-pairs product in plan:\n$plan")
   }
 
+  test("connectedComponents: chains and sibling pairs resolve to the min rep") {
+    val vertices = spark.range(0, 7).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    // {0,1,2} is a chain; {4,5,6} is the case greedy drop-id_b gets wrong
+    // (4 and 5 never appear as id_b, so greedy would keep both); 3 is a
+    // singleton.
+    val out = Dedup.connectedComponents(vertices, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
   test("minhash recall vs exact near-dup set >= 0.9 on real documents") {
     // The d07 registry audit: banded-LSH verified pairs against the exact
     // inverted-index set at the same threshold.
