@@ -34,13 +34,17 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else 0.0)
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the single JSON line short enough that no capture
+    // truncates it (r2's full-precision doubles pushed it past 4 KB and
+    // the round's a*-block timings were lost downstream)
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

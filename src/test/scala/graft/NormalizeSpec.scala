@@ -162,6 +162,29 @@ class NormalizeSpec extends SparkSpec {
     assert(eval1(Normalize.stripPercent(col("v")), "") == null)
   }
 
+  test("X2 property: every cascade format round-trips when day > 12") {
+    // For day-of-month > 12 no month-first/day-first confusion is
+    // possible (a 2-digit field >= 13 can't be a month), so parse∘format
+    // must be EXACT for all 12 reference formats. Day <= 12 ambiguity
+    // resolving day-first is pinned by the unit test above.
+    val patterns = Seq(
+      "yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy", "MM/dd/yyyy",
+      "dd-MM-yyyy", "MM-dd-yyyy", "dd.MM.yyyy", "MM.dd.yyyy",
+      "ddMMyyyy", "MMddyyyy", "MMM dd, yyyy", "dd MMM yyyy")
+    val gen = for {
+      y <- Gen.chooseNum(1900, 2099)
+      m <- Gen.chooseNum(1, 12)
+      d <- Gen.chooseNum(13, 28)
+      f <- Gen.chooseNum(0, patterns.length - 1)
+    } yield (java.time.LocalDate.of(y, m, d), patterns(f))
+    checkProp(Prop.forAll(gen) { case (date, pat) =>
+      val raw = date.format(java.time.format.DateTimeFormatter
+        .ofPattern(pat, java.util.Locale.US))
+      eval1(date_format(Normalize.normalizeDate(col("v")), "yyyy-MM-dd"),
+        raw) == date.toString
+    }, n = 24)
+  }
+
   test("X3 property: clean_number parses formatted doubles") {
     checkProp(Prop.forAll(Gen.chooseNum(-1e12, 1e12)) { (d: Double) =>
       val r = eval1(Normalize.cleanNumber(col("v")),
