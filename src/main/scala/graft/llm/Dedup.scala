@@ -184,19 +184,24 @@ object Dedup {
     * min of its label and its neighbors' labels; converges in
     * O(component diameter) rounds. The loop is driver-COORDINATED but
     * every step is a distributed join/aggregate (the GraphX/Pregel
-    * shape); lineage is cut per round with `localCheckpoint` — on a real
-    * cluster use reliable checkpointing. Near-dup components are
-    * low-diameter in practice (dup clusters, not social graphs), so
-    * `maxIter` is a safety rail; non-convergence throws rather than
-    * returning silently-wrong labels.
+    * shape). Each round persists+materializes its frame, the planner then
+    * reads the InMemoryRelation (so plans stay round-sized, no lineage
+    * blow-up), and the PREVIOUS round's blocks are released eagerly —
+    * localCheckpoint would leak RDB blocks `clearCache` cannot free. The
+    * FINAL labels stay cached, caller-owned (same lifecycle convention as
+    * `minhashNearDups`). Near-dup components are low-diameter in practice
+    * (dup clusters, not social graphs), so `maxIter` is a safety rail;
+    * non-convergence throws rather than returning silently-wrong labels.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("rep"))
-      .localCheckpoint(true)
+      .persist(MEMORY_AND_DISK)
+    var cached = vertices.select(col("id"), col("id").as("rep"))
+      .persist(MEMORY_AND_DISK)
+    var labels = cached
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -206,11 +211,14 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("rep"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep2"))
-        .localCheckpoint(true)
+        .persist(MEMORY_AND_DISK)
       changed = stepped.filter(col("rep2") < col("rep")).count()
+      cached.unpersist() // previous round, fully superseded once stepped is materialized
+      cached = stepped
       labels = stepped.select(col("id"), col("rep2").as("rep"))
       i += 1
     }
+    edges.unpersist()
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
