@@ -31,6 +31,10 @@ object Bench {
             None
         }
       }
+      // A transient single-rep failure must not erase a measured query:
+      // keep the min of the reps that succeeded, report an error only
+      // when every rep failed.
+      if (times.nonEmpty) errors.remove(name)
       name -> (if (times.nonEmpty) times.min else 0.0)
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }

@@ -18,8 +18,11 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // events.parquet ships TIMESTAMP(NANOS); see Registry.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // bucketed tables (sources.Bucketing) land outside the repo tree
+      // bucketed tables (sources.Bucketing) land outside the repo tree;
+      // per-JVM suffix so concurrent runs on one host cannot overwrite
+      // each other's saveAsTable paths
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-" +
+          java.lang.ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
 }

@@ -61,10 +61,10 @@ object RegistryScalars {
     Q("x02_normalize_date",
       (s, dir) => {
         val d = col("o_orderdate")
-        val fmts = Seq(
-          "yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy", "MM/dd/yyyy",
-          "dd-MM-yyyy", "MM-dd-yyyy", "dd.MM.yyyy", "MM.dd.yyyy",
-          "ddMMyyyy", "MMddyyyy", "MMM dd, yyyy", "dd MMM yyyy")
+        // the 12 reference formats, in cascade order (source of truth;
+        // the 13th entry is the inference-fallback stand-in, not a
+        // reference format, so it is not used to GENERATE raw strings)
+        val fmts = Normalize.defaultDateFormats.dropRight(1)
         val raw = fmts.zipWithIndex.tail.foldLeft(
             when(col("o_orderkey") % 12 === 0, date_format(d, fmts.head))) {
           case (acc, (f, i)) =>

@@ -17,7 +17,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Release blocks persisted inside operators (CombineData/Dedup own
-      // plan-lifetime caches) so 75 queries don't accumulate cache memory.
+      // plan-lifetime caches) so the query sweep doesn't accumulate cache.
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -164,17 +164,6 @@ object Dedup {
       greatest(size(array_union(ga, gb)), lit(1))
   }
 
-  /** EXACT n-gram Jaccard near-dup pairs via an inverted gram index — the
-    * exact counterpart to `minhashNearDups` (and its recall oracle). No
-    * all-pairs product anywhere: two docs meet only when they SHARE a
-    * gram (a pair below any positive threshold that shares none can never
-    * qualify), `|A∩B|` is a count over the gram equi-join, and `|A∪B|`
-    * comes from the per-doc distinct-gram sizes carried through the join.
-    * Cost: O(Σ grams) shuffle + O(co-gram pairs) aggregate — scales where
-    * verify-all-pairs O(N²) does not, PROVIDED gram document-frequency is
-    * bounded; for web-scale corpora cap or stoplist hot grams first (a
-    * gram shared by f docs contributes f² pairs).
-    */
   /** Connected components over near-dup pairs → `(id, rep)` where `rep`
     * is the MINIMUM id of the component — the principled dup-cluster
     * assignment (greedy "drop every id_b" can keep two members of one
@@ -224,6 +213,17 @@ object Dedup {
     labels
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs via an inverted gram index — the
+    * exact counterpart to `minhashNearDups` (and its recall oracle). No
+    * all-pairs product anywhere: two docs meet only when they SHARE a
+    * gram (a pair below any positive threshold that shares none can never
+    * qualify), `|A∩B|` is a count over the gram equi-join, and `|A∪B|`
+    * comes from the per-doc distinct-gram sizes carried through the join.
+    * Cost: O(Σ grams) shuffle + O(co-gram pairs) aggregate — scales where
+    * verify-all-pairs O(N²) does not, PROVIDED gram document-frequency is
+    * bounded; for web-scale corpora cap or stoplist hot grams first (a
+    * gram shared by f docs contributes f² pairs).
+    */
   def exactNgramNearDups(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
