@@ -230,6 +230,18 @@ object RegistryLlm {
       },
       None),
 
+    // ---- D9: SimHash near-dup summary (pigeonhole-exact banded join) ---------
+    // Summary row so the rows-only check is never vacuous even when the
+    // corpus has no hamming<=3 pair; exactness vs brute force is asserted
+    // in DedupSpec. No oracle: signatures are seeded xxhash64.
+    Q("d09_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDups(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id")
+        .agg(count(lit(1)).as("neardup_pairs"),
+          coalesce(min(col("hamming")), lit(-1L)).as("min_hamming")),
+      None),
+
     // ---- D8: dup clusters = connected components over the exact pairs -------
     // rep = min id of the component; oracle is transitive closure via a
     // DuckDB recursive CTE over the same edge set d06 verifies.

@@ -155,6 +155,35 @@ object Dedup {
     agg.select(col("id"), sim.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs at Hamming distance <= `maxDist`,
+    * EXACT by pigeonhole: the 64-bit signature splits into 4 bands of 16
+    * bits, and a pair differing in at most 3 bits must agree on at least
+    * one whole band — so the band-bucket equi-join loses NO qualifying
+    * pair while never forming an all-pairs product. Verification is one
+    * `bit_count(xor)` per candidate. `maxDist` > 3 would need more bands
+    * to stay exact; the standard near-dup setting is 3.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"maxDist $maxDist > 3 breaks the 4-band pigeonhole guarantee")
+    val sigs = simhash(df, textCol, idCol)
+    val banded = sigs.withColumn("bk", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("v"))): _*)))
+      .select(col("id"), col("simhash"),
+        col("bk.b").as("b"), col("bk.v").as("v"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** N-gram (word n-gram) Jaccard similarity between two text columns —
     * the verify kernel used on candidate pairs.
     */

@@ -94,6 +94,23 @@ class DedupSpec extends SparkSpec {
       s"all-pairs product in plan:\n$plan")
   }
 
+  test("simhashNearDups equals brute-force hamming<=3 pairs (pigeonhole exact)") {
+    val out = Dedup.simhashNearDups(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle over the collected signatures
+    val sigs = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(out == expected)
+    assert(out.contains((0L, 1L))) // exact dups: hamming 0
+    val plan = Dedup.simhashNearDups(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("connectedComponents: chains and sibling pairs resolve to the min rep") {
     val vertices = spark.range(0, 7).toDF("id")
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 6L), (5L, 6L))
