@@ -22,11 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** @param transitive false = greedy pruning (drop every pair's higher
+    *   id — cheap, one anti-join, but can keep two members of a cluster
+    *   connected only through a third); true = connected components
+    *   (`Dedup.connectedComponents`), keeping exactly the minimum id of
+    *   every dup cluster. Greedy is the default because it is
+    *   single-pass; flip to transitive when cluster-level guarantees
+    *   matter more than the iteration cost.
+    */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", minQuality: Double = 0.6,
                   langs: Seq[String] = Seq("en"),
                   neardupThreshold: Double = 0.5,
-                  useMinhash: Boolean = false): DataFrame = {
+                  useMinhash: Boolean = false,
+                  transitive: Boolean = false): DataFrame = {
     val gated = docs.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)).isin(langs: _*))
@@ -38,7 +47,13 @@ object CorpusPipeline {
       else
         Dedup.exactNgramNearDups(deduped, textCol, idCol,
           threshold = neardupThreshold)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers =
+      if (transitive)
+        Dedup.connectedComponents(
+            deduped.select(col(idCol).as("id")), pairs)
+          .filter(col("rep") =!= col("id"))
+          .select(col("id").as(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
     deduped.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -35,4 +35,9 @@ class CorpusPipelineSpec extends SparkSpec {
     val out = CorpusPipeline.cleanCorpus(docs, useMinhash = true)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
   }
+
+  test("transitive mode keeps exactly one doc per dup cluster") {
+    val out = CorpusPipeline.cleanCorpus(docs, transitive = true)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
+  }
 }
