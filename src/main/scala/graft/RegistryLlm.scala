@@ -459,6 +459,43 @@ object RegistryLlm {
         .orderBy("id"),
       None),
 
+    // ---- M3: REAL image decode (JDK ImageIO), oracle-exact round trip —
+    //      synthesize a deterministic gradient PNG per doc, decode it
+    //      back, and check dimensions + exact integer luminance sum
+    //      against the analytic value DuckDB computes. Proves an actual
+    //      binary image decoder, not plumbing-with-a-stub. -----------------
+    Q("m03_image_roundtrip",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 500)
+        Multimodal.decodeImageFeatures(
+            Multimodal.withSyntheticImages(ids, "id"), "id")
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_gray"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, 8 AS width,
+             |  8 AS height,
+             |  (SELECT CAST(sum((doc_id*31 + i) % 256) AS BIGINT)
+             |   FROM range(64) t(i)) AS sum_gray
+             |FROM documents WHERE doc_id < 500
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- M4: video frame-sampling fan-out (every nth frame) --------------
+    Q("m04_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+          t(s, dir, "documents").select(col("doc_id"),
+            (col("n_chars") % 120).cast("int").as("frame_count")),
+          "doc_id", "frame_count", everyNth = 24)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, unnest(generate_series(0,
+             |    greatest(CAST(n_chars % 120 AS INT) - 1, 0), 24))
+             |    AS frame_idx
+             |FROM documents
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- W3: stateful rolling form (flatMapGroupsWithState, batch run);
     //      oracle = the equivalent ROWS window. goalsFor values are small
     //      integers so double sums are exact regardless of order. -------

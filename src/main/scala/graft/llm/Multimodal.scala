@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract plumbing.
   *
-  * The GENERIC decode step is STUBBED (no image/video libraries in this
-  * environment) with a deterministic fake — but the Spark-side contract
-  * is real: schema, batched per-partition execution (the Scala analog of
-  * `mapInPandas`: one iterator pass per partition, no per-row task
-  * overhead, no driver collect), and partition sizing controls. The AUDIO
-  * modality is decoded for REAL: WAV/PCM parsing is pure byte arithmetic
-  * (`decodeWav`), so that path needs no stub at all.
+  * Two modalities decode for REAL with zero external dependencies:
+  * IMAGE via the JDK's ImageIO (PNG/JPEG/BMP/GIF — `decodeImage`) and
+  * AUDIO via pure byte arithmetic over RIFF/PCM (`decodeWav`). Only the
+  * VIDEO/generic decode step is STUBBED (no codec library in this
+  * environment) with a deterministic fake — and even there the
+  * Spark-side contract is real: schema, batched per-partition execution
+  * (the Scala analog of `mapInPandas`: one iterator pass per partition,
+  * no per-row task overhead, no driver collect), partition sizing.
   */
 object Multimodal {
 
@@ -83,6 +84,126 @@ object Multimodal {
     df.select(col(idCol),
         explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)),
           lit(everyNth))).as("frame_idx"))
+
+  // ----------------------------------------------------- real decode: image
+
+  /** Deterministic 8-bit grayscale gradient image, PNG-encoded with the
+    * JDK's ImageIO (pure JVM, lossless): pixel(x,y) = (id*31 + y*w + x)
+    * mod 256. Exact by construction, so a decode can be oracle-checked
+    * analytically (sum over pixels is computable in SQL).
+    */
+  def syntheticGrayPng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + y * w + x) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a real PNG payload per row (batched per-partition encode). */
+  def withSyntheticImages(df: DataFrame, idCol: String,
+                          w: Int = 8, h: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), syntheticGrayPng(r.getLong(0), w, h)))
+    }(encoder)
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — no
+    * external library): dimensions, exact integer luminance sum, and a
+    * grid×grid mean-pooled luminance vector (the cheap "thumbnail
+    * embedding" a vision pipeline feeds downstream). Non-decodable
+    * payloads yield null fields — at corpus scale corrupt blobs are data,
+    * not exceptions. Batched per partition like `decodeFeatures`.
+    */
+  def decodeImageFeatures(df: DataFrame, idCol: String,
+                          grid: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_gray", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeImage(r.getAs[Array[Byte]](1), grid) match {
+          case Some((w, h, sum, feats)) => Row(id, w, h, sum, feats)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
+  /** @return (width, height, integer luminance sum, grid² mean-pool). */
+  def decodeImage(bytes: Array[Byte],
+                  grid: Int): Option[(Int, Int, Long, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    // Integer luminance per pixel: exact band sample for single-band
+    // grayscale; Rec.601 integer luma for color. Both deterministic.
+    val singleBand = img.getRaster.getNumBands == 1
+    val lum = new Array[Int](w * h)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (singleBand) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        lum(y * w + x) = v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    // grid×grid mean pool with WAV-window-style cell boundaries.
+    val feats = new Array[Float](grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      val yLo = h * gy / grid; val yHi = h * (gy + 1) / grid
+      var gx = 0
+      while (gx < grid) {
+        val xLo = w * gx / grid; val xHi = w * (gx + 1) / grid
+        var ss = 0L; var n = 0
+        var yy = yLo
+        while (yy < yHi) {
+          var xx = xLo
+          while (xx < xHi) { ss += lum(yy * w + xx); n += 1; xx += 1 }
+          yy += 1
+        }
+        feats(gy * grid + gx) = if (n > 0) ss.toFloat / n / 255f else 0f
+        gx += 1
+      }
+      gy += 1
+    }
+    Some((w, h, total, feats))
+  }
 
   // ------------------------------------------------------- real decode: WAV
 

@@ -88,4 +88,48 @@ class MultimodalSpec extends SparkSpec {
     // corrupt payload is DATA: null fields, no exception
     assert(out(2).isNullAt(1) && out(2).isNullAt(3))
   }
+
+  test("decodeImage: real PNG round trip, exact luminance sum + pooling") {
+    val id = 7L
+    val bytes = Multimodal.syntheticGrayPng(id, 8, 8)
+    // genuinely a PNG: magic bytes
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val Some((w, h, sum, feats)) = Multimodal.decodeImage(bytes, grid = 4)
+    assert(w == 8 && h == 8)
+    val expected = (0 until 64).map(p => (id * 31 + p) % 256).sum
+    assert(sum == expected)
+    assert(feats.length == 16)
+    // top-left 2×2 cell mean: pixels (0,0),(1,0),(0,1),(1,1) → p=0,1,8,9
+    val cell = Seq(0, 1, 8, 9).map(p => ((id * 31 + p) % 256).toDouble)
+    assert(math.abs(feats(0) - cell.sum / 4 / 255.0) < 1e-6)
+  }
+
+  test("decodeImage: color path uses integer Rec.601 luma") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red  → 299*255/1000 = 76
+    img.setRGB(1, 0, 0x00ff00) // pure green → 587*255/1000 = 149
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val Some((w, h, sum, _)) = Multimodal.decodeImage(baos.toByteArray, 1)
+    assert(w == 2 && h == 1 && sum == 76L + 149L)
+  }
+
+  test("decodeImageFeatures: dataframe pass, corrupt payloads as nulls") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticGrayPng(1L)),
+      (2L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageFeatures(rows, "doc_id")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 8 && out(0).getInt(2) == 8)
+    assert(out(0).getLong(3) == (0 until 64).map(p => (31 + p) % 256).sum)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4))
+    // synth→decode end-to-end (the m03 shape)
+    val ids = Seq(3L, 4L).toDF("doc_id")
+    val rt = Multimodal.decodeImageFeatures(
+      Multimodal.withSyntheticImages(ids, "doc_id"), "id")
+      .orderBy("id").collect()
+    assert(rt.forall(r => r.getInt(1) == 8 && !r.isNullAt(3)))
+  }
 }
