@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{AsOfJoin, CombineData}
+import graft.etl.{AsOfJoin, CombineData, RangeJoin, SkewJoin}
 import graft.sources.Ingest
 import Registry._
 
@@ -187,6 +187,74 @@ object RegistryExtra {
              |    AS win_ratio
              |FROM orders GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- J7: binned range (interval) join — equi-join on bin id instead
+    //      of the nested-loop plan a bare range predicate produces; the
+    //      DuckDB range join is the oracle ---------------------------------
+    Q("j07_range_join",
+      (s, dir) => {
+        val epoch = lit("1992-01-01").cast("date")
+        val od = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("date"))
+        val points = od.select(col("o_orderkey").as("p_key"),
+          datediff(col("date"), epoch).cast("long").as("day"))
+        val intervals = od.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("i_key"),
+            datediff(col("date"), epoch).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 14)
+        RangeJoin.binned(points, "day", intervals, "lo", "hi", binWidth = 16)
+          .select(col("p_key"), col("i_key"))
+          .orderBy("p_key", "i_key")
+      },
+      Some("""SELECT p.o_orderkey AS p_key, i.o_orderkey AS i_key
+             |FROM orders p JOIN (
+             |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+             |  FROM orders WHERE o_orderkey % 97 = 0) i
+             |ON CAST(p.o_orderdate AS DATE) >= i.d
+             | AND CAST(p.o_orderdate AS DATE) <= i.d + INTERVAL 14 DAY
+             |ORDER BY p_key, i_key""".stripMargin)),
+
+    // ---- J8: salted skew join — result identical to the plain join, so
+    //      the plain join IS the oracle ------------------------------------
+    Q("j08_salted_skew_join",
+      (s, dir) => {
+        val f = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        val d = t(s, dir, "customer").select(
+          col("c_custkey").as("o_custkey"), col("c_name"), col("c_acctbal"))
+        SkewJoin.salted(f, d, "o_custkey", "o_orderkey", salts = 8)
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("c_acctbal"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, c_name, c_acctbal
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- A16: sketch audit — HLL distinct + approx percentile against
+    //      their exact counterparts, with error bounds surfaced. The
+    //      approximations are engine-specific, so no cross-engine oracle;
+    //      the row carries its own quantitative pass flags. ----------------
+    Q("a16_sketch_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.agg(
+            // rsd 0.02; the audit bound below is 3×rsd
+            approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+              .as("approx_median_price"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"))
+          .select(col("hll_orders"), col("exact_orders"),
+            (abs(col("hll_orders") - col("exact_orders")) /
+              col("exact_orders")).as("hll_rel_err"),
+            (abs(col("hll_orders") - col("exact_orders")) /
+              col("exact_orders") <= 0.06).as("hll_within_3rsd"),
+            col("approx_median_price"), col("exact_median_price"),
+            (abs(col("approx_median_price") - col("exact_median_price")) /
+              col("exact_median_price") <= 0.01).as("median_within_1pct"))
+      },
+      None),
 
     // ---- P4: drop helper columns -----------------------------------------
     Q("p04_drop_columns",
