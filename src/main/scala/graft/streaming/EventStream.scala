@@ -29,6 +29,17 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("events"), col("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state — the streaming analog of
+    * the batch digest dedup (llm/Dedup.exact): duplicates of an id
+    * arriving within the watermark delay are dropped, and state for ids
+    * older than the watermark is evicted. Memory is O(ids per delay
+    * window), not O(stream history) — the property that lets this run
+    * forever on an unbounded 100 TB/day feed.
+    */
+  def dedupedEvents(events: DataFrame, idCol: String,
+                    delay: String = "1 day"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(idCol)
+
   /** File-source stream over a directory of event data (the daily-append
     * directory pattern), parquet or json.
     */

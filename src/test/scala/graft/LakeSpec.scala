@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Partitioned-lake layout: round trip, dynamic partition overwrite, and
+  * the planning-time partition-pruning proof (the 100 TB property).
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fact = Seq(
+    (1L, "2024-01-05", 10.0), (2L, "2024-01-20", 20.0),
+    (3L, "2024-02-03", 30.0), (4L, "2024-03-11", 40.0)
+  ).toDF("id", "date", "v").withColumn("date", col("date").cast("date"))
+
+  test("partitioned write round-trips and lays out month directories") {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("month=2024-01", "month=2024-02", "month=2024-03"))
+    val back = Lake.read(spark, dir)
+    assert(back.count() == 4)
+    assert(back.select(sum("v")).head.getDouble(0) == 100.0)
+  }
+
+  test("partition filter prunes directories at planning time") {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))
+    val pruned = Lake.read(spark, dir).filter(col("month") === "2024-01")
+    // the predicate must land in PartitionFilters (planning-time), not in
+    // the post-scan Filter (runtime)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("month"), s"month predicate not pushed to partitions:\n$scan")
+    // and only the pruned partition's files are actually read: the scan's
+    // numFiles metric after execution vs the parquet files on disk
+    assert(pruned.count() == 2)
+    val read = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numFiles").value
+    val onDisk = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var total = 0
+    while (onDisk.hasNext)
+      if (onDisk.next().toString.endsWith(".parquet")) total += 1
+    assert(read < total, s"scan read $read of $total files — no pruning")
+  }
+
+  test("dynamic overwrite replaces only the partitions present") {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))
+    // rewrite ONLY January with corrected values
+    val fix = Seq((9L, "2024-01-09", 99.0)).toDF("id", "date", "v")
+      .withColumn("date", col("date").cast("date"))
+    Lake.writePartitioned(Lake.withMonth(fix, "date"), dir, Seq("month"))
+    val back = Lake.read(spark, dir)
+    assert(back.count() == 3) // 1 new Jan row + Feb + Mar untouched
+    assert(back.filter(col("month") === "2024-02").count() == 1)
+  }
+}

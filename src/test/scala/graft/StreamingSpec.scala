@@ -70,6 +70,43 @@ class StreamingSpec extends SparkSpec {
       "late row must be dropped by the persisted watermark")
   }
 
+  test("streaming dedup: duplicates within the watermark are dropped") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val withId = Seq(
+      ("e1", "2024-01-01 01:00:00", 1.0),
+      ("e1", "2024-01-01 01:05:00", 1.0), // duplicate id, same batch
+      ("e2", "2024-01-01 02:00:00", 2.0)
+    ).toDF("event_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    withId.coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val stream = EventStream.readEvents(spark, in, schema = withId.schema)
+      val q = EventStream.dedupedEvents(stream, "event_id").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).select("event_id").distinct().count() == 2)
+    assert(spark.read.parquet(out).count() == 2, "in-batch duplicate kept")
+
+    // a re-delivery of e1 in a later batch, still within the watermark,
+    // must be dropped by the persisted dedup state
+    Seq(("e1", "2024-01-01 03:00:00", 1.0), ("e3", "2024-01-01 04:00:00", 3.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val ids = spark.read.parquet(out).groupBy("event_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == Map("e1" -> 1L, "e2" -> 1L, "e3" -> 1L),
+      s"cross-batch duplicate not dropped: $ids")
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
