@@ -231,6 +231,73 @@ object RegistryExtra {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- J9/J10: anti and semi joins — the "missing fixtures" /
+    //      "already scraped" detection shapes; no row multiplication,
+    //      planner broadcasts the probe side ------------------------------
+    Q("j09_anti_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_totalprice") > 400000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("j10_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- A17: rollup (hierarchical subtotals + grand total) --------------
+    Q("a17_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate").cast("date")).as("yr"),
+          col("o_orderpriority").as("prio"), col("o_totalprice"))
+        .rollup(col("yr"), col("prio"))
+        .agg(count(lit(1)).as("orders"), decSum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("prio"), lit("ALL")).as("prio"),
+          col("orders"), col("total"))
+        .orderBy("yr", "prio"),
+      Some("""SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+             |  coalesce(prio, 'ALL') AS prio,
+             |  count(*) AS orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             |        o_orderpriority AS prio, o_totalprice FROM orders)
+             |GROUP BY ROLLUP (yr, prio)
+             |ORDER BY yr, prio""".stripMargin)),
+
+    // ---- W4: ntile quartiles (deterministic total order). An EXACT
+    //      global ntile is inherently a total-order op (single-partition
+    //      window); at 100 TB use a16's approx percentile boundaries +
+    //      width_bucket instead, or ntile within partitions. --------------
+    Q("w04_ntile",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(Window.orderBy(col("o_totalprice"),
+            col("o_orderkey"))).as("price_quartile"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+             |    AS price_quartile
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- A16: sketch audit — HLL distinct + approx percentile against
     //      their exact counterparts, with error bounds surfaced. The
     //      approximations are engine-specific, so no cross-engine oracle;
