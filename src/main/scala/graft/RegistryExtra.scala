@@ -298,6 +298,40 @@ object RegistryExtra {
              |    AS price_quartile
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- W5: lead/lag — previous/next match date per team and rest days
+    //      (one window pass, deterministic tiebreak) -----------------------
+    Q("w05_lead_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("date"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("date"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("date"), "yyyy-MM-dd").as("date"),
+            date_format(lag(col("date"), 1).over(w), "yyyy-MM-dd")
+              .as("prev_date"),
+            datediff(col("date"), lag(col("date"), 1).over(w)).cast("long")
+              .as("rest_days"),
+            date_format(lead(col("date"), 1).over(w), "yyyy-MM-dd")
+              .as("next_date"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+             |    CAST(o_orderdate AS DATE) AS date FROM orders),
+             |w AS (SELECT o_orderkey, o_custkey, date,
+             |    lag(date) OVER win AS prev_date,
+             |    lead(date) OVER win AS next_date
+             |  FROM o
+             |  WINDOW win AS (PARTITION BY o_custkey
+             |                 ORDER BY date, o_orderkey))
+             |SELECT o_orderkey, o_custkey,
+             |  strftime(date, '%Y-%m-%d') AS date,
+             |  strftime(prev_date, '%Y-%m-%d') AS prev_date,
+             |  CAST(date - prev_date AS BIGINT) AS rest_days,
+             |  strftime(next_date, '%Y-%m-%d') AS next_date
+             |FROM w ORDER BY o_orderkey""".stripMargin)),
+
     // ---- A16: sketch audit — HLL distinct + approx percentile against
     //      their exact counterparts, with error bounds surfaced. The
     //      approximations are engine-specific, so no cross-engine oracle;

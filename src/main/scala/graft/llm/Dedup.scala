@@ -250,16 +250,33 @@ object Dedup {
     * comes from the per-doc distinct-gram sizes carried through the join.
     * Cost: O(Σ grams) shuffle + O(co-gram pairs) aggregate — scales where
     * verify-all-pairs O(N²) does not, PROVIDED gram document-frequency is
-    * bounded; for web-scale corpora cap or stoplist hot grams first (a
-    * gram shared by f docs contributes f² pairs).
+    * bounded. For web-scale corpora set `maxGramDf` to stoplist hot grams
+    * (see the inline note on the conservative-miss semantics).
     */
   def exactNgramNearDups(df: DataFrame, textCol: String, idCol: String,
-                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxGramDf: Int = 0): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
         wordShingles(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")))
-    val inv = grams.select(col("id"), col("sz"),
+    val inv0 = grams.select(col("id"), col("sz"),
       explode(col("grams")).as("gram"))
+    // Hot-gram cap (maxGramDf > 0): a gram shared by f docs contributes
+    // f² candidate pairs, so one boilerplate phrase across a web-scale
+    // corpus is a quadratic blowup. Grams with df above the cap are
+    // dropped from the INDEX only — |A|/|B| stay exact, so jaccard can
+    // only be underestimated (conservative): a pair is missed iff its
+    // entire overlap is hot grams. maxGramDf = 0 keeps the exact
+    // semantics d06 is oracle-checked under.
+    val inv =
+      if (maxGramDf <= 0) inv0
+      else {
+        val hot = inv0.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDf)
+          .select(col("gram"))
+        inv0.join(hot, Seq("gram"), "left_anti")
+      }
     val a = inv.as("a"); val b = inv.as("b")
     a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

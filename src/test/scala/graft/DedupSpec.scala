@@ -94,6 +94,35 @@ class DedupSpec extends SparkSpec {
       s"all-pairs product in plan:\n$plan")
   }
 
+  test("hot-gram cap bounds the boilerplate blowup, keeps real pairs") {
+    import spark.implicits._
+    // every doc shares one boilerplate phrase; docs 0/1 also share a
+    // genuinely duplicated body
+    val boiler = "all rights reserved by the site"
+    val body = "the quick brown fox jumps over the lazy dog again"
+    val docs = ((0L until 20L).map { i =>
+      val text =
+        if (i <= 1) s"$body $boiler"
+        else s"unique document number $i with its own words $i $boiler"
+      (i, text)
+    } ++ Seq((20L, boiler), (21L, boiler))) // boilerplate-ONLY dups
+      .toDF("doc_id", "text")
+
+    val uncapped = Dedup.exactNgramNearDups(docs, "text", "doc_id",
+        n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped at df 5: boilerplate grams (df 22) leave the index
+    val capped = Dedup.exactNgramNearDups(docs, "text", "doc_id",
+        n = 3, threshold = 0.4, maxGramDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // uncapped (exact): the real pair AND the boilerplate-only pair
+    assert(uncapped == Set((0L, 1L), (20L, 21L)), s"uncapped: $uncapped")
+    // capped: the real pair survives via its body grams; the pair whose
+    // ENTIRE overlap is hot grams is the documented conservative miss
+    assert(capped == Set((0L, 1L)), s"capped: $capped")
+  }
+
   test("simhashNearDups equals brute-force hamming<=3 pairs (pigeonhole exact)") {
     val out = Dedup.simhashNearDups(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
