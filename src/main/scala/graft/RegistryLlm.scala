@@ -114,6 +114,34 @@ object RegistryLlm {
              |    x -> strlen(x) > 0))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- T5: PII redaction (corpus hygiene) — deterministic fake PII
+    //      injected per doc so every pattern fires; both engines run the
+    //      identical regex chain --------------------------------------------
+    Q("t05_pii_redact",
+      (s, dir) => {
+        val injected = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 555-01"),
+            lpad(col("doc_id").cast("string"), 4, "0"),
+            lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")).as("txt"))
+        injected.select(col("doc_id"),
+            TextAnalysis.redactPii(col("txt")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or +1 555-01'
+             |      || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+             |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- D1: exact dedup stats ------------------------------------------------
     Q("d01_exact_dedup",
       (s, dir) => Dedup.exactDupStats(t(s, dir, "documents"), "text"),

@@ -88,6 +88,21 @@ object TextAnalysis {
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive canonical hash (rolling-hash fingerprint family).
     */
+  /** PII redaction — standard training-corpus hygiene (emails, IPv4s,
+    * phone-number-ish digit runs → typed placeholders). Order matters:
+    * emails first (they embed digit runs), IPs before phones (dotted
+    * quads must not be half-eaten by the phone pattern). A pure
+    * `regexp_replace` chain: codegen'd, scan-speed, shuffle-free, and
+    * expressible verbatim in the DuckDB oracle (t05).
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>")
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
 }

@@ -50,6 +50,24 @@ class LakeSpec extends SparkSpec {
     assert(read < total, s"scan read $read of $total files — no pruning")
   }
 
+  test("compaction rewrites many small files into few, same data") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    // 20 single-row writes → 20 tiny files
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, i * 1.0)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 20)
+    Lake.compactTo(spark, src, dst, targetBytes = 1024L * 1024 * 1024)
+    assert(parquetFiles(dst) == 1, "1 GiB target must yield a single file")
+    val back = Lake.read(spark, dst)
+    assert(back.count() == 20)
+    assert(back.select(sum("v")).head.getDouble(0) == 210.0)
+  }
+
   test("dynamic overwrite replaces only the partitions present") {
     val dir = Files.createTempDirectory("graft-lake").toString
     Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextAnalysis
+
+/** PII redaction edge cases (the bulk of TextAnalysis is covered by the
+  * t01–t05 oracle gate; these pin the redaction-order semantics).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t"))).head.getString(0)
+
+  test("emails, IPs, and phones redact to typed placeholders") {
+    assert(redact("mail a.b+c@d-e.org now") == "mail <EMAIL> now")
+    assert(redact("host 192.168.0.1 down") == "host <IP> down")
+    assert(redact("call +44 20 7946 0958 ok") == "call <PHONE> ok")
+    assert(redact("x 555-867-5309 y") == "x <PHONE> y")
+  }
+
+  test("ordering: emails keep their digits, IPs are not eaten by phones") {
+    // the email's digit run must not surface as a phone after redaction
+    assert(redact("u12345678@ex.com") == "<EMAIL>")
+    // a dotted quad is an IP, not two phone fragments
+    assert(redact("10.0.200.7") == "<IP>")
+  }
+
+  test("clean text passes through untouched") {
+    val s = "a plain sentence with numbers like 42 and 7 in it"
+    assert(redact(s) == s)
+  }
+}
