@@ -602,6 +602,85 @@ object RegistryLlm {
              |  event_type, count(*) AS events,
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
              |    AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // ---- W6: sliding (hopping) windows — 2-day window, 1-day slide:
+    //      every event lands in exactly two windows; the oracle fans each
+    //      row out to its two window starts --------------------------------
+    Q("w06_sliding_window",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          decSum(col("value")).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("window_start"),
+          col("event_type"), col("events"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT strftime(CAST(ts AS DATE) - k, '%Y-%m-%d')
+             |    AS window_start,
+             |  event_type, count(*) AS events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- W7: session windows (30-min inactivity gap) — Spark's
+    //      session_window vs the classic gaps-and-islands SQL. Session
+    //      end = last event + gap, half-open, so a row landing exactly at
+    //      the previous end starts a NEW session (>= in the oracle).
+    //      events ts is µs-exact in both engines (no sub-µs nanos). ------
+    Q("w07_session_window",
+      (s, dir) => events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("event_type"), col("events"))
+        .orderBy("event_type", "session_start"),
+      Some("""WITH m AS (
+             |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+             |s AS (
+             |  SELECT event_type, ts,
+             |    sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(max(ts) + INTERVAL 30 MINUTE,
+             |    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  event_type, count(*) AS events
+             |FROM s GROUP BY event_type, sid
+             |ORDER BY event_type, session_start""".stripMargin)),
+
+    // ---- A18: cube — all grouping-set marginals --------------------------
+    Q("a18_cube",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate").cast("date")).as("yr"),
+          col("o_orderpriority").as("prio"), col("o_totalprice"))
+        .cube(col("yr"), col("prio"))
+        .agg(count(lit(1)).as("orders"),
+          decSum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("prio"), lit("ALL")).as("prio"),
+          col("orders"), col("total"))
+        .orderBy("yr", "prio"),
+      Some("""SELECT coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+             |  coalesce(prio, 'ALL') AS prio,
+             |  count(*) AS orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+             |        o_orderpriority AS prio, o_totalprice FROM orders)
+             |GROUP BY CUBE (yr, prio)
+             |ORDER BY yr, prio""".stripMargin))
   )
 }
