@@ -630,14 +630,11 @@ object RegistryLlm {
     //      the previous end starts a NEW session (>= in the oracle).
     //      events ts is µs-exact in both engines (no sub-µs nanos). ------
     Q("w07_session_window",
-      (s, dir) => events(s, dir)
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("events"))
+      (s, dir) => EventStream.sessionCounts(events(s, dir))
         .select(
-          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_start"),
-          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_end"),
           col("event_type"), col("events"))
         .orderBy("event_type", "session_start"),

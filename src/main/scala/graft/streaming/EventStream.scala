@@ -29,6 +29,21 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("events"), col("total_value"))
 
+  /** Session windows (inactivity gap) — batch/stream shared like
+    * `windowedCounts`: in batch the watermark is a no-op and this is the
+    * w07 oracle-checked aggregation; in streaming, Append mode emits a
+    * session once the watermark passes its end, and state is one open
+    * session per (key, gap-island), evicted on close.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("event_type"), col("events"))
+
   /** Streaming exact dedup with BOUNDED state — the streaming analog of
     * the batch digest dedup (llm/Dedup.exact): duplicates of an id
     * arriving within the watermark delay are dropped, and state for ids

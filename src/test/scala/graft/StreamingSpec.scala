@@ -107,6 +107,40 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch duplicate not dropped: $ids")
   }
 
+  test("session windows close and emit via the watermark (Append)") {
+    val dir = Files.createTempDirectory("graft-session").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    // two click sessions (10:00+10:10 merge; 11:30 is past the 30-min
+    // gap) plus a next-day row that advances the watermark past both
+    val data = Seq(
+      ("2024-01-01 10:00:00", "click", 1.0),
+      ("2024-01-01 10:10:00", "click", 1.0),
+      ("2024-01-01 11:30:00", "click", 1.0),
+      ("2024-01-02 09:00:00", "view", 1.0)
+    ).toDF("ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    data.coalesce(1).write.parquet(in)
+    val stream = EventStream.readEvents(spark, in, schema = data.schema)
+    val q = EventStream.sessionCounts(stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .orderBy("session_start")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").toString,
+        r.getAs[java.sql.Timestamp]("session_end").toString,
+        r.getAs[Long]("events")))
+    // only the CLOSED click sessions are emitted; the view session is
+    // still open (watermark has not passed its end)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+      ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L)), rows.toSeq)
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
