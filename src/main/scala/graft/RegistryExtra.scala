@@ -357,6 +357,76 @@ object RegistryExtra {
       },
       None),
 
+    // ---- U4/U5: INTERSECT / EXCEPT (distinct set semantics) --------------
+    Q("u04_intersect",
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        od.select(col("o_custkey").as("team"))
+          .intersect(od.select(((col("o_custkey") * 13 + 7) % 100)
+            .as("team")))
+          .orderBy("team")
+      },
+      Some("""SELECT o_custkey AS team FROM orders
+             |INTERSECT
+             |SELECT (o_custkey*13+7)%100 AS team FROM orders
+             |ORDER BY team""".stripMargin)),
+
+    Q("u05_except",
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        od.select(col("o_custkey").as("team"))
+          .except(od.select(((col("o_custkey") * 13 + 7) % 100).as("team")))
+          .orderBy("team")
+      },
+      Some("""SELECT o_custkey AS team FROM orders
+             |EXCEPT
+             |SELECT (o_custkey*13+7)%100 AS team FROM orders
+             |ORDER BY team""".stripMargin)),
+
+    // ---- P5: unpivot (wide→long melt — the inverse of the S5 pivot) ------
+    Q("p05_unpivot",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("o_custkey")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric"),
+      Some("""SELECT o_orderkey, 'o_totalprice' AS metric,
+             |  o_totalprice AS value FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+             |  FROM orders
+             |ORDER BY o_orderkey, metric""".stripMargin)),
+
+    // ---- A19: stratified sampling audit (corpus mixing) — seeded
+    //      sampleBy is engine-specific, so the row carries its own
+    //      quantitative check: achieved vs target fraction per language.
+    //      Bernoulli sampling at n≈target·N has σ≈sqrt(f(1-f)/N); the
+    //      tolerance below is a loose multi-σ bound at sf0.001 scale. ----
+    Q("a19_stratified_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val fractions = Map("en" -> 0.5, "fr" -> 0.25, "es" -> 0.25,
+          "de" -> 0.25, "zh" -> 0.25)
+        val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+        val base = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("total"))
+        val got = sampled.groupBy(col("lang"))
+          .agg(count(lit(1)).as("kept"))
+        val target = typedLit(fractions)
+        base.join(got, Seq("lang"), "left")
+          .select(col("lang"), col("total"),
+            coalesce(col("kept"), lit(0L)).as("kept"),
+            element_at(target, col("lang")).as("target_frac"),
+            (coalesce(col("kept"), lit(0L)) / col("total"))
+              .as("achieved_frac"),
+            (abs(coalesce(col("kept"), lit(0L)) / col("total") -
+              element_at(target, col("lang"))) <= 0.15).as("within_tol"))
+          .orderBy("lang")
+      },
+      None),
+
     // ---- P4: drop helper columns -----------------------------------------
     Q("p04_drop_columns",
       (s, dir) => t(s, dir, "orders")
