@@ -357,6 +357,50 @@ object RegistryExtra {
       },
       None),
 
+    // ---- J11: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — null
+    //      keys match null keys instead of dropping out -------------------
+    Q("j11_null_safe_join",
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        // null out a deterministic subset of keys on both sides
+        val a = od.select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("k"))
+        val b = od.filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey").as("b_orderkey"),
+            when(col("o_orderkey") % 10 === 0, lit(null))
+              .otherwise(col("o_custkey")).as("k"))
+        a.join(b, a("k") <=> b("k"), "inner")
+          .select(col("o_orderkey"), col("b_orderkey"))
+          .orderBy("o_orderkey", "b_orderkey")
+      },
+      Some("""WITH a AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             |         ELSE o_custkey END AS k FROM orders),
+             |b AS (SELECT o_orderkey AS b_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             |         ELSE o_custkey END AS k
+             |  FROM orders WHERE o_orderkey % 50 = 0)
+             |SELECT a.o_orderkey, b.b_orderkey
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             |ORDER BY a.o_orderkey, b.b_orderkey""".stripMargin)),
+
+    // ---- X18: regexp group extraction ------------------------------------
+    Q("x18_regexp_extract",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-([A-Z]+)", 1)
+            .as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-([A-Z]+)", 2)
+            .as("prio_word"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  coalesce(regexp_extract(o_orderpriority,
+             |    '^(\d+)-([A-Z]+)', 1), '') AS prio_num,
+             |  coalesce(regexp_extract(o_orderpriority,
+             |    '^(\d+)-([A-Z]+)', 2), '') AS prio_word
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- U4/U5: INTERSECT / EXCEPT (distinct set semantics) --------------
     Q("u04_intersect",
       (s, dir) => {
