@@ -14,12 +14,14 @@ class RangeJoinSpec extends SparkSpec {
   private val rnd = new scala.util.Random(42)
 
   test("binned == naive on randomized points and intervals") {
+    // negative coordinates included: floor(p/width) must bin -1 and +1
+    // into DIFFERENT buckets (integer division would collapse them)
     val points = (1 to 400)
-      .map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      .map(i => (i.toLong, (rnd.nextInt(2000) - 1000).toLong))
       .toDF("p_id", "p")
     // spans from 0 (degenerate) to 120 (many bins wide at width 32)
     val intervals = (1 to 60).map { i =>
-      val lo = rnd.nextInt(1000).toLong
+      val lo = (rnd.nextInt(2000) - 1000).toLong
       (i.toLong, lo, lo + rnd.nextInt(121))
     }.toDF("i_id", "lo", "hi")
 

@@ -31,4 +31,12 @@ class TextAnalysisSpec extends SparkSpec {
     val s = "a plain sentence with numbers like 42 and 7 in it"
     assert(redact(s) == s)
   }
+
+  test("redaction is idempotent (placeholders never re-match)") {
+    val samples = Seq(
+      "a@b.co and 10.1.2.3 and +1 555 123 4567 mixed",
+      "u12345678@ex.com 10.0.200.7",
+      "edge: 1.2.3.4.5.6 partial 999-99")
+    for (s <- samples) assert(redact(redact(s)) == redact(s), s)
+  }
 }
