@@ -356,7 +356,7 @@ object RegistryLlm {
              |    ])[-1]['lang'] AS lang_pred
              |  FROM feat),
              |dedup AS (
-             |  SELECT doc_id, ltoks FROM q
+             |  SELECT doc_id, text, ltoks FROM q
              |  WHERE quality >= 0.6 AND lang_pred IN ('en')
              |  QUALIFY row_number() OVER (PARTITION BY md5(text)
              |    ORDER BY doc_id) = 1),
@@ -380,6 +380,79 @@ object RegistryLlm {
              |  JOIN sizes sb ON sb.doc_id = id_b
              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
              |SELECT doc_id FROM dedup
+             |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L2: cleaning pipeline + PII redaction as the final stage —
+    //      same CTE chain as l01 with the redacted text carried out ------
+    Q("l02_clean_redacted",
+      (s, dir) => graft.llm.CorpusPipeline.cleanCorpus(
+          t(s, dir, "documents").filter(col("doc_id") < 500), redact = true)
+        .select(col("doc_id"), col("text")).orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 500),
+             |feat AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ltoks,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT) AS n,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             |      AS BIGINT) AS npunct,
+             |    CAST(strlen(text) AS BIGINT) AS nchars
+             |  FROM base),
+             |q AS (
+             |  SELECT doc_id, text, ltoks,
+             |    (CAST(n >= 10 AND n <= 100000 AS INT)
+             |     + CAST(CAST(len(list_filter(ltoks, x -> x IN ('the','a',
+             |         'an','and','or','of','to','in','is','it'))) AS BIGINT)
+             |         / greatest(n, 1) >= 0.01 AS INT)
+             |     + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT)) / 3.0
+             |      AS quality,
+             |    list_sort([
+             |      {'hits': len(list_filter(ltoks, x -> x IN ('der','die',
+             |        'und','das','nicht','ist','ich','ein'))), 'lang': 'de'},
+             |      {'hits': len(list_filter(ltoks, x -> x IN ('the','and',
+             |        'of','to','is','in','that','it'))), 'lang': 'en'},
+             |      {'hits': len(list_filter(ltoks, x -> x IN ('el','la','de',
+             |        'que','y','en','los','del'))), 'lang': 'es'},
+             |      {'hits': len(list_filter(ltoks, x -> x IN ('le','la',
+             |        'les','des','est','une','dans','que'))), 'lang': 'fr'},
+             |      {'hits': len(list_filter(ltoks, x -> x IN ('的','是','了',
+             |        '在','我','有','和','不'))), 'lang': 'zh'}
+             |    ])[-1]['lang'] AS lang_pred
+             |  FROM feat),
+             |dedup AS (
+             |  SELECT doc_id, text, ltoks FROM q
+             |  WHERE quality >= 0.6 AND lang_pred IN ('en')
+             |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+             |    ORDER BY doc_id) = 1),
+             |t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ltoks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(ltoks)-1),
+             |        i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))
+             |    ELSE [array_to_string(ltoks, ' ')] END AS grams
+             |  FROM dedup),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |losers AS (
+             |  SELECT DISTINCT id_b FROM pairs
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text
+             |FROM dedup
              |WHERE doc_id NOT IN (SELECT id_b FROM losers)
              |ORDER BY doc_id""".stripMargin)),
 

@@ -30,12 +30,18 @@ object CorpusPipeline {
     *   single-pass; flip to transitive when cluster-level guarantees
     *   matter more than the iteration cost.
     */
+  /** @param redact apply PII redaction to the surviving text as the
+    *   final stage. AFTER dedup on purpose: redaction placeholders must
+    *   not merge documents that differed only in their PII, and dedup
+    *   must see the content that was actually crawled.
+    */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", minQuality: Double = 0.6,
                   langs: Seq[String] = Seq("en"),
                   neardupThreshold: Double = 0.5,
                   useMinhash: Boolean = false,
-                  transitive: Boolean = false): DataFrame = {
+                  transitive: Boolean = false,
+                  redact: Boolean = false): DataFrame = {
     val gated = docs.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)).isin(langs: _*))
@@ -54,7 +60,9 @@ object CorpusPipeline {
           .filter(col("rep") =!= col("id"))
           .select(col("id").as(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
-    deduped.join(losers, Seq(idCol), "left_anti")
+    val kept = deduped.join(losers, Seq(idCol), "left_anti")
+    if (redact) kept.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    else kept
   }
 
   /** One-row summary of a cleaning pass: input/survivor counts per stage
