@@ -32,18 +32,32 @@ object RangeJoin {
     * @param keys      optional extra equi-key column names present on
     *                  both sides
     */
+  /** Exact floor(`ref` / w) in LONG arithmetic, as a SQL fragment over an
+    * already-projected BIGINT column: `floor(x / w)` on doubles silently
+    * loses bits above 2^53, which nanosecond-timestamp domains (~1e18)
+    * exceed. `ref - pmod(ref, w)` is an exact multiple of w, so the
+    * integral `div` is the true floor for negatives too.
+    */
+  private def binSql(ref: String, w: Long): String =
+    s"(($ref - (($ref % ${w}L + ${w}L) % ${w}L)) div ${w}L)"
+
   def binned(points: DataFrame, pointCol: String,
              intervals: DataFrame, loCol: String, hiCol: String,
              binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("__bin",
-      floor(col(pointCol).cast("double") / binWidth).cast("long"))
+    val p = points
+      .withColumn("__pv", col(pointCol).cast("long"))
+      .withColumn("__bin", expr(binSql("__pv", binWidth)))
+      .drop("__pv")
     // one row per bin the interval overlaps
     val i = intervals
       .where(col(loCol) <= col(hiCol))
+      .withColumn("__lov", col(loCol).cast("long"))
+      .withColumn("__hiv", col(hiCol).cast("long"))
       .withColumn("__bin", explode(sequence(
-        floor(col(loCol).cast("double") / binWidth).cast("long"),
-        floor(col(hiCol).cast("double") / binWidth).cast("long"))))
+        expr(binSql("__lov", binWidth)),
+        expr(binSql("__hiv", binWidth)))))
+      .drop("__lov", "__hiv")
     val cond = (Seq(p("__bin") === i("__bin")) ++
       keys.map(k => p(k) === i(k)) ++
       Seq(p(pointCol) >= i(loCol), p(pointCol) <= i(hiCol)))

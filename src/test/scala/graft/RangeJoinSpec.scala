@@ -35,6 +35,21 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("binning stays exact above 2^53 (nanosecond-timestamp domain)") {
+    // double-based floor(x/w) cannot distinguish 2^53+1 from 2^53+2;
+    // integer binning must. Interval [base+1, base+2] at width 4 matches
+    // the in-range point and excludes base+3's neighbor bin edge cases.
+    val base = 1L << 53
+    val points = Seq((1L, base + 1), (2L, base + 2), (3L, base + 7))
+      .toDF("p_id", "p")
+    val intervals = Seq((9L, base + 1, base + 2)).toDF("i_id", "lo", "hi")
+    val got = RangeJoin.binned(points, "p", intervals, "lo", "hi", 4L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().sorted
+    val want = RangeJoin.naive(points, "p", intervals, "lo", "hi")
+      .select("p_id", "i_id").as[(Long, Long)].collect().sorted
+    assert(got.sameElements(want) && got.length == 2, got.toSeq)
+  }
+
   test("binned respects an extra equi-key") {
     val points = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("p_id", "k", "p")
     val intervals = Seq((7L, "a", 0L, 20L)).toDF("i_id", "k", "lo", "hi")
