@@ -238,7 +238,7 @@ object Multimodal {
       var pos = from
       while (pos + 8 <= to) {
         val id = tag(pos); val size = le32(pos + 4)
-        if (size < 0 || pos + 8 + size > to) return false
+        if (size < 0 || pos + 8L + size > to) return false
         if (id == "LIST" && size >= 4 && tag(pos + 8) == "rec ") {
           if (!walkMovi(pos + 12, pos + 8 + size)) return false
         } else if (isVideoChunk(id)) {
@@ -254,7 +254,7 @@ object Multimodal {
       var pos = from
       while (pos + 8 <= to) {
         val id = tag(pos); val size = le32(pos + 4)
-        if (size < 0 || pos + 8 + size > to) return false
+        if (size < 0 || pos + 8L + size > to) return false
         if (id == "avih" && size >= 32) {
           usPerFrame = le32(pos + 8).toLong & 0xffffffffL
           totalFrames = le32(pos + 8 + 16)
@@ -268,7 +268,7 @@ object Multimodal {
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val id = tag(pos); val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || pos + 8L + size > bytes.length) return None
       if (id == "LIST" && size >= 4) {
         val sub = tag(pos + 8)
         val ok =
@@ -422,7 +422,7 @@ object Multimodal {
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val id = tag(pos); val size = le32(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (size < 0 || pos + 8L + size > bytes.length) return None
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = le16(pos + 8)

@@ -168,6 +168,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeVideoFrames(bad, "doc_id").count() == 0)
   }
 
+  test("RIFF walkers reject overflow-sized chunks without throwing") {
+    // a declared chunk size near Int.MaxValue must fail the bounds check,
+    // not overflow it (pos + 8 + size wrapping negative) and then crash
+    def craft(container: String, chunkId: String): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(24)
+      buf.put(container.getBytes("US-ASCII"))
+      buf.put(chunkId.getBytes("US-ASCII")); buf.putInt(0x7ffffff0)
+      buf.array()
+    }
+    assert(Multimodal.parseAvi(craft("AVI ", "LIST")).isEmpty)
+    assert(Multimodal.decodeWav(craft("WAVE", "fmt "), 4).isEmpty)
+  }
+
   test("decodeImageFeatures: dataframe pass, corrupt payloads as nulls") {
     val rows = Seq(
       (1L, Multimodal.syntheticGrayPng(1L)),
