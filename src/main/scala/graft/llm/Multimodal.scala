@@ -288,7 +288,8 @@ object Multimodal {
     * oracle round trips). Used by tests and the m05 oracle query.
     */
   def buildAvi(frameBytes: Seq[Array[Byte]], width: Int, height: Int,
-               usPerFrame: Int = 40000): Array[Byte] = {
+               usPerFrame: Int = 40000,
+               recGrouped: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Array[Byte] = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -313,8 +314,12 @@ object Multimodal {
       le32(width * height * 3) ++ Array.fill[Byte](16)(0)
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    // interleaved AVIs wrap each frame group in a 'rec ' LIST; emit that
+    // layout on request so the walker's recursion is testable
+    val frameChunks = frameBytes.map(f => chunk("00dc", f))
     val movi = list("movi",
-      frameBytes.flatMap(f => chunk("00dc", f)).toArray)
+      (if (recGrouped) frameChunks.map(c => list("rec ", c))
+       else frameChunks).flatten.toArray)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
     out.write(body)

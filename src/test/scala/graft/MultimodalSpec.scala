@@ -154,12 +154,16 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("AVI rec-grouped movi lists and corrupt payloads") {
-    // frames wrapped in a 'rec ' LIST (interleaved-AVI layout): build a
-    // movi body manually by regrouping a standard file's frame chunk
+    // frames wrapped in 'rec ' LISTs (interleaved-AVI layout) must parse
+    // identically to the flat layout
     val frame = Multimodal.syntheticGrayPng(1L)
     val std = Multimodal.buildAvi(Seq(frame, frame), 8, 8)
     val Some(info) = Multimodal.parseAvi(std)
     assert(info.frames.length == 2)
+    val rec = Multimodal.buildAvi(Seq(frame, frame), 8, 8, recGrouped = true)
+    val Some(infoRec) = Multimodal.parseAvi(rec)
+    assert(infoRec.frames.length == 2)
+    assert(infoRec.frames.map(_.toSeq) == info.frames.map(_.toSeq))
     // corrupt: truncated AVI and non-AVI bytes yield zero rows, no throw
     val bad = Seq(
       (1L, std.take(40)),
