@@ -54,22 +54,43 @@ object Bench {
       name -> best.getOrElse(name, 0.0)
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
-    // The driver captures only the last ~3 KB of output: r3's 3-decimal
-    // line plus the full sf path overflowed that window and the JSON went
-    // unparsed. Centisecond precision, a short sf token, and no empty
-    // "errors" object keep 82 queries near 2 KB.
+    // The driver captures only the last ~3 KB of output. r3's 3-decimal
+    // line overflowed it; r4's 94-query centisecond line (~3.6 KB) STILL
+    // overflowed it ("parsed": null, front of the line cut). The registry
+    // only grows, so a full per-query line can never be made safe again:
+    // the printed line now carries the total plus the slowest queries up
+    // to a hard byte budget, and the complete map goes to BENCH_FULL.json
+    // next to the build (committed per round for the judge).
     def cs(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val errs =
-      if (errors.isEmpty) ""
-      else errors.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString(""","errors":{""", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val sfTok = sfDir.split("/").lastOption.getOrElse(sfDir)
+    val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + cs(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"queries":$fullQs,"errors":$errs,"sf":"$sfTok"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    // Printed line: slowest-first so the budget drops only sub-centisecond
+    // scan queries; the flagship j01 is always kept for round-over-round
+    // comparison. Budget 2000 bytes < (3 KB window - sbt's trailing
+    // "[success] Total time" line), with headroom for future growth.
+    val keep = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    ok.find(_._1 == "j01_combined").foreach(keep += _)
+    var bytes = 0
+    ok.sortBy(-_._2).foreach { case (k, v) =>
+      if (!keep.exists(_._1 == k) && bytes + k.length + 10 < 1800) {
+        keep += ((k, v)); bytes += k.length + 10
+      }
+    }
+    val qs = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + cs(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${cs(total)},"unit":"sec","queries":$qs$errs,"sf":"$sfTok"}"""
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"shown":${keep.size},"full":"BENCH_FULL.json","queries":$qs,"errors":$errs,"sf":"$sfTok"}"""
     // Stop the session BEFORE printing so no shutdown log line can land
     // after the JSON inside the driver's tail window.
     spark.stop()

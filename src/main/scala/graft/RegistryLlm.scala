@@ -139,7 +139,7 @@ object RegistryLlm {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              |    '<EMAIL>', 'g'),
              |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-             |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+             |    '\+?\d(?:[\- ]?\d){8,}', '<PHONE>', 'g') AS redacted
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- D1: exact dedup stats ------------------------------------------------
@@ -451,7 +451,7 @@ object RegistryLlm {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
              |    '<EMAIL>', 'g'),
              |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-             |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text
+             |    '\+?\d(?:[\- ]?\d){8,}', '<PHONE>', 'g') AS text
              |FROM dedup
              |WHERE doc_id NOT IN (SELECT id_b FROM losers)
              |ORDER BY doc_id""".stripMargin)),

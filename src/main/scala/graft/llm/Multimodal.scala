@@ -211,7 +211,7 @@ object Multimodal {
   /** Parsed AVI container: header timing plus the raw per-frame payloads
     * (video stream chunks `##dc`/`##db`, in file order).
     */
-  final case class AviInfo(usPerFrame: Long, totalFrames: Int,
+  final case class AviInfo(usPerFrame: Long, totalFrames: Long,
                            frames: IndexedSeq[Array[Byte]])
 
   /** RIFF/AVI container walker — the same chunk arithmetic as the WAV
@@ -227,7 +227,7 @@ object Multimodal {
     def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
 
-    var usPerFrame = 0L; var totalFrames = 0; var seenAvih = false
+    var usPerFrame = 0L; var totalFrames = 0L; var seenAvih = false
     val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
 
     def isVideoChunk(id: String): Boolean =
@@ -256,8 +256,10 @@ object Multimodal {
         val id = tag(pos); val size = le32(pos + 4)
         if (size < 0 || pos + 8L + size > to) return false
         if (id == "avih" && size >= 32) {
+          // both DWORDs are unsigned: mask like usPerFrame so an AVI
+          // declaring >= 2^31 frames reports the true count, not negative
           usPerFrame = le32(pos + 8).toLong & 0xffffffffL
-          totalFrames = le32(pos + 8 + 16)
+          totalFrames = le32(pos + 8 + 16).toLong & 0xffffffffL
           seenAvih = true
         }
         pos += 8 + size + (size & 1)

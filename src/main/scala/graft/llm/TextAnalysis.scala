@@ -94,13 +94,23 @@ object TextAnalysis {
     * quads must not be half-eaten by the phone pattern). A pure
     * `regexp_replace` chain: codegen'd, scan-speed, shuffle-free, and
     * expressible verbatim in the DuckDB oracle (t05).
+    *
+    * The phone shape demands >= 9 digits with at most ONE `-`/space
+    * between consecutive digits, so ISO dates (8 digits), short numeric
+    * ids, and "a - b" prose never redact; no upper bound so a 16-digit
+    * card-like run is swallowed whole rather than leaving a tail digit.
+    * Deliberately lookaround-free: the DuckDB oracle is RE2, which has
+    * no lookahead, and both engines must run the identical pattern.
+    * A 9+-digit timestamp prefix ("2024-01-01 10") is inherently
+    * indistinguishable from a phone without lookarounds; corpus hygiene
+    * errs on redaction for those.
     */
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>")
+    regexp_replace(ip, "\\+?\\d(?:[\\- ]?\\d){8,}", "<PHONE>")
   }
 
   def fingerprint(text: Column): Column =

@@ -57,11 +57,39 @@ object Lake {
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(srcDir)
     val writer =
-      (if (partitionCols.nonEmpty)
-        // spread within each partition; output files land per partition dir
-        df.repartition(nFiles, partitionCols.map(col): _*)
+      (if (partitionCols.nonEmpty) {
+        // Per-partition file sizing. Repartitioning on the partition
+        // columns alone would hash every row of a partition value to ONE
+        // task — a skewed partition bigger than targetBytes would still
+        // become a single oversized file. Instead: size each partition's
+        // file count from its estimated bytes (row share of the measured
+        // on-disk total) and spread rows across that many salt buckets,
+        // so a hot partition splits while small partitions stay one file.
+        val pcols = partitionCols.map(col)
+        val stats = df.groupBy(pcols: _*).agg(count(lit(1)).as("__graft_rows"))
+        val totalRows =
+          math.max(1L, stats.agg(sum("__graft_rows")).first().getLong(0))
+        val bytesPerRow = bytes.toDouble / totalRows
+        val nf = stats.withColumn("__graft_nf",
+          greatest(lit(1L), ceil(col("__graft_rows") * lit(bytesPerRow) /
+            lit(targetBytes.toDouble)))).drop("__graft_rows")
+        // nf has one row per partition value: always broadcast-sized.
+        // Equality join misses null partition values → coalesce to 1 file.
+        // Shuffle width ~2× the total file budget so distinct
+        // (partition, bucket) pairs rarely hash to the same task (a
+        // collision merges two intended files back into one).
+        val sumNf = nf.agg(sum("__graft_nf")).first().getLong(0)
+        val width = math.max(spark.sessionState.conf.numShufflePartitions,
+          math.min(2 * sumNf, 10000L).toInt)
+        df.join(broadcast(nf), partitionCols, "left")
+          .withColumn("__graft_bucket",
+            pmod(xxhash64(monotonically_increasing_id()),
+              coalesce(col("__graft_nf"), lit(1L))))
+          .drop("__graft_nf")
+          .repartition(width, pcols :+ col("__graft_bucket"): _*)
+          .drop("__graft_bucket")
           .write.partitionBy(partitionCols: _*)
-      else df.repartition(nFiles).write)
+      } else df.repartition(nFiles).write)
     writer.mode("overwrite").parquet(dstDir)
   }
 

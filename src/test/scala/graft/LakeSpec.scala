@@ -101,6 +101,43 @@ class LakeSpec extends SparkSpec {
     assert(back.select(sum("v")).head.getDouble(0) == 210.0)
   }
 
+  test("partitioned compaction splits hot partitions, keeps cold ones whole") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    // hot partition: 5000 rows over 10 small appends; cold: a single row
+    (0 until 10).foreach { i =>
+      spark.range(i * 500, (i + 1) * 500)
+        .select(col("id"), lit("hot").as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    Seq((-1L, "cold", "tiny")).toDF("id", "k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    // k= is a plain column here; rewrite it as the partition layout
+    val part = s"$dir/part"
+    Lake.writePartitioned(spark.read.parquet(src), part, Seq("k"))
+    def bytesUnder(d: String): Long =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    def filesUnder(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    val hotBytes = bytesUnder(s"$part/k=hot")
+    // target ~1/6 of the hot partition: the old repartition-on-partition-
+    // cols-only path produced exactly ONE file here regardless of target
+    Lake.compactTo(spark, part, dst, targetBytes = math.max(1L, hotBytes / 6),
+      partitionCols = Seq("k"))
+    val hotFiles = filesUnder(s"$dst/k=hot")
+    val coldFiles = filesUnder(s"$dst/k=cold")
+    assert(hotFiles >= 3 && hotFiles <= 6,
+      s"hot partition should split into ~6 files, got $hotFiles")
+    assert(coldFiles == 1, s"cold partition should stay whole, got $coldFiles")
+    val back = Lake.read(spark, dst)
+    assert(back.count() == 5001)
+    assert(back.filter(col("k") === "cold").count() == 1)
+    assert(back.select(sum("id")).head.getLong(0) ==
+      (0L until 5000L).sum - 1)
+  }
+
   test("dynamic overwrite replaces only the partitions present") {
     val dir = Files.createTempDirectory("graft-lake").toString
     Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))

@@ -32,6 +32,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(redact(s) == s)
   }
 
+  test("dates, short ids, and sparse digit runs are NOT phones") {
+    // ISO date: 8 digits < the 9-digit phone floor
+    assert(redact("logged 2024-01-01 ok") == "logged 2024-01-01 ok")
+    // 8-digit numeric id survives; 9-digit run is phone-plausible PII
+    assert(redact("order 12345678 shipped") == "order 12345678 shipped")
+    assert(redact("ssn-ish 123456789 here") == "ssn-ish <PHONE> here")
+    // double separators break the run: "1 - 2" style prose never matches
+    assert(redact("range 1 - 23456789 - 0 end") == "range 1 - 23456789 - 0 end")
+  }
+
+  test("long card-like digit runs are swallowed whole") {
+    assert(redact("card 1234-5678-9012-3456 x") == "card <PHONE> x")
+    assert(redact("raw 12345678901234567890") == "raw <PHONE>")
+  }
+
   test("redaction is idempotent (placeholders never re-match)") {
     val samples = Seq(
       "a@b.co and 10.1.2.3 and +1 555 123 4567 mixed",
