@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{AsOfJoin, CombineData, RangeJoin, SkewJoin}
+import graft.etl.{AsOfJoin, CombineData, Merge, RangeJoin, SkewJoin}
 import graft.sources.Ingest
 import Registry._
 
@@ -481,6 +481,108 @@ object RegistryExtra {
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
              |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- U6: MERGE-style upsert (snapshot refresh): updates modify 1/10
+    //      of base keys, delete another 1/10, insert new synthetic keys;
+    //      join-free union+window form (etl/Merge.upsert) ------------------
+    Q("u06_upsert",
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        val mods = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("__del", lit(false))
+        val dels = base.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("__del", lit(true))
+        val ins = base.filter(col("o_orderkey") % 25 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+          .withColumn("__del", lit(false))
+        val updates = mods.unionByName(dels).unionByName(ins)
+        Merge.upsert(base, updates, Seq("o_orderkey"),
+            deleteCol = Some("__del"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |  FROM orders),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 1000
+             |      AS o_totalprice, o_orderstatus, false AS del
+             |    FROM base WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             |      true FROM base WHERE o_orderkey % 10 = 1
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice,
+             |      o_orderstatus, false FROM base WHERE o_orderkey % 25 = 2)
+             |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM (
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |    FROM upd WHERE NOT del
+             |  UNION ALL
+             |  SELECT * FROM base
+             |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- W8: SCD2 history build — half-open validity intervals per key
+    //      from a change log, one window (etl/Merge.scd2) ------------------
+    Q("w08_scd2",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("date"),
+            col("o_totalprice"))
+          .groupBy(col("o_custkey"), col("date"))
+          .agg((decSum(col("o_totalprice")) / count(lit(1))).as("price"))
+        Merge.scd2(daily, Seq("o_custkey"), "date")
+          .select(col("o_custkey"),
+            date_format(col("date"), "yyyy-MM-dd").as("effective_from"),
+            col("price"),
+            coalesce(date_format(col("effective_to"), "yyyy-MM-dd"),
+              lit("current")).as("effective_to"),
+            col("is_current").cast("int").as("is_current"))
+          .orderBy("o_custkey", "effective_from")
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS date,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS price
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_custkey,
+             |  strftime(date, '%Y-%m-%d') AS effective_from, price,
+             |  coalesce(strftime(lead(date) OVER
+             |    (PARTITION BY o_custkey ORDER BY date), '%Y-%m-%d'),
+             |    'current') AS effective_to,
+             |  CAST(lead(date) OVER
+             |    (PARTITION BY o_custkey ORDER BY date) IS NULL AS INT)
+             |    AS is_current
+             |FROM daily ORDER BY o_custkey, effective_from""".stripMargin)),
+
+    // ---- J12: the runtime-bloom-filter join shape — selective dim filter
+    //      + shuffle join on the fact key. At 100 TB Spark's
+    //      InjectRuntimeFilter turns the dim filter into a bloom filter
+    //      probed INSIDE the fact scan, cutting the shuffle to matching
+    //      rows; BloomJoinSpec proves the injection fires (the thresholds
+    //      are sized for real tables, so KB-scale test data needs the
+    //      spec's tuned session, same pattern as the DPP proof) -----------
+    Q("j12_runtime_filter_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"))
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("items"),
+            decSum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
   )
 }

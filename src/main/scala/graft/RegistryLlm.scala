@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import Registry._
 
@@ -519,6 +519,16 @@ object RegistryLlm {
       },
       None),
 
+    Q("n07_sq_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3),
+          Similarity.sqBruteForceTopK(emb, queries, "vec_id", "embedding", 3))
+      },
+      None),
+
     Q("n06_ivf_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -751,6 +761,87 @@ object RegistryLlm {
              |FROM (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
              |        o_orderpriority AS prio, o_totalprice FROM orders)
              |GROUP BY CUBE (yr, prio)
-             |ORDER BY yr, prio""".stripMargin))
+             |ORDER BY yr, prio""".stripMargin)),
+
+    // ---- T6: Gopher-style repetition signals — duplicate-trigram fraction
+    //      and top-bigram fraction, exact integer counts + one division ----
+    Q("t06_repetition",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.duplicateNgramFraction(col("text"), 3)
+            .as("dup_trigram_frac"),
+          TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"))
+        .orderBy("doc_id"),
+      // identical sliding-gram construction: tokens of lower(text), grams
+      // with multiplicity kept, distinct only where the measure needs it
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(lt) >= 3 THEN
+             |      list_transform(range(1, len(lt) - 1),
+             |        i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2])
+             |    ELSE [] END AS g3,
+             |    CASE WHEN len(lt) >= 2 THEN
+             |      list_transform(range(1, len(lt)),
+             |        i -> lt[i] || ' ' || lt[i+1])
+             |    ELSE [] END AS g2
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+             |    / greatest(len(g3), 1) AS dup_trigram_frac,
+             |  CAST(coalesce(list_max(list_transform(list_distinct(g2),
+             |      b -> len(list_filter(g2, x -> x = b)))), 0) AS DOUBLE)
+             |    / greatest(len(g2), 1) AS top_bigram_frac
+             |FROM grams ORDER BY doc_id""".stripMargin)),
+
+    // ---- L3: corpus-frequency boilerplate-line removal (CCNet-style).
+    //      documents.text is single-line, so the query injects a
+    //      deterministic line structure (template chrome shared by every
+    //      doc + unique content lines + a footer shared by 1/7 of docs,
+    //      below the 50% threshold) — same construction in the oracle ----
+    Q("l03_boilerplate",
+      (s, dir) => {
+        val lined = t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 1, 60),
+            lit("copyright 2024 example corp"),
+            substring(col("text"), 61, 60),
+            concat(lit("doc footer "), (col("doc_id") % 7).cast("string")))
+            .as("text"))
+        Boilerplate.removeBoilerplate(lined, "doc_id", "text",
+            minDocFrac = 0.5, minDocs = 2L)
+          .select(col("doc_id"), col("text")).orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, concat_ws(chr(10),
+             |    'subscribe to our newsletter',
+             |    substr(text, 1, 60),
+             |    'copyright 2024 example corp',
+             |    substr(text, 61, 60),
+             |    'doc footer ' || CAST(doc_id % 7 AS VARCHAR)) AS txt
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(txt, chr(10))) AS line,
+             |    unnest(generate_series(1, len(string_split(txt, chr(10)))))
+             |      AS pos
+             |  FROM docs),
+             |hot AS (
+             |  SELECT line FROM lines GROUP BY line
+             |  HAVING count(DISTINCT doc_id) >= greatest(2,
+             |    ceil(0.5 * (SELECT count(DISTINCT doc_id) FROM docs)))),
+             |kept AS (
+             |  SELECT * FROM lines
+             |  WHERE line NOT IN (SELECT line FROM hot)),
+             |rebuilt AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(r.text, '') AS text
+             |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

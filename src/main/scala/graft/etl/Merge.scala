@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance operators: MERGE-style upsert and SCD2
+  * (slowly-changing-dimension type 2) history building — what a
+  * training-data lake runs every time a crawl snapshot lands on top of
+  * the previous one.
+  *
+  * Upsert is deliberately JOIN-FREE: base and updates are unioned with a
+  * source tag and the winner per key is picked by one ranking window —
+  * a single shuffle on the key, no broadcast dependency on either side's
+  * size, no skew sensitivity beyond the key distribution itself. The
+  * classic full-outer-join formulation shuffles BOTH sides too, but then
+  * pays a second pass to coalesce column-by-column; the union form keeps
+  * whole rows and scales to any column count unchanged.
+  */
+object Merge {
+
+  /** MERGE INTO base USING updates:
+    *  - matched + delete flag  → row removed
+    *  - matched, no flag       → update row replaces base row
+    *  - not matched            → update row inserted
+    * `updates` must carry base's columns; `deleteCol` (boolean), when
+    * given, marks deletions and is not part of the output. With several
+    * update rows per key the highest `versionCol` wins (ties broken by
+    * nothing — feed unique versions, as any MERGE requires).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             versionCol: Option[String] = None,
+             deleteCol: Option[String] = None): DataFrame = {
+    val outCols = base.columns.toSeq
+    val del = deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false))
+    val u = updates
+      .withColumn("__m_del", coalesce(del, lit(false)))
+      .withColumn("__m_src", lit(1))
+      .select(outCols.map(col) ++ Seq(col("__m_del"), col("__m_src")): _*)
+    val b = base
+      .withColumn("__m_del", lit(false))
+      .withColumn("__m_src", lit(0))
+      .select(outCols.map(col) ++ Seq(col("__m_del"), col("__m_src")): _*)
+    // updates beat base; among updates, later versions beat earlier
+    val order = col("__m_src").desc +:
+      versionCol.map(col(_).desc).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    b.unionByName(u)
+      .withColumn("__m_rn", row_number().over(w))
+      .filter(col("__m_rn") === 1 && !col("__m_del"))
+      .select(outCols.map(col): _*)
+  }
+
+  /** SCD2 history from a change log: for each key's change rows (ordered
+    * by `effectiveCol`) emit half-open validity intervals —
+    * `effective_to` = the next change's effective date (null = current
+    * version, also flagged `is_current`). One window over one shuffle on
+    * the key; `effectiveCol` must be unique per key (dedup change logs
+    * first — two changes of the same key at the same instant have no
+    * defined order in ANY SCD2 implementation).
+    */
+  def scd2(changes: DataFrame, keys: Seq[String],
+           effectiveCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(effectiveCol))
+    changes
+      .withColumn("effective_to", lead(col(effectiveCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.{CosineSim, NearestCells, SignBucket}
+import graft.plans.{CosineSim, NearestCells, QCosineSim, SignBucket, SqQuantize}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -275,6 +275,40 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .distinct()
+  }
+
+  /** Int8 scalar quantization of an embedding column (native kernel):
+    * 4× memory compression vs float32. Cosine is scale-invariant, so the
+    * per-vector scale is dropped and `qCosine` ranks directly on the
+    * codes — the standard SQ shortlist trick (quantized rank, optional
+    * full-precision re-rank of the shortlist).
+    */
+  def quantize(vec: Column): Column = SqQuantize(vec)
+
+  /** Cosine over two int8-quantized vectors (exact integer accumulation,
+    * one double division).
+    */
+  def qCosine(a: Column, b: Column): Column = QCosineSim(a, b)
+
+  /** Brute-force top-k over QUANTIZED vectors — same broadcast
+    * nested-loop shape as `bruteForceTopK`, but the corpus scanned per
+    * query is int8 codes (4× less memory traffic). Ranking error vs the
+    * exact path is bounded by the quantization step; `n07_sq_recall`
+    * audits recall@k against the float baseline.
+    */
+  def sqBruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cq"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", qCosine(col("qq"), col("cq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
   /** Recall@k summary of an approximate ANN result against the exact one:

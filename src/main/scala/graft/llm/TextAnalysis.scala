@@ -115,4 +115,43 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+
+  // ---------------------------------------------- repetition signals
+
+  /** Sliding word n-grams, duplicates KEPT (unlike `Dedup.wordShingles`,
+    * which is a distinct set for Jaccard): repetition measures need the
+    * multiplicity. Docs shorter than n tokens yield an empty array.
+    */
+  def slidingNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier
+    * occurrence — the Gopher-rules "duplicate n-gram fraction" repetition
+    * filter: boilerplate loops and keyword stuffing score high, normal
+    * prose near zero. Exact integer counts, one double division; per-row
+    * expression, so it runs shuffle-free at scan speed.
+    */
+  def duplicateNgramFraction(text: Column, n: Int = 3): Column = {
+    val grams = slidingNgrams(text, n)
+    val total = size(grams)
+    ((total - size(array_distinct(grams))).cast("double") /
+      greatest(total, lit(1)).cast("double"))
+  }
+
+  /** Fraction of all bigram occurrences taken by the single most frequent
+    * bigram (Gopher's "top n-gram fraction" family, n=2): a chant-like
+    * doc ("buy now buy now …") approaches 1. O(distinct·total) per row —
+    * bounded by doc length, no shuffle.
+    */
+  def topBigramFraction(text: Column): Column = {
+    val bg = slidingNgrams(text, 2)
+    val top = array_max(transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b))))
+    (coalesce(top, lit(0)).cast("double") /
+      greatest(size(bg), lit(1)).cast("double"))
+  }
 }

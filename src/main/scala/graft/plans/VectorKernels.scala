@@ -221,3 +221,106 @@ object NearestCells {
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec),
       centroids.toSeq.map(_.toSeq), nProbe))
 }
+
+/** Int8 scalar quantization: `q_i = round(v_i / (maxAbs/127))`, clamped
+  * to [-127, 127] (an all-zero vector quantizes to all zeros). 4× (from
+  * float) / 8× (from double) memory compression for ANN shortlists —
+  * at 100 TB the embedding column IS the working set, so this is the
+  * difference between an index that fits executor memory and one that
+  * spills. The per-vector scale is NOT stored: cosine is
+  * scale-invariant, so `QCosineSim` over the quantized codes needs no
+  * dequantization.
+  */
+case class SqQuantize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVecType(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_quantize expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.catalogString}")
+
+  private lazy val isFloat = VecOps.isFloatVec(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = VecOps.toDoubles(input.asInstanceOf[ArrayData], isFloat)
+    if (v == null) return null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1
+    }
+    val q = new Array[Byte](v.length)
+    if (maxAbs > 0) {
+      val inv = 127.0 / maxAbs
+      i = 0
+      while (i < v.length) {
+        val r = math.rint(v(i) * inv)
+        q(i) = math.max(-127.0, math.min(127.0, r)).toByte
+        i += 1
+      }
+    }
+    new GenericArrayData(q)
+  }
+
+  override def prettyName: String = "sq_quantize"
+
+  override protected def withNewChildInternal(newChild: Expression): SqQuantize =
+    copy(child = newChild)
+}
+
+object SqQuantize {
+  def apply(vec: Column): Column =
+    ColumnBridge.column(SqQuantize(ColumnBridge.expression(vec)))
+}
+
+/** Cosine over two int8-quantized vectors: dot and norms accumulate in
+  * Long (exact — 64 dims of ±127 products is far below 2^63), one double
+  * division at the end. The per-vector quantization scales cancel in
+  * cosine, so this needs no floats until the final ratio.
+  */
+case class QCosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  private def isByteVec(dt: DataType): Boolean = dt match {
+    case ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isByteVec(left.dataType) && isByteVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"q_cosine_sim expects two ARRAY<TINYINT>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    VecOps.requireDim(b.numElements(), a.numElements(), "q_cosine_sim")
+    var ab = 0L; var aa = 0L; var bb = 0L
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getByte(i).toLong; val y = b.getByte(i).toLong
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    ab.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble))
+  }
+
+  override def prettyName: String = "q_cosine_sim"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QCosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object QCosineSim {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      QCosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Merge
+
+/** MERGE-upsert and SCD2 semantics (the u06/w08 oracle gate covers the
+  * volume path; these pin the edge semantics on hand-built rows).
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "v")
+
+  test("upsert: update beats base, insert lands, delete removes") {
+    val updates = Seq(
+      (2L, "b2", 22.0, false), // update
+      (3L, "c", 30.0, true),   // delete
+      (9L, "new", 90.0, false) // insert
+    ).toDF("k", "name", "v", "del")
+    val out = Merge.upsert(base, updates, Seq("k"), deleteCol = Some("del"))
+      .orderBy("k").as[(Long, String, Double)].collect.toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "new", 90.0)))
+  }
+
+  test("upsert: highest version wins among several updates of one key") {
+    val updates = Seq(
+      (2L, "v1", 21.0, 1L), (2L, "v3", 23.0, 3L), (2L, "v2", 22.0, 2L)
+    ).toDF("k", "name", "v", "ver")
+    val out = Merge.upsert(base.withColumn("ver", lit(0L)), updates,
+        Seq("k"), versionCol = Some("ver"))
+      .filter(col("k") === 2L).select("name", "v")
+      .as[(String, Double)].collect.toSeq
+    assert(out == Seq(("v3", 23.0)))
+  }
+
+  test("upsert: extra update columns are dropped, base schema kept") {
+    val updates = Seq((1L, "a9", 11.0, "ignored")).toDF("k", "name", "v", "x")
+    val out = Merge.upsert(base, updates, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "name", "v"))
+    assert(out.filter(col("k") === 1L).select("v").as[Double].head == 11.0)
+  }
+
+  test("scd2: half-open intervals chain with exactly one current row") {
+    val changes = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-02-01", 12.0),
+      (1L, "2024-03-15", 9.0), (2L, "2024-06-01", 50.0)
+    ).toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val out = Merge.scd2(changes, Seq("k"), "d")
+      .select(col("k"), date_format(col("d"), "yyyy-MM-dd").as("from"),
+        coalesce(date_format(col("effective_to"), "yyyy-MM-dd"), lit("∞"))
+          .as("to"), col("is_current"))
+      .orderBy("k", "from")
+      .as[(Long, String, String, Boolean)].collect.toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", "2024-02-01", false),
+      (1L, "2024-02-01", "2024-03-15", false),
+      (1L, "2024-03-15", "∞", true),
+      (2L, "2024-06-01", "∞", true)))
+  }
+}

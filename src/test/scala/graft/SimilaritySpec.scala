@@ -143,4 +143,39 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("int8 quantization: codes bounded, zero-safe, cosine within 0.03") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.5f, 3.0f, 0.25f)),
+      (2L, Array(-2.0f, 0.0f, 1.0f, 0.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector must not divide by 0
+      .toDF("id", "v")
+    val q = vecs.select(col("id"), Similarity.quantize(col("v")).as("q"))
+      .as[(Long, Seq[Byte])].collect.toMap
+    assert(q(1L).max == 127 && q(1L).forall(b => b >= -127 && b <= 127))
+    assert(q(3L).forall(_ == 0))
+    // quantized cosine tracks exact cosine within the int8 step
+    val pair = vecs.filter(col("id") < 3L)
+      .agg(collect_list(col("v"))).as[Seq[Seq[Float]]].head
+    val exact = Seq((pair(0).toArray, pair(1).toArray)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].head
+    val approx = Seq((pair(0).toArray, pair(1).toArray)).toDF("a", "b")
+      .select(Similarity.qCosine(Similarity.quantize(col("a")),
+        Similarity.quantize(col("b")))).as[Double].head
+    assert(math.abs(exact - approx) < 0.03, s"exact=$exact approx=$approx")
+  }
+
+  test("SQ brute-force top-k: recall@3 >= 0.9 vs the float baseline") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3)
+    val sq = Similarity.sqBruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3)
+    val r = Similarity.recallAtK(exact, sq).head()
+    assert(r.getAs[Long]("exact_pairs") == 15L)
+    assert(r.getAs[Double]("recall") >= 0.9,
+      s"SQ recall ${r.getAs[Double]("recall")} below floor")
+  }
 }
