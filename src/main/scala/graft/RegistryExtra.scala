@@ -558,6 +558,46 @@ object RegistryExtra {
              |    AS is_current
              |FROM daily ORDER BY o_custkey, effective_from""".stripMargin)),
 
+    // ---- A20: histogram binning (width_bucket) — exact integer counts
+    //      per fixed-width price bucket, the standard profiling op -------
+    Q("a20_histogram",
+      (s, dir) => t(s, dir, "orders")
+        .select(expr("width_bucket(o_totalprice, 0, 600000, 12)").as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("orders"),
+          decSum(col("o_totalprice")).as("total"))
+        .orderBy("bucket"),
+      // DuckDB has no width_bucket; the explicit arithmetic is exactly
+      // Spark's (bin width 600000/12 = 50000 is binary-exact, so
+      // floor(v/50000)+1 reproduces the boundary behavior bit-for-bit)
+      Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+             |    WHEN o_totalprice >= 600000 THEN 13
+             |    ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END
+             |    AS bucket,
+             |  count(*) AS orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- A21: exact median / quartiles per group — Spark `percentile`
+    //      (exact, sort-based) vs DuckDB quantile_cont: both linear-
+    //      interpolation over the sorted group ---------------------------
+    Q("a21_median",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+          expr("percentile(o_totalprice, 0.5)").as("median"),
+          expr("percentile(o_totalprice, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.25) AS q1,
+             |  quantile_cont(o_totalprice, 0.5) AS median,
+             |  quantile_cont(o_totalprice, 0.75) AS q3,
+             |  count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- J12: the runtime-bloom-filter join shape — selective dim filter
     //      + shuffle join on the fact key. At 100 TB Spark's
     //      InjectRuntimeFilter turns the dim filter into a bloom filter

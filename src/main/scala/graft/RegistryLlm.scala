@@ -687,6 +687,24 @@ object RegistryLlm {
              |    AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // ---- W9: stream-static enrichment join + windowed rollup — events
+    //      joined to the customer dim (broadcast, stream side never
+    //      shuffles for the join), counts per market segment per day;
+    //      StreamingSpec runs the same definition as a real stream -------
+    Q("w09_stream_enrich",
+      (s, dir) => EventStream.enrichedCounts(events(s, dir),
+          t(s, dir, "customer"), "user_id", "c_custkey", "c_mktsegment")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("c_mktsegment"), col("events"), col("total_value"))
+        .orderBy("day", "c_mktsegment"),
+      Some("""SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+             |  coalesce(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+             |  count(*) AS events,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY day, c_mktsegment""".stripMargin)),
+
     // ---- W6: sliding (hopping) windows — 2-day window, 1-day slide:
     //      every event lands in exactly two windows; the oracle fans each
     //      row out to its two window starts --------------------------------

@@ -55,6 +55,28 @@ object EventStream {
                     delay: String = "1 day"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static enrichment join + windowed rollup — the standard
+    * "join the firehose to a dimension" shape. The dim side is a plain
+    * batch DataFrame: Spark re-plans it per micro-batch and (small dim)
+    * broadcasts it, so the stream side never shuffles for the join; at
+    * 100 TB/day the only stateful operator is still the windowed agg,
+    * bounded by the watermark. Shared batch/stream definition like
+    * `windowedCounts` (the batch run is the w09 oracle).
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame,
+                     eventKey: String, dimKey: String, dimAttr: String,
+                     windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey), "left")
+      .withColumn(dimAttr, coalesce(col(dimAttr), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), windowLen).as("w"), col(dimAttr))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col(dimAttr),
+        col("events"), col("total_value"))
+
   /** File-source stream over a directory of event data (the daily-append
     * directory pattern), parquet or json.
     */

@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L)), rows.toSeq)
   }
 
+  test("stream-static enrichment join runs as a real Append stream") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val dim = Seq((10L, "RETAIL"), (20L, "AUTO")).toDF("k", "segment")
+    val data = Seq(
+      ("2024-01-01 01:00:00", 10L, 1.0),
+      ("2024-01-01 02:00:00", 10L, 2.0),
+      ("2024-01-01 03:00:00", 20L, 5.0),
+      ("2024-01-01 04:00:00", 99L, 7.0), // no dim row → UNKNOWN
+      ("2024-01-03 00:00:00", 10L, 1.0)  // advances watermark, closes 01-01
+    ).toDF("ts", "user_id", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    data.coalesce(1).write.parquet(in)
+    val stream = EventStream.readEvents(spark, in, schema = data.schema)
+    val q = EventStream.enrichedCounts(stream, dim, "user_id", "k", "segment")
+      .writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .filter(col("window_start") === "2024-01-01 00:00:00")
+      .orderBy("segment")
+      .collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("events"),
+        r.getAs[Double]("total_value")))
+    assert(rows.toSeq == Seq(("AUTO", 1L, 5.0), ("RETAIL", 2L, 3.0),
+      ("UNKNOWN", 1L, 7.0)), rows.toSeq)
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
