@@ -34,6 +34,11 @@ object CorpusPipeline {
     *   final stage. AFTER dedup on purpose: redaction placeholders must
     *   not merge documents that differed only in their PII, and dedup
     *   must see the content that was actually crawled.
+    * @param boilerplateFrac when set, run `Boilerplate.removeBoilerplate`
+    *   at this doc-fraction threshold BEFORE everything else: template
+    *   chrome must not feed the quality gate (it inflates stopword hits)
+    *   nor dedup (two different articles sharing a site template must
+    *   not become near-dups through the chrome alone).
     */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", minQuality: Double = 0.6,
@@ -41,8 +46,13 @@ object CorpusPipeline {
                   neardupThreshold: Double = 0.5,
                   useMinhash: Boolean = false,
                   transitive: Boolean = false,
-                  redact: Boolean = false): DataFrame = {
-    val gated = docs.filter(
+                  redact: Boolean = false,
+                  boilerplateFrac: Option[Double] = None): DataFrame = {
+    val base = boilerplateFrac match {
+      case Some(f) => Boilerplate.removeBoilerplate(docs, idCol, textCol, f)
+      case None => docs
+    }
+    val gated = base.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
         TextAnalysis.langId(col(textCol)).isin(langs: _*))
     val deduped = Dedup.exactDedup(gated, textCol, idCol)

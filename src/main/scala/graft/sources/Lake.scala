@@ -93,6 +93,26 @@ object Lake {
     writer.mode("overwrite").parquet(dstDir)
   }
 
+  /** Sort-clustered write — the data-skipping layout for NON-partition
+    * columns: `repartitionByRange` gives every output file a disjoint
+    * value range of the cluster keys, and `sortWithinPartitions` orders
+    * rows inside each file, so parquet footer min/max statistics become
+    * tight and any reader (Spark's row-group filter, or an external
+    * engine reading the same lake) skips whole files/row-groups for a
+    * range or point predicate. Partitioning handles the coarse key
+    * (date); clustering handles the high-cardinality one (price, id,
+    * embedding bucket) where one-directory-per-value is impossible.
+    * `LakeSpec` proves the property from the data itself: per-file
+    * [min,max] of the cluster key are pairwise disjoint.
+    */
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String],
+                     nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Derive a `month` partition column (yyyy-MM) from a date column —
     * day-level partitioning over years of data produces thousands of
     * tiny directories; month is the usual balance.

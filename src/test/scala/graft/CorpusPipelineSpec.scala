@@ -40,4 +40,27 @@ class CorpusPipelineSpec extends SparkSpec {
     val out = CorpusPipeline.cleanCorpus(docs, transitive = true)
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
   }
+
+  test("boilerplate stage strips chrome BEFORE dedup sees the text") {
+    // two DIFFERENT articles wrapped in identical site chrome: without
+    // the boilerplate stage the shared chrome drives their Jaccard over
+    // the near-dup threshold and one article is wrongly dropped
+    val chrome = "subscribe to the daily newsletter for all of the news\n" +
+      "accept the cookie banner to continue to the site and the archive\n" +
+      "copyright of the example news network all of the rights reserved\n"
+    val a = "the quick brown fox jumps over the lazy dog in the morning"
+    val b = "the slow green turtle walks under the tall tree in the evening"
+    val wrapped = Seq(
+      (0L, chrome + a), (1L, chrome + b), (2L, chrome + a) // 2 = true dup of 0
+    ).toDF("doc_id", "text")
+    val naive = CorpusPipeline.cleanCorpus(wrapped)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(naive == Set(0L),
+      s"control: chrome should merge the distinct articles, got $naive")
+    val staged = CorpusPipeline.cleanCorpus(wrapped,
+        boilerplateFrac = Some(0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(staged == Set(0L, 1L),
+      s"boilerplate stage must keep both real articles, got $staged")
+  }
 }

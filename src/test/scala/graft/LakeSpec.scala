@@ -138,6 +138,31 @@ class LakeSpec extends SparkSpec {
       (0L until 5000L).sum - 1)
   }
 
+  test("clustered write yields disjoint per-file ranges (data skipping)") {
+    val dir = Files.createTempDirectory("graft-cluster").toString
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+    Lake.writeClustered(src, s"$dir/clustered", Seq("o_totalprice"), 6)
+    val files = new java.io.File(s"$dir/clustered").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length >= 4, s"expected ~6 range files, got ${files.length}")
+    // the skipping property, proven from the data: each file's
+    // [min,max] of the cluster key must not overlap any other's —
+    // parquet footer stats derive from exactly these values, so a
+    // predicate on o_totalprice prunes to one file
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_totalprice"), max("o_totalprice")).head
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $hi > $lo2")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(s"$dir/clustered").count() == src.count())
+  }
+
   test("dynamic overwrite replaces only the partitions present") {
     val dir = Files.createTempDirectory("graft-lake").toString
     Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))
