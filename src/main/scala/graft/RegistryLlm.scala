@@ -815,6 +815,50 @@ object RegistryLlm {
              |    / greatest(len(g2), 1) AS top_bigram_frac
              |FROM grams ORDER BY doc_id""".stripMargin)),
 
+    // ---- T7: corpus vocabulary (top-K tokens, occurrence + doc counts) —
+    //      tokenizer-training input; integer-exact, global top-k ----------
+    Q("t07_vocab",
+      (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"), "text", 100),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |occ AS (
+             |  SELECT token, count(*) AS occurrences FROM (
+             |    SELECT unnest(lt) AS token FROM toks)
+             |  GROUP BY 1),
+             |dfreq AS (
+             |  SELECT token, count(*) AS doc_count FROM (
+             |    SELECT doc_id, unnest(list_distinct(lt)) AS token FROM toks)
+             |  GROUP BY 1)
+             |SELECT o.token, o.occurrences, d.doc_count
+             |FROM occ o JOIN dfreq d USING (token)
+             |ORDER BY o.occurrences DESC, o.token LIMIT 100""".stripMargin)),
+
+    // ---- T8: top-3 distinctive terms per doc — tf desc, corpus df asc,
+    //      token asc: the tf-idf ordering with integer-exact ranking ------
+    Q("t08_top_terms",
+      (s, dir) => TextAnalysis.topTermsPerDoc(
+          t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(lt) AS token FROM toks)
+             |  GROUP BY 1, 2),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, rank, token, tf, df FROM (
+             |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, d.df ASC, tf.token ASC) AS rank
+             |  FROM tf JOIN dfreq d USING (token))
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // ---- L3: corpus-frequency boilerplate-line removal (CCNet-style).
     //      documents.text is single-line, so the query injects a
     //      deterministic line structure (template chrome shared by every

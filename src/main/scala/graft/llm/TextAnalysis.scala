@@ -154,4 +154,50 @@ object TextAnalysis {
     (coalesce(top, lit(0)).cast("double") /
       greatest(size(bg), lit(1)).cast("double"))
   }
+
+  // ---------------------------------------------- corpus vocabulary
+
+  /** Top-`topK` corpus vocabulary with occurrence and document counts —
+    * the input to tokenizer training and stopword induction. One shuffle
+    * on the token (map-side partial counts carry (occurrences, 1-doc)
+    * pairs, never text), then a global top-k (`TakeOrderedAndProject`,
+    * never a single-partition sort). Ties broken by token for a total
+    * order. All counts are integers — exact at any parallelism.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val occ = docs.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("occurrences"))
+    // doc_count explodes the per-doc DISTINCT token set, so each doc
+    // contributes at most 1 per token
+    val dfreq = docs
+      .select(explode(array_distinct(tokens(lower(col(textCol))))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_count"))
+    occ.join(dfreq, Seq("token"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Top-`k` most DISTINCTIVE terms per document: rank by term frequency
+    * desc, then corpus document-frequency asc (rarer wins — the tf-idf
+    * ordering without the float idf), then token asc. Integer-exact, so
+    * the ranking is reproducible bit-for-bit on any engine. Two shuffles
+    * (token df, then per-doc window) — both on narrow integer/token
+    * columns.
+    */
+  def topTermsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).as("df")) // tf rows are per (doc, token) → df
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
+  }
 }
