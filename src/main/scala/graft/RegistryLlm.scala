@@ -456,6 +456,27 @@ object RegistryLlm {
              |WHERE doc_id NOT IN (SELECT id_b FROM losers)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- L4: corpus-adaptive length-outlier pruning (Tukey fences over
+    //      the token-count distribution; one-row quartile agg broadcast
+    //      back) — survivors only --------------------------------------
+    Q("l04_length_outliers",
+      (s, dir) => graft.llm.CorpusPipeline.dropLengthOutliers(
+          t(s, dir, "documents"))
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> strlen(t) > 0)) AS nt
+             |  FROM documents),
+             |f AS (
+             |  SELECT quantile_cont(nt, 0.25) AS q1,
+             |    quantile_cont(nt, 0.75) AS q3
+             |  FROM n)
+             |SELECT doc_id FROM n, f
+             |WHERE nt >= q1 - (q3 - q1) * 1.5
+             |  AND nt <= q3 + (q3 - q1) * 1.5
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
     Q("n01_ann_bruteforce",
       (s, dir) => {
@@ -704,6 +725,35 @@ object RegistryLlm {
              |    AS total_value
              |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
              |GROUP BY 1, 2 ORDER BY day, c_mktsegment""".stripMargin)),
+
+    // ---- W10: stream-stream attribution join — clicks matched to the
+    //      same user's purchases within 1 hour; in batch this is the
+    //      interval join the oracle checks, in streaming the watermarks
+    //      bound the join state (StreamingSpec runs it as two real
+    //      file-source streams) ----------------------------------------
+    Q("w10_stream_stream_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        EventStream.attributionJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "user_id")
+          .select(col("user_id"), col("left_id").as("click_id"),
+            date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            col("right_id").as("purchase_id"),
+            date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id,
+             |  c.event_id AS click_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |  p.event_id AS purchase_id,
+             |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |ORDER BY click_id, purchase_id""".stripMargin)),
 
     // ---- W6: sliding (hopping) windows — 2-day window, 1-day slide:
     //      every event lands in exactly two windows; the oracle fans each

@@ -75,6 +75,34 @@ object CorpusPipeline {
     else kept
   }
 
+  /** Length-outlier pruning (Tukey fences): drop documents whose token
+    * count falls outside [q1 − k·IQR, q3 + k·IQR] of the corpus
+    * distribution — the standard defense against truncated fragments and
+    * concatenation blobs that absolute length cutoffs (the quality gate)
+    * can't express because they don't adapt to the corpus. The quartiles
+    * are ONE exact sort-based aggregate reduced to a single row, joined
+    * back as a broadcast — the corpus is scanned twice but never
+    * shuffled wide, and the filter composes with the scan.
+    */
+  def dropLengthOutliers(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         k: Double = 1.5): DataFrame = {
+    val withN = docs.withColumn("__lo_n",
+      TextAnalysis.tokenCount(col(textCol)))
+    val fences = withN.agg(
+        expr("percentile(__lo_n, 0.25)").as("__lo_q1"),
+        expr("percentile(__lo_n, 0.75)").as("__lo_q3"))
+      .select(col("__lo_q1"), col("__lo_q3"),
+        (col("__lo_q1") - (col("__lo_q3") - col("__lo_q1")) * k)
+          .as("__lo_lo"),
+        (col("__lo_q3") + (col("__lo_q3") - col("__lo_q1")) * k)
+          .as("__lo_hi"))
+    withN.crossJoin(broadcast(fences))
+      .filter(col("__lo_n") >= col("__lo_lo") &&
+        col("__lo_n") <= col("__lo_hi"))
+      .drop("__lo_n", "__lo_q1", "__lo_q3", "__lo_lo", "__lo_hi")
+  }
+
   /** One-row summary of a cleaning pass: input/survivor counts per stage
     * boundary are what a 100 TB run monitors (a gate that drops 99% of a
     * crawl is a bug, not a success).

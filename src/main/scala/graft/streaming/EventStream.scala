@@ -77,6 +77,31 @@ object EventStream {
       .select(col("w.start").as("window_start"), col(dimAttr),
         col("events"), col("total_value"))
 
+  /** Stream-stream attribution join: match each left event (e.g. click)
+    * to the same user's right events (e.g. purchase) within `within`
+    * AFTER it — the canonical two-firehose join. The explicit time bound
+    * plus both watermarks is what makes this runnable forever: Spark
+    * derives from them exactly how long a left row can still find a
+    * match, and evicts join state past that horizon, so state is
+    * O(events per `within` + delay window), not O(stream history). In
+    * batch the same definition is a plain interval join (the w10
+    * oracle). Inner join: matches emit immediately, no watermark wait.
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                      within: String = "1 hour",
+                      delay: String = "1 day"): DataFrame = {
+    val l = left.withWatermark("ts", delay).alias("l")
+    val r = right.withWatermark("ts", delay).alias("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+        "inner")
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
+        col("r.event_id").as("right_id"), col("r.ts").as("right_ts"))
+  }
+
   /** File-source stream over a directory of event data (the daily-append
     * directory pattern), parquet or json.
     */

@@ -63,4 +63,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(staged == Set(0L, 1L),
       s"boilerplate stage must keep both real articles, got $staged")
   }
+
+  test("length-outlier pruning drops corpus-relative extremes only") {
+    // 20 docs of 8..12 tokens (q1=9, q3=11 → fences [6, 14]), one
+    // 2-token fragment and one 200-token blob: the fences adapt to the
+    // corpus, so the normal spread survives and both extremes drop
+    val normal = (0 until 20).map { i =>
+      (i.toLong, ("tok " * (8 + i % 5)).trim)
+    }
+    val corpus = (normal :+ (100L, "tiny frag") :+
+      (101L, ("tok " * 200).trim)).toDF("doc_id", "text")
+    val kept = CorpusPipeline.dropLengthOutliers(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0 until 20).map(_.toLong).toSet, kept.toSeq.sorted)
+  }
 }

@@ -173,6 +173,39 @@ class StreamingSpec extends SparkSpec {
       ("UNKNOWN", 1L, 7.0)), rows.toSeq)
   }
 
+  test("stream-stream join matches within the time bound, drops outside") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val inL = s"$dir/clicks"; val inR = s"$dir/buys"
+    val out = s"$dir/out"; val cp = s"$dir/cp"
+    def df(rows: Seq[(String, String, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    df(Seq(
+      ("c1", "2024-01-01 10:00:00", 1L),
+      ("c2", "2024-01-01 12:00:00", 2L)
+    )).coalesce(1).write.parquet(inL)
+    df(Seq(
+      ("p1", "2024-01-01 10:30:00", 1L), // within 1h of c1 → match
+      ("p2", "2024-01-01 09:30:00", 1L), // BEFORE c1 → no match
+      ("p3", "2024-01-01 14:00:00", 2L)  // 2h after c2 → outside bound
+    )).coalesce(1).write.parquet(inR)
+    val schema = df(Nil).schema
+    val q = EventStream.attributionJoin(
+        EventStream.readEvents(spark, inL, schema = schema),
+        EventStream.readEvents(spark, inR, schema = schema), "user_id")
+      .writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("c1", "p1")), rows.toSeq)
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
