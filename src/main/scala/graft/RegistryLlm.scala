@@ -270,6 +270,41 @@ object RegistryLlm {
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming")),
       None),
 
+    // ---- D10: benchmark decontamination — drop training docs sharing any
+    //      8-gram with the eval split (doc_id % 10 == 0 plays the
+    //      benchmark); broadcast eval-gram anti-join, survivors out ------
+    Q("d10_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.llm.CorpusPipeline.decontaminate(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), n = 8)
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(lt) >= 8 THEN
+             |      list_distinct(list_transform(range(1, len(lt) - 6),
+             |        i -> array_to_string(lt[i:i+7], ' ')))
+             |    ELSE [array_to_string(lt, ' ')] END AS grams
+             |  FROM toks),
+             |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+             |       WHERE doc_id % 10 = 0),
+             |cont AS (
+             |  SELECT DISTINCT tr.doc_id
+             |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+             |        WHERE doc_id % 10 <> 0) tr
+             |  JOIN eg USING (gram))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 10 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- D8: dup clusters = connected components over the exact pairs -------
     // rep = min id of the component; oracle is transitive closure via a
     // DuckDB recursive CTE over the same edge set d06 verifies.
@@ -475,6 +510,21 @@ object RegistryLlm {
              |SELECT doc_id FROM n, f
              |WHERE nt >= q1 - (q3 - q1) * 1.5
              |  AND nt <= q3 + (q3 - q1) * 1.5
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L5: deterministic corpus mixing — per-source keep rates decided
+    //      by a multiplicative hash of doc_id (reproducible, not rand());
+    //      src1/src2/src3 downweighted, everything else at 60% -----------
+    Q("l05_mix_sources",
+      (s, dir) => graft.llm.CorpusPipeline.mixSources(
+          t(s, dir, "documents"),
+          Map("src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultWeight = 0.6)
+        .select(col("doc_id"), col("source")).orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE (doc_id * 2654435761) % 10000 <
+             |  CASE source WHEN 'src1' THEN 7500 WHEN 'src2' THEN 5000
+             |    WHEN 'src3' THEN 2500 ELSE 6000 END
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
@@ -908,6 +958,59 @@ object RegistryLlm {
              |      ORDER BY tf.tf DESC, d.df ASC, tf.token ASC) AS rank
              |  FROM tf JOIN dfreq d USING (token))
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- T9: training-sequence chunking — 16-token windows, stride 8
+    //      (50% overlap); every token covered, no redundant tail ---------
+    Q("t09_seq_chunks",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkTokens(col("text"), 16, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"),
+          TextAnalysis.tokenCount(col("chunk")).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lt,
+             |    CASE WHEN len(lt) <= 16 THEN 1
+             |      ELSE (len(lt) - 16 + 7) // 8 + 1 END AS nc
+             |  FROM toks),
+             |fan AS (
+             |  SELECT doc_id, lt,
+             |    unnest(generate_series(0, CAST(nc - 1 AS INT))) AS i
+             |  FROM c)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |  array_to_string(lt[i*8+1:i*8+16], ' ') AS chunk,
+             |  CAST(len(lt[i*8+1:i*8+16]) AS BIGINT) AS chunk_tokens
+             |FROM fan ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- T10: unigram-LM quality proxy, integer-exact core — per-doc
+    //      mean corpus document-frequency of its tokens (gibberish/OCR
+    //      noise scores low); single final division → bit-stable ---------
+    Q("t10_rarity_score",
+      (s, dir) => TextAnalysis.rarityScore(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0) AS lt
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(lt) AS token FROM toks),
+             |dfreq AS (
+             |  SELECT token, count(*) AS df FROM (
+             |    SELECT doc_id, unnest(list_distinct(lt)) AS token FROM toks)
+             |  GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_token_df,
+             |  count(*) AS n_tokens
+             |FROM tok JOIN dfreq USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- L3: corpus-frequency boilerplate-line removal (CCNet-style).
     //      documents.text is single-line, so the query injects a

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end cleaning pass a training-data run actually executes,
@@ -101,6 +101,53 @@ object CorpusPipeline {
       .filter(col("__lo_n") >= col("__lo_lo") &&
         col("__lo_n") <= col("__lo_hi"))
       .drop("__lo_n", "__lo_q1", "__lo_q3", "__lo_lo", "__lo_hi")
+  }
+
+  /** Benchmark decontamination: drop every training document that shares
+    * at least one word `n`-gram with the evaluation set — the standard
+    * exact-substring contamination gate run before any LLM training job.
+    * The eval side reduces to its DISTINCT gram set first (benchmarks
+    * are tiny next to the corpus — thousands of docs vs billions), which
+    * is then BROADCAST: the 100 TB training side is scanned once,
+    * streams through a broadcast hash join probe on its exploded grams,
+    * and never shuffles; only the (rare) contaminated doc-ids — not the
+    * documents — travel to the final anti-join. A doc shorter than `n`
+    * tokens contributes its whole text as one gram (`wordShingles`
+    * fallback), so short eval answers still decontaminate.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic corpus mixing: keep each document with a per-source
+    * probability (`weights`, missing sources fall back to
+    * `defaultWeight`), decided by a multiplicative hash of the stable id
+    * — NOT by `rand()`. Determinism is the point: the same mixture is
+    * reproducible run-to-run, survives retries/speculative execution,
+    * and composes with incremental reruns (a re-crawled doc keeps its
+    * fate). Pure per-row filter — no shuffle, no sampling pass; pushes
+    * into the scan. The hash is Knuth's multiplicative scheme over the
+    * id (portable integer arithmetic, reproducible on any engine); for
+    * string keys swap in `xxhash64` — same contract.
+    */
+  def mixSources(docs: DataFrame, weights: Map[String, Double],
+                 defaultWeight: Double = 1.0, idCol: String = "doc_id",
+                 sourceCol: String = "source"): DataFrame = {
+    val scaled = weights.foldRight(
+        lit((defaultWeight * 10000).round): Column) { case ((s, w), acc) =>
+      when(col(sourceCol) === s, lit((w * 10000).round)).otherwise(acc)
+    }
+    docs.filter(pmod(col(idCol) * lit(2654435761L), lit(10000L)) < scaled)
   }
 
   /** One-row summary of a cleaning pass: input/survivor counts per stage

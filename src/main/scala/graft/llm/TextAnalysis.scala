@@ -200,4 +200,68 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
   }
+
+  /** Fixed-size training-sequence chunking: split a document's token
+    * stream into windows of `chunkSize` tokens advancing by `stride`
+    * (overlap = chunkSize − stride keeps context across boundaries —
+    * the standard pre-packing step before sequences feed a trainer).
+    * Covers every token with no redundant tail: a doc of `nt` tokens
+    * yields 1 chunk if nt ≤ chunkSize, else ⌈(nt−chunkSize)/stride⌉+1.
+    * Pure per-row expression (sequence + slice) — chunking 100 TB is a
+    * scan, not a shuffle; pair with `posexplode` for (doc, idx, chunk)
+    * rows.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunk=$chunkSize")
+    val toks = tokens(text)
+    val nt = size(toks)
+    val nChunks = when(nt <= chunkSize, lit(1)).otherwise(
+      floor((nt - chunkSize + stride - 1).cast("double") / stride)
+        .cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+  }
+
+  /** Per-document mean corpus document-frequency of its tokens — the
+    * integer-exact core of unigram-LM quality scoring: gibberish, OCR
+    * noise and boilerplate-free keyword stuffing score LOW (rare
+    * tokens), natural prose scores high. Two passes over the corpus
+    * (one to build the token→df table, one to score), both shuffling
+    * only (token, count) pairs; the sum is a BIGINT so the single final
+    * division is reproducible bit-for-bit on any engine.
+    */
+  def rarityScore(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val dfreq = docs
+      .select(explode(array_distinct(tokens(lower(col(textCol)))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, Seq("token"))
+      .groupBy(col(idCol))
+      .agg((sum(col("df")).cast("double") / count(lit(1)))
+        .as("mean_token_df"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Unigram-LM mean log-probability per document (the perplexity proxy
+    * quality filters actually threshold on): P(t) = occurrences(t) /
+    * total corpus tokens, score = mean over the doc's tokens of ln P(t).
+    * Same two-pass shape as `rarityScore` (which is the hash-checkable
+    * integer core — use it when cross-engine exactness matters; floats
+    * here are ln-sum order-dependent in the last ulp).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val occ = tok.groupBy("token").agg(count(lit(1)).as("occ"))
+    val total = occ.agg(sum(col("occ")).as("tot"))
+    tok.join(occ, Seq("token")).crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(log(col("occ").cast("double") / col("tot")))
+        .as("mean_logprob"))
+  }
 }

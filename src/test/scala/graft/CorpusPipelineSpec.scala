@@ -64,6 +64,41 @@ class CorpusPipelineSpec extends SparkSpec {
       s"boilerplate stage must keep both real articles, got $staged")
   }
 
+  test("decontaminate drops exactly the docs sharing an eval n-gram") {
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta"),           // short: whole-text gram
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "zz one two three four five six seven eight yy"), // shares 8-gram
+      (1L, "prefix words then alpha beta gamma delta here"), // contains the
+      //    short eval text but NOT as a whole-text gram → clean (its own
+      //    grams are 8-grams of an 8+ token doc)
+      (2L, "completely unrelated content with no overlap at all"),
+      (3L, "alpha beta gamma delta")                  // exact short match
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.decontaminate(train, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), kept.toSeq.sorted)
+  }
+
+  test("mixSources keeps a deterministic per-source hash slice") {
+    val docs = (0L until 1000L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "keep_all" else "keep_none"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.mixSources(docs,
+      Map("keep_all" -> 1.0, "keep_none" -> 0.0))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 1000L by 2).toSet) // rate 1 keeps, rate 0 drops
+    // fractional rate: deterministic (same twice) and near the target
+    val half = CorpusPipeline.mixSources(docs, Map.empty,
+      defaultWeight = 0.5).select("doc_id")
+    val a = half.collect().map(_.getLong(0)).toSeq
+    val b = half.collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(math.abs(a.size - 500) < 100, s"got ${a.size} of 1000 at 0.5")
+  }
+
   test("length-outlier pruning drops corpus-relative extremes only") {
     // 20 docs of 8..12 tokens (q1=9, q3=11 → fences [6, 14]), one
     // 2-token fragment and one 200-token blob: the fences adapt to the

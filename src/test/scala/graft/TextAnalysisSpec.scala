@@ -54,4 +54,56 @@ class TextAnalysisSpec extends SparkSpec {
       "edge: 1.2.3.4.5.6 partial 999-99")
     for (s <- samples) assert(redact(redact(s)) == redact(s), s)
   }
+
+  test("chunkTokens covers every token, stride overlap, no spare tail") {
+    import spark.implicits._
+    def chunks(text: String, c: Int, s: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.chunkTokens(col("t"), c, s).as("ch"))
+        .head().getSeq[String](0)
+    val doc = (1 to 20).map(i => s"w$i").mkString(" ")
+    // 20 tokens, chunk 8 stride 4 → ceil(12/4)+1 = 4 chunks
+    val ch = chunks(doc, 8, 4)
+    assert(ch.size == 4)
+    assert(ch.head == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(ch(1) == (5 to 12).map(i => s"w$i").mkString(" "))
+    assert(ch.last == (13 to 20).map(i => s"w$i").mkString(" "))
+    // short doc: one chunk, verbatim
+    assert(chunks("a b c", 8, 4) == Seq("a b c"))
+    // exact multiple: 16 tokens, chunk 8 stride 8 → exactly 2, no empty tail
+    val even = chunks((1 to 16).map(i => s"w$i").mkString(" "), 8, 8)
+    assert(even.size == 2 && even(1).startsWith("w9 "))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(col("t"), 4, 8) // stride > chunk
+    }
+  }
+
+  test("rarityScore = mean corpus doc-frequency of the doc's tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat"),      // the: df 3, cat: df 2 → mean 2.5
+      (1L, "the cat runs"), // (3 + 2 + 1) / 3
+      (2L, "the")           // 3 / 1
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.rarityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(m(0L) == ((2.5, 2L)))
+    assert(m(1L) == ((2.0, 3L)))
+    assert(m(2L) == ((3.0, 1L)))
+  }
+
+  test("unigramLogProb ranks common-token docs above rare-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the the the the cat"), // common tokens
+      (1L, "zyx qwv jkl pnm rst")  // singletons
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) > m(1L), m.toString)
+    // doc 0: 4×ln(4/10) + 1×ln(1/10), mean
+    val exp0 = (4 * math.log(0.4) + math.log(0.1)) / 5
+    assert(math.abs(m(0L) - exp0) < 1e-9, s"${m(0L)} vs $exp0")
+  }
 }
