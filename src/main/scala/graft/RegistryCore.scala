@@ -497,6 +497,17 @@ object RegistryCore {
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
     // ---- O7/U3: keep-first dedup under a total order ------------------------
+    Q("o08_shuffle_order",
+      // deterministic training-order shuffle: global sort by a portable
+      // multiplicative id hash — a RANGE partitioning at scale, so the
+      // output files come out pre-shuffled with no single-node sort
+      (s, dir) => graft.llm.CorpusPipeline.shuffleOrder(
+          t(s, dir, "documents"))
+        .select(col("doc_id"), col("shuffle_key")),
+      Some("""SELECT doc_id, (doc_id * 2654435761) % 100000 AS shuffle_key
+             |FROM documents
+             |ORDER BY shuffle_key, doc_id""".stripMargin)),
+
     Q("o07_ordered_dedup",
       (s, dir) => Process.dedupFirst(
           t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber")),

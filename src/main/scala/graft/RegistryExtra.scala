@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{AsOfJoin, CombineData, Merge, RangeJoin, SkewJoin}
+import graft.etl.{AsOfJoin, CombineData, Impute, Merge, RangeJoin, SkewJoin}
 import graft.sources.Ingest
 import Registry._
 
@@ -597,6 +597,26 @@ object RegistryExtra {
              |  quantile_cont(o_totalprice, 0.75) AS q3,
              |  count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- A22: forward fill (LOCF) — nulls planted deterministically on
+    //      'view' events, filled from each user's last non-null value
+    //      under the (ts, event_id) total order; leading nulls stay null --
+    Q("a22_forward_fill",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("v",
+          when(col("event_type") === "view", lit(null).cast("double"))
+            .otherwise(col("value")))
+        Impute.forwardFill(ev, Seq("user_id"),
+            Seq(col("ts"), col("event_id")), Seq("v"))
+          .select(col("event_id"), col("user_id"), col("v"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  last_value(CASE WHEN event_type = 'view' THEN NULL
+             |      ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- J12: the runtime-bloom-filter join shape — selective dim filter
     //      + shuffle join on the fact key. At 100 TB Spark's

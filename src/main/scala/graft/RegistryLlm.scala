@@ -527,6 +527,35 @@ object RegistryLlm {
              |    WHEN 'src3' THEN 2500 ELSE 6000 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- L6: greedy sequence packing — whole docs in id order into
+    //      120-token bins, packed independently per 256-id block (one
+    //      shuffle + per-block fold); oracle replays the same greedy walk
+    //      with a linear recursive CTE advancing all blocks in parallel --
+    Q("l06_pack_sequences",
+      (s, dir) => graft.llm.CorpusPipeline.packSequences(
+          t(s, dir, "documents"), capacity = 120, blockSize = 256)
+        .select(col("doc_id"), col("block"), col("bin").cast("long").as("bin"),
+          col("n_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE n AS (
+             |  SELECT doc_id, doc_id // 256 AS block,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> strlen(t) > 0)) AS BIGINT) AS nt,
+             |    row_number() OVER (PARTITION BY doc_id // 256
+             |      ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+             |  FROM n WHERE rn = 1
+             |  UNION ALL
+             |  SELECT n.doc_id, n.block, n.nt, n.rn,
+             |    CASE WHEN p.bt + n.nt <= 120 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.bt + n.nt <= 120 THEN p.bt + n.nt ELSE n.nt END
+             |  FROM p JOIN n ON n.block = p.block AND n.rn = p.rn + 1)
+             |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
+             |  nt AS n_tokens
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
     Q("n01_ann_bruteforce",
       (s, dir) => {

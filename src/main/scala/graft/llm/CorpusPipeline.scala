@@ -150,6 +150,63 @@ object CorpusPipeline {
     docs.filter(pmod(col(idCol) * lit(2654435761L), lit(10000L)) < scaled)
   }
 
+  /** Greedy sequence packing: assign whole documents, in id order, to
+    * training bins of at most `capacity` tokens (first document of a bin
+    * always fits by definition; a doc longer than `capacity` gets a bin
+    * of its own — pre-chunk with `TextAnalysis.chunkTokens` if hard caps
+    * are required). Packing is sequential by nature, so the corpus is
+    * split into independent BLOCKS of `blockSize` consecutive ids and
+    * packed per block: one shuffle on the block key, then a per-block
+    * `aggregate` fold over the sorted (id, tokens) list — O(blockSize)
+    * work per task, fully parallel across blocks, no driver loop. With
+    * blockSize ≫ capacity/avg_doc_tokens the per-block seams waste a
+    * vanishing fraction of bin space vs a (non-parallelizable) global
+    * greedy pass. Returns (id, block, bin, n_tokens); (block, bin) is
+    * the bin key. Deterministic — same corpus, same packing.
+    */
+  def packSequences(docs: DataFrame, capacity: Int, blockSize: Int = 256,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(capacity > 0 && blockSize > 0)
+    val withN = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).as("nt"))
+      .withColumn("block", floor(col("id") / blockSize).cast("long"))
+    withN.groupBy("block")
+      .agg(sort_array(collect_list(struct(col("id"), col("nt")))).as("ds"))
+      .withColumn("packed", expr(s"""
+        aggregate(ds,
+          named_struct(
+            'acc', CAST(array() AS ARRAY<STRUCT<id: BIGINT, nt: BIGINT,
+                                               bin: INT>>),
+            'bin', 0, 'bt', CAST(0 AS BIGINT)),
+          (st, d) -> IF(st.bt = 0L OR st.bt + d.nt <= $capacity,
+            named_struct(
+              'acc', array_append(st.acc,
+                named_struct('id', d.id, 'nt', d.nt, 'bin', st.bin)),
+              'bin', st.bin, 'bt', st.bt + d.nt),
+            named_struct(
+              'acc', array_append(st.acc,
+                named_struct('id', d.id, 'nt', d.nt, 'bin', st.bin + 1)),
+              'bin', st.bin + 1, 'bt', d.nt)),
+          st -> st.acc)"""))
+      .select(col("block"), explode(col("packed")).as("p"))
+      .select(col("p.id").as(idCol), col("block"), col("p.bin").as("bin"),
+        col("p.nt").as("n_tokens"))
+  }
+
+  /** Deterministic training-order shuffle: a global sort by a
+    * multiplicative hash of the stable id (ties broken by id). The same
+    * portable-arithmetic rationale as [[mixSources]] — reproducible
+    * run-to-run, verifiable on any engine. In Spark a global sort is a
+    * RANGE partitioning (sampled boundaries) + per-partition sort, so at
+    * 100 TB this is one shuffle producing already-shuffled-order output
+    * files; no single-node sort anywhere.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("shuffle_key",
+        pmod(col(idCol) * lit(2654435761L), lit(100000L)))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** One-row summary of a cleaning pass: input/survivor counts per stage
     * boundary are what a 100 TB run monitors (a gate that drops 99% of a
     * crawl is a bug, not a success).

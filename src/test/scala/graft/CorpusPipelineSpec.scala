@@ -99,6 +99,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(math.abs(a.size - 500) < 100, s"got ${a.size} of 1000 at 0.5")
   }
 
+  test("packSequences: greedy per-block bins, oversized doc isolated") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, words(4)), (1L, words(4)), (2L, words(4)), (3L, words(4)),
+      (4L, words(12)), // block 1, exceeds capacity → bin of its own
+      (5L, words(2))
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.packSequences(docs, capacity = 10,
+        blockSize = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0, 4L), (1L, 0L, 0, 4L),   // 4+4 fits in 10
+      (2L, 0L, 1, 4L), (3L, 0L, 1, 4L),   // 8+4 > 10 → new bin
+      (4L, 1L, 0, 12L),                   // oversized: own bin, block 1
+      (5L, 1L, 1, 2L)), out.toSeq)
+    // every bin except oversized ones is within capacity
+    val binTotals = out.groupBy(r => (r._2, r._3)).map { case (_, rs) =>
+      rs.map(_._4).sum
+    }
+    assert(binTotals.forall(t => t <= 10 || t == 12L))
+  }
+
+  test("shuffleOrder is a deterministic permutation by portable hash") {
+    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = CorpusPipeline.shuffleOrder(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val b = CorpusPipeline.shuffleOrder(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)                               // reproducible
+    assert(a.sorted == (0L until 100L).toSeq)    // a permutation
+    assert(a != (0L until 100L).toSeq)           // actually shuffled
+  }
+
   test("length-outlier pruning drops corpus-relative extremes only") {
     // 20 docs of 8..12 tokens (q1=9, q3=11 → fences [6, 14]), one
     // 2-token fragment and one 200-token blob: the fences adapt to the
