@@ -270,6 +270,37 @@ object RegistryLlm {
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming")),
       None),
 
+    // ---- D11: sparse TF-cosine near-dup pairs — inverted token index,
+    //      integer dot/norms so the cosine is bit-stable; bounded-500 set
+    //      (maxTokenDf is the web-scale valve, 0 here for exactness) ------
+    Q("d11_tfidf_cosine",
+      (s, dir) => Similarity.sparseCosinePairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "text", "doc_id", threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id AS id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0)) AS token
+             |    FROM documents WHERE doc_id < 500)
+             |  GROUP BY 1, 2),
+             |norms AS (SELECT id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+             |dots AS (
+             |  SELECT a.id AS id_a, b.id AS id_b,
+             |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+             |  FROM tf a JOIN tf b ON a.token = b.token AND a.id < b.id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+             |    * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+             |FROM dots
+             |JOIN norms na ON na.id = id_a
+             |JOIN norms nb ON nb.id = id_b
+             |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+             |    * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- D10: benchmark decontamination — drop training docs sharing any
     //      8-gram with the eval split (doc_id % 10 == 0 plays the
     //      benchmark); broadcast eval-gram anti-join, survivors out ------
@@ -555,6 +586,27 @@ object RegistryLlm {
              |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
              |  nt AS n_tokens
              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- L7: per-source token-budget sampling — the hash-ordered prefix
+    //      whose running token total stays within 1200 tokens/source ------
+    Q("l07_token_budget",
+      (s, dir) => graft.llm.CorpusPipeline.sampleToTokenBudget(
+          t(s, dir, "documents"), budget = 1200L)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> strlen(t) > 0)) AS BIGINT) AS nt
+             |  FROM documents)
+             |SELECT doc_id, source, cum_tokens FROM (
+             |  SELECT doc_id, source,
+             |    CAST(sum(nt) OVER (PARTITION BY source
+             |      ORDER BY (doc_id * 2654435761) % 100000, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_tokens
+             |  FROM n)
+             |WHERE cum_tokens <= 1200 ORDER BY doc_id""".stripMargin)),
 
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
     Q("n01_ann_bruteforce",

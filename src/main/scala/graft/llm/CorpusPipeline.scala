@@ -194,6 +194,33 @@ object CorpusPipeline {
         col("p.nt").as("n_tokens"))
   }
 
+  /** Per-source token-budget sampling: keep, for every source, the
+    * hash-ordered prefix of documents whose RUNNING token total stays
+    * within `budget` — "take ~1B tokens per source" as one declarative
+    * pass. The order is the same portable multiplicative hash as
+    * [[mixSources]]/[[shuffleOrder]] (unbiased, reproducible — never
+    * `rand()`), the running total is one integer window sum per source
+    * (single shuffle on the source key), and the budget cut is a plain
+    * filter on it. Monotone running sum ⇒ the kept set is a true prefix:
+    * adding data to OTHER sources never changes this source's sample.
+    */
+  def sampleToTokenBudget(docs: DataFrame, budget: Long,
+                          sourceCol: String = "source",
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__tb_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__tb_key",
+        pmod(col(idCol) * lit(2654435761L), lit(100000L)))
+      .withColumn("__tb_nt", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("__tb_nt")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__tb_key", "__tb_nt")
+  }
+
   /** Deterministic training-order shuffle: a global sort by a
     * multiplicative hash of the stable id (ties broken by id). The same
     * portable-arithmetic rationale as [[mixSources]] — reproducible

@@ -317,6 +317,45 @@ object Similarity {
     * left join on the pair key followed by one aggregation — no collect,
     * so the quality gate itself scales with the corpus.
     */
+  /** Sparse TF-cosine near-dup pairs over an inverted token index — the
+    * bag-of-words complement to the shingle/embedding paths: robust to
+    * local word reordering that breaks n-grams, cheaper than embeddings.
+    * Two docs meet ONLY through a shared token (no all-pairs product);
+    * the dot product is a count-weighted sum over the token equi-join
+    * and the norms ride in from per-doc aggregates — all INTEGER sums,
+    * so cosine = dot/(√na·√nb) is two correctly-rounded sqrts and a
+    * divide: bit-stable at any parallelism, on any engine. `maxTokenDf`
+    * is the scale valve: a token in f docs contributes f² join pairs, so
+    * stoplist tokens above the cap (conservative like `maxGramDf` —
+    * dropped from the INDEX only, norms stay exact, cosine only
+    * underestimates; 0 = exact, for oracle checking on bounded sets).
+    */
+  def sparseCosinePairs(docs: DataFrame, textCol: String, idCol: String,
+                        threshold: Double, maxTokenDf: Int = 0): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val idx =
+      if (maxTokenDf <= 0) tf
+      else {
+        val hot = tf.groupBy("token").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTokenDf).select("token")
+        tf.join(hot, Seq("token"), "left_anti")
+      }
+    val a = idx.as("a"); val b = idx.as("b")
+    a.join(b, col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

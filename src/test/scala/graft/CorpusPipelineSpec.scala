@@ -134,6 +134,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a != (0L until 100L).toSeq)           // actually shuffled
   }
 
+  test("sampleToTokenBudget keeps the hash-ordered prefix per source") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 40L).map(i =>
+      (i, words(10), if (i < 20) "s1" else "s2")) // 10 tokens each
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.sampleToTokenBudget(docs, budget = 55L)
+      .select("doc_id", "source", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 10-token docs into a 55 budget → exactly 5 docs per source
+    assert(out.count(_._2 == "s1") == 5)
+    assert(out.count(_._2 == "s2") == 5)
+    assert(out.forall(_._3 <= 55L))
+    // the kept docs are the PREFIX of the portable-hash order
+    def key(id: Long) = (id * 2654435761L) % 100000L
+    val expS1 = (0L until 20L).sortBy(i => (key(i), i)).take(5).toSet
+    assert(out.filter(_._2 == "s1").map(_._1).toSet == expS1)
+    // sample is per-source stable: dropping s2 entirely leaves s1 as-is
+    val s1only = CorpusPipeline.sampleToTokenBudget(
+        docs.filter(col("source") === "s1"), budget = 55L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1only == expS1)
+  }
+
   test("length-outlier pruning drops corpus-relative extremes only") {
     // 20 docs of 8..12 tokens (q1=9, q3=11 → fences [6, 14]), one
     // 2-token fragment and one 200-token blob: the fences adapt to the

@@ -178,4 +178,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.9,
       s"SQ recall ${r.getAs[Double]("recall")} below floor")
   }
+
+  test("sparseCosinePairs: hand-computed tf-cosine, shared-token only") {
+    val docs = Seq(
+      (0L, "a a b"),  // tf a:2 b:1, ||·||² = 5
+      (1L, "a b b"),  // tf a:1 b:2, ||·||² = 5 → dot 4, cos 4/5 = 0.8
+      (2L, "c c c"),  // shares nothing with 0/1
+      (3L, "a c")     // all its pairs fall below 0.8
+    ).toDF("doc_id", "text")
+    // threshold below the expected 0.8: the cosine itself is a float
+    // (4/(√5·√5) ≈ 0.8 − 1 ulp) — never pin a spec ON the threshold
+    val out = Similarity.sparseCosinePairs(docs, "text", "doc_id", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)), out.toSeq)
+    assert(math.abs(out.head._3 - 0.8) < 1e-12, out.head._3.toString)
+  }
+
+  test("sparseCosinePairs maxTokenDf is conservative: only misses") {
+    // docs 0/1 overlap ONLY through 'the' (df 4 > cap) → pair missed;
+    // norms stay exact so no pair can ever be over-scored into existence
+    val docs = Seq(
+      (0L, "the alpha alpha"), (1L, "the beta beta"),
+      (2L, "the gamma"), (3L, "the delta"),
+      (4L, "same same same words"), (5L, "same same same words")
+    ).toDF("doc_id", "text")
+    val exact = Similarity.sparseCosinePairs(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.sparseCosinePairs(docs, "text", "doc_id", 0.5,
+        maxTokenDf = 3)
+      .select("id_a", "id_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact), s"capped=$capped exact=$exact")
+    assert(capped.contains((4L, 5L))) // true dup survives the stoplist
+  }
 }
