@@ -401,6 +401,73 @@ object RegistryExtra {
              |    '^(\d+)-([A-Z]+)', 2), '') AS prio_word
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- X19: URL parsing — host/path/query-param extraction with
+    //      Spark's parse_url; the oracle derives the same parts from the
+    //      source fields, so a parse bug cannot self-confirm --------------
+    Q("x19_url_parse",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?lang="), col("lang")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  source || '.example.com' AS host,
+             |  '/docs/' || doc_id AS path,
+             |  lang AS lang_param
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- A23: GROUPING SETS — priority and status marginals plus the
+    //      grand total in ONE pass (one shuffle, grouping()-tagged) -------
+    Q("a23_grouping_sets",
+      (s, dir) => {
+        val od = t(s, dir, "orders")
+        od.groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+              Seq.empty[org.apache.spark.sql.Column]),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"))
+          .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS rev,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus"""
+        .stripMargin)),
+
+    // ---- W11: cumulative distinct users by day — running COUNT(DISTINCT)
+    //      via the first-seen trick (min event ts per user → new users per
+    //      day → running sum): exact, no distinct-in-window needed --------
+    Q("w11_cumulative_users",
+      (s, dir) => {
+        val firstSeen = events(s, dir).groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"))
+          .select(date_format(col("first_ts"), "yyyy-MM-dd").as("day"))
+        val daily = firstSeen.groupBy("day")
+          .agg(count(lit(1)).as("new_users"))
+        daily.withColumn("cumulative_users",
+            sum(col("new_users")).over(Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
+      },
+      Some("""WITH fs AS (
+             |  SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS day
+             |  FROM events GROUP BY 1),
+             |daily AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+             |SELECT day, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cumulative_users
+             |FROM daily ORDER BY day""".stripMargin)),
     // ---- U4/U5: INTERSECT / EXCEPT (distinct set semantics) --------------
     Q("u04_intersect",
       (s, dir) => {

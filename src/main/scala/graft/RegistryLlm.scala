@@ -270,6 +270,45 @@ object RegistryLlm {
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming")),
       None),
 
+    // ---- D12: incremental snapshot dedup — today's batch (id >= 250)
+    //      against the prior corpus digest set, then within-batch dedup.
+    //      The raw corpus has zero exact dups, so the query PLANTS them
+    //      deterministically (same construction in the oracle, the l03
+    //      pattern): every 5th batch doc re-crawls a prior doc, every
+    //      7th (not 5th) repeats batch doc 253's text ----------------------
+    Q("d12_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val src = docs.select(col("doc_id"),
+          when(col("doc_id") >= 250 && col("doc_id") % 5 === 0,
+              col("doc_id") - 250)
+            .when(col("doc_id") >= 250 && col("doc_id") % 7 === 0, lit(253L))
+            .otherwise(col("doc_id")).as("src_id"))
+        val derived = src.join(
+            docs.select(col("doc_id").as("src_id"), col("text")), "src_id")
+          .select(col("doc_id"), col("text"))
+        Dedup.incrementalDedup(derived.filter(col("doc_id") >= 250),
+            derived.filter(col("doc_id") < 250), "text", "doc_id")
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id >= 250 AND doc_id % 5 = 0
+             |           THEN doc_id - 250
+             |         WHEN doc_id >= 250 AND doc_id % 7 = 0 THEN 253
+             |         ELSE doc_id END AS src_id
+             |  FROM documents),
+             |derived AS (
+             |  SELECT s.doc_id, d.text
+             |  FROM src s JOIN documents d ON d.doc_id = s.src_id)
+             |SELECT doc_id FROM derived
+             |WHERE doc_id >= 250
+             |  AND md5(text) NOT IN (
+             |    SELECT md5(text) FROM derived WHERE doc_id < 250)
+             |QUALIFY row_number() OVER (PARTITION BY md5(text)
+             |  ORDER BY doc_id) = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- D11: sparse TF-cosine near-dup pairs — inverted token index,
     //      integer dot/norms so the cosine is bit-stable; bounded-500 set
     //      (maxTokenDf is the web-scale valve, 0 here for exactness) ------

@@ -121,11 +121,13 @@ object CorpusPipeline {
     val evalGrams = evalDocs
       .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
+    // No distinct on the contaminated ids: LEFT ANTI is set-semantics on
+    // the probe side already, so deduping here would only add a shuffle.
     val contaminated = train
       .select(col(idCol),
         explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
-      .select(col(idCol)).distinct()
+      .select(col(idCol))
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 

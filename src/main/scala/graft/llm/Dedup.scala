@@ -27,6 +27,25 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental (cross-snapshot) exact dedup: from a new crawl batch,
+    * drop documents already present in the prior corpus (by content
+    * digest), then dedup within the batch itself. The prior side reduces
+    * to its DISTINCT 32-byte digests — at 100 TB that digest table is
+    * ~3 orders of magnitude smaller than the corpus and is the only
+    * thing the anti-join shuffles (or probes via a runtime bloom when
+    * Spark injects one); the batch never re-scans old text. This is the
+    * steady-state form of [[exactDedup]]: full-corpus dedup once, then
+    * per-snapshot increments forever.
+    */
+  def incrementalDedup(batch: DataFrame, prior: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val priorDigests = prior.select(md5(col(textCol)).as("__digest"))
+      .distinct()
+    val fresh = batch.withColumn("__digest", md5(col(textCol)))
+      .join(priorDigests, Seq("__digest"), "left_anti")
+    exactDedup(fresh, textCol, idCol).drop("__digest")
+  }
+
   def exactDupStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("total_docs"),

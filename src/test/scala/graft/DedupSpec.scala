@@ -167,4 +167,22 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.9,
       s"minhash recall ${r.getAs[Double]("recall")} below floor")
   }
+
+  test("incrementalDedup: drops prior-corpus dups, then within-batch") {
+    import spark.implicits._
+    val prior = Seq((0L, "seen before"), (1L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // dup of prior → dropped
+      (11L, "brand new"),     // survives
+      (12L, "brand new"),     // within-batch dup of 11 → dropped
+      (13L, "also new")       // survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, prior, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), kept.toSeq.sorted)
+    // batch columns survive untouched (no helper column leaks)
+    val cols = Dedup.incrementalDedup(batch, prior, "text", "doc_id").columns
+    assert(cols.toSet == Set("doc_id", "text"), cols.toSeq)
+  }
 }
