@@ -468,6 +468,56 @@ object RegistryExtra {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS cumulative_users
              |FROM daily ORDER BY day""".stripMargin)),
+
+    // ---- W12: cohort retention — users bucketed by first-seen day,
+    //      distinct active users per (cohort, activity day): two integer
+    //      aggs + one join, the classic retention matrix ------------------
+    Q("w12_cohort_retention",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("cohort_day"))
+        val active = ev.select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("active_day")).distinct()
+        cohort.join(active, "user_id")
+          .groupBy(col("cohort_day"), col("active_day"))
+          .agg(countDistinct(col("user_id")).as("users"))
+          .orderBy("cohort_day", "active_day")
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort_day
+             |  FROM events GROUP BY 1),
+             |active AS (
+             |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d')
+             |    AS active_day
+             |  FROM events)
+             |SELECT cohort_day, active_day, count(DISTINCT c.user_id)
+             |  AS users
+             |FROM cohort c JOIN active a USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, active_day""".stripMargin)),
+
+    // ---- A24: sketch-accuracy audit for approx_percentile (the a16
+    //      methodology, for quantiles): approximate vs exact medians per
+    //      group with the observed relative error. Rows-only (DuckDB has
+    //      no matching GK sketch) but quantitatively asserted in
+    //      RegistrySpec-style checks: rel_err must stay under the sketch's
+    //      accuracy parameter ---------------------------------------------
+    Q("a24_quantile_audit",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          // accuracy bounds RANK error (1/accuracy); the observed VALUE
+          // error also depends on local density, so the audit bound in
+          // SketchAuditSpec is what actually certifies it
+          expr("approx_percentile(o_totalprice, 0.5, 10000)")
+            .as("approx_median"),
+          count(lit(1)).as("n"))
+        .withColumn("rel_err",
+          abs(col("approx_median") - col("exact_median")) /
+            greatest(abs(col("exact_median")), lit(1e-9)))
+        .orderBy("o_orderpriority"),
+      None),
     // ---- U4/U5: INTERSECT / EXCEPT (distinct set semantics) --------------
     Q("u04_intersect",
       (s, dir) => {
