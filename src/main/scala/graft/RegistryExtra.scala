@@ -496,6 +496,47 @@ object RegistryExtra {
              |FROM cohort c JOIN active a USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_day, active_day""".stripMargin)),
 
+    // ---- W13: ordered funnel with stage deadlines — signup → first
+    //      click within 8 h → first purchase within 8 h of that click;
+    //      stage counts in one row (150/18/6 at sf0.01 — the deadline is
+    //      what makes stages discriminate). Each stage is a min-ts
+    //      aggregate + a broadcast-friendly join on user_id — no window
+    //      over the full event stream ---------------------------------
+    Q("w13_funnel",
+      (s, dir) => {
+        val ev = events(s, dir)
+        def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+        val within = expr("INTERVAL 8 HOURS")
+        val s1 = stage("signup").groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t1"))
+        val s2 = stage("click").join(s1, "user_id")
+          .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + within)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = stage("purchase").join(s2, "user_id")
+          .filter(col("ts") >= col("t2") && col("ts") <= col("t2") + within)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("signed_up"))
+          .crossJoin(s2.agg(count(lit(1)).as("clicked_after")))
+          .crossJoin(s3.agg(count(lit(1)).as("purchased_after")))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             |    AND e.ts <= s1.t1 + INTERVAL 8 HOURS GROUP BY 1),
+             |s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             |    AND e.ts <= s2.t2 + INTERVAL 8 HOURS GROUP BY 1)
+             |SELECT (SELECT count(*) FROM s1) AS signed_up,
+             |  (SELECT count(*) FROM s2) AS clicked_after,
+             |  (SELECT count(*) FROM s3) AS purchased_after"""
+        .stripMargin)),
+
     // ---- A24: sketch-accuracy audit for approx_percentile (the a16
     //      methodology, for quantiles): approximate vs exact medians per
     //      group with the observed relative error. Rows-only (DuckDB has

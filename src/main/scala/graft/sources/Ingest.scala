@@ -78,4 +78,35 @@ object Ingest {
   def freshCache(df: DataFrame, cachedAtCol: String, asOf: Column,
                  ttlDays: Int = 7): DataFrame =
     df.filter(col(cachedAtCol) >= date_sub(asOf, ttlDays))
+
+  /** Crawl-grade JSONL ingest: PERMISSIVE parse with a corrupt-record
+    * quarantine instead of FAILFAST (one bad line in a 100 TB crawl must
+    * not kill the job) or DROPMALFORMED (silently losing lines is how
+    * corpora rot). Returns (good rows in the declared schema, quarantine
+    * rows carrying the raw line for replay/debugging). One scan feeds
+    * both sides; the split is a codegen'd null test on the corrupt
+    * column. Caveat pinned in the spec: Spark only populates the corrupt
+    * column for lines that are not valid JSON at all — a VALID object
+    * missing fields yields nulls, which is schema drift, not corruption,
+    * and is left to the caller's null-rate monitoring.
+    */
+  def readJsonlQuarantine(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt,
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+    // The quarantine keeps the (all-null) parsed columns next to
+    // raw_line: Spark refuses scans whose only referenced column is the
+    // internal corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a
+    // quarantine sink wants the full-width row for replay anyway.
+    (raw.filter(col(corrupt).isNull).drop(corrupt),
+      raw.filter(col(corrupt).isNotNull)
+        .withColumnRenamed(corrupt, "raw_line"))
+  }
 }

@@ -34,6 +34,17 @@ object Lake {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Schema-evolution read: reconcile files written under DIFFERENT
+    * schema versions (the steady state of any long-lived lake table —
+    * columns get added over time) into their union, with nulls where a
+    * file predates a column. `mergeSchema` pays one footer read per file
+    * at planning time, which is why it is NOT the default read path:
+    * turn it on for evolved tables, fix the table by compaction when the
+    * footer pass starts to dominate planning.
+    */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Small-file compaction — the classic lake maintenance op: a daily
     * append pattern leaves thousands of KB-sized parquet files whose
     * footer and task-scheduling overhead dominate scans. Rewrites the

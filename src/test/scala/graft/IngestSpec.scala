@@ -128,4 +128,34 @@ class IngestSpec extends SparkSpec {
       s"$dir/fx", s"$dir/hist", s"$dir/out", today = "2025-05-23"))
     assert(stats.fixturesCount == 0 && stats.joinedRecords == 0)
   }
+
+  test("corrupt JSONL lines land in quarantine, good rows parse clean") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.write(dir.resolve("part0.jsonl"),
+      ("""{"doc_id": 1, "text": "good line"}""" + "\n" +
+       """{"doc_id": 2, "text": "also good"}""" + "\n" +
+       """{"doc_id": 3, "text": "truncated""" + "\n" +      // cut mid-string
+       """not json at all""" + "\n" +
+       """{"doc_id": 4, "text": "after the bad ones"}""" + "\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (good, bad) = Ingest.readJsonlQuarantine(spark,
+      dir.toString + "/*.jsonl", schema)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+    assert(good.columns.toSeq == Seq("doc_id", "text")) // no corrupt col
+    val quarantined = bad.collect().map(_.getAs[String]("raw_line"))
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("not json at all")))
+    // pinned caveat: a VALID object with missing fields is schema drift,
+    // not corruption — it parses with nulls, it is NOT quarantined
+    java.nio.file.Files.write(dir.resolve("part1.jsonl"),
+      """{"doc_id": 9}""".getBytes("UTF-8"))
+    val (g2, b2) = Ingest.readJsonlQuarantine(spark,
+      dir.toString + "/*.jsonl", schema)
+    assert(g2.filter(col("doc_id") === 9).count() == 1)
+    assert(b2.collect().length == 2)
+  }
 }

@@ -174,4 +174,21 @@ class LakeSpec extends SparkSpec {
     assert(back.count() == 3) // 1 new Jan row + Feb + Mar untouched
     assert(back.filter(col("month") === "2024-02").count() == 1)
   }
+
+  test("readMerged reconciles files written under evolved schemas") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // v1 writer: (id, v) — the file predates the quality column
+    Seq((1L, 10.0)).toDF("id", "v").write.parquet(s"$dir/f1")
+    // v2 writer: (id, v, quality)
+    Seq((2L, 20.0, 0.9)).toDF("id", "v", "quality")
+      .write.parquet(s"$dir/f2")
+    val merged = Lake.readMerged(spark, s"$dir/f*")
+    assert(merged.columns.toSet == Set("id", "v", "quality"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality"))) // v1 → null
+    assert(rows(1).getDouble(rows(1).fieldIndex("quality")) == 0.9)
+    // the plain read would have bound to ONE footer's schema — pin that
+    // readMerged is what makes evolution safe, not the default path
+    assert(spark.read.parquet(s"$dir/f*").columns.length <= 3)
+  }
 }
