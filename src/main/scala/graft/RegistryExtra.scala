@@ -496,6 +496,20 @@ object RegistryExtra {
              |FROM cohort c JOIN active a USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_day, active_day""".stripMargin)),
 
+    // ---- U7: dense surrogate ids — gap-free row_number in total order
+    //      WITHOUT a one-task global window: range partition, per-
+    //      partition counts (tiny driver collect), broadcast offsets ------
+    Q("u07_dense_ids",
+      (s, dir) => graft.etl.Ids.denseIds(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq(col("source"), col("doc_id")))
+        .select(col("row_id"), col("doc_id"), col("source"))
+        .orderBy("row_id"),
+      Some("""SELECT row_number() OVER (ORDER BY source, doc_id)
+             |    AS row_id,
+             |  doc_id, source
+             |FROM documents ORDER BY row_id""".stripMargin)),
+
     // ---- W13: ordered funnel with stage deadlines — signup → first
     //      click within 8 h → first purchase within 8 h of that click;
     //      stage counts in one row (150/18/6 at sf0.01 — the deadline is

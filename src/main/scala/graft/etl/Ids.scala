@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Surrogate-key assignment. */
+object Ids {
+
+  /** Dense, gap-free 1-based ids in the total order of `orderCols` — the
+    * scale-correct zipWithIndex. `monotonically_increasing_id` is sparse
+    * (partition-stamped) and a global `row_number` window collapses to
+    * ONE task; this instead:
+    *
+    *   1. range-partitions by the order columns (sampled boundaries, the
+    *      same machinery as a global sort),
+    *   2. counts rows per partition — a tiny (numPartitions)-row
+    *      aggregate collected to the driver,
+    *   3. broadcasts the cumulative offsets back and adds them to a
+    *      WITHIN-partition row_number.
+    *
+    * Every heavy step is distributed; the driver only ever sees one long
+    * per partition. The ids are deterministic for a given dataset no
+    * matter where the sampled range boundaries land, PROVIDED `orderCols`
+    * is a total order (add a tiebreaker column if not — enforced
+    * nowhere, documented here: with ties the assignment within the tie
+    * group depends on partitioning).
+    */
+  def denseIds(df: DataFrame, orderCols: Seq[Column],
+               idName: String = "row_id"): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // Persisted: the counts pass and the final pass MUST see the same
+    // physical partitioning — re-evaluating the range shuffle twice
+    // would let AQE (or fresh boundary sampling) repartition differently
+    // between them, silently corrupting the offsets. Cache lifecycle is
+    // caller-owned, same convention as minhashNearDups.
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Tiny driver-side step: numPartitions (partition, count) pairs.
+    val counts = ranged.groupBy(col("__part")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = df.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("__part", "__off")
+    val w = Window.partitionBy(col("__part")).orderBy(orderCols: _*)
+    ranged.join(broadcast(offDf), "__part")
+      .withColumn(idName, row_number().over(w) + col("__off"))
+      .drop("__part", "__off")
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Ids
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIds: gap-free 1..n in the global total order") {
+    val df = (0L until 500L).map(i => (i, s"k${i % 7}"))
+      .toDF("id", "grp")
+    val out = Ids.denseIds(df, Seq(col("grp"), col("id")))
+      .collect().map(r => (r.getAs[Long]("row_id"),
+        r.getAs[String]("grp"), r.getAs[Long]("id")))
+    assert(out.map(_._1).sorted.toSeq == (1L to 500L).toSeq) // dense
+    // ids agree with the order they claim to encode
+    val bySort = out.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(bySort == (1L to 500L).toSeq, bySort.take(10).toString)
+  }
+
+  test("denseIds survives fewer rows than shuffle partitions") {
+    val out = Ids.denseIds(Seq((3L, "c"), (1L, "a"), (2L, "b"))
+        .toDF("id", "k"), Seq(col("id")))
+      .orderBy("row_id")
+      .collect().map(r => (r.getAs[Long]("row_id"), r.getAs[Long]("id")))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+}
