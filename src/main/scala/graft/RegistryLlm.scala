@@ -784,6 +784,31 @@ object RegistryLlm {
              |FROM documents WHERE doc_id < 500
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- M6: REAL image resize — 8×8 gradient → 4×4 nearest-neighbor
+    //      thumbnail, re-encoded as PNG, re-decoded; the whole chain
+    //      (encode → resize → encode → decode) hash-matches analytic
+    //      sums: scale-2 floor mapping picks source pixels (2x, 2y) ------
+    Q("m06_image_resize",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 500)
+        val thumbs = Multimodal.resizeImages(
+          Multimodal.withSyntheticImages(ids, "id"), "id", 4, 4)
+        Multimodal.decodeImageFeatures(
+            thumbs.withColumnRenamed("thumb", "payload"), "id")
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("sum_gray"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id, 4 AS width,
+             |  4 AS height,
+             |  (SELECT CAST(sum((doc_id*31 + 16*(i//4) + 2*(i%4)) % 256)
+             |     AS BIGINT)
+             |   FROM range(16) t(i)) AS sum_gray
+             |FROM documents WHERE doc_id < 500
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- M5: REAL video decode (MJPEG/AVI family) — synthesize an AVI
     //      of gradient PNG frames per doc, walk the RIFF container,
     //      sample every 2nd frame, ImageIO-decode each, and hash-match

@@ -152,6 +152,72 @@ object Multimodal {
     }(encoder)
   }
 
+  /** REAL image resize: nearest-neighbor with integer floor mapping
+    * (src = dst·srcDim/dstDim), re-encoded as grayscale PNG bytes. The
+    * sampling is hand-rolled rather than Graphics2D's interpolating
+    * drawImage so the output bytes are bit-deterministic across JVMs and
+    * renderers — a resize whose pixels depend on the rasterizer can't be
+    * content-addressed, deduped, or oracle-checked. Color inputs are
+    * resized in the same Rec.601 integer-luma space `decodeImage` uses.
+    * None on undecodable payloads (corrupt blobs are data, not
+    * exceptions).
+    */
+  def resizeImage(bytes: Array[Byte], dstW: Int,
+                  dstH: Int): Option[Array[Byte]] = {
+    require(dstW > 0 && dstH > 0)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val singleBand = img.getRaster.getNumBands == 1
+    val out = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = out.getRaster
+    var y = 0
+    while (y < dstH) {
+      val sy = y * h / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * w / dstW
+        val v =
+          if (singleBand) img.getRaster.getSample(sx, sy, 0)
+          else {
+            val rgb = img.getRGB(sx, sy)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    Some(baos.toByteArray)
+  }
+
+  /** Batched per-partition resize over a binary payload column — the
+    * thumbnail stage of an image-corpus pipeline (same mapPartitions
+    * shape as the decode ops; at scale the batch amortizes codec setup).
+    * Undecodable payloads become null thumbnails.
+    */
+  def resizeImages(df: DataFrame, idCol: String, dstW: Int,
+                   dstH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("thumb", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          resizeImage(r.getAs[Array[Byte]](1), dstW, dstH).orNull)
+      }
+    }(encoder)
+  }
+
   /** @return (width, height, integer luminance sum, grid² mean-pool). */
   def decodeImage(bytes: Array[Byte],
                   grid: Int): Option[(Int, Int, Long, Array[Float])] = {

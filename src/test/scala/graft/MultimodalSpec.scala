@@ -204,4 +204,30 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(rt.forall(r => r.getInt(1) == 8 && !r.isNullAt(3)))
   }
+
+  test("resizeImage: deterministic nearest-neighbor, analytic sums") {
+    // 8×8 id-7 gradient → 4×4: floor mapping picks source (2x, 2y)
+    val thumb = Multimodal.resizeImage(
+      Multimodal.syntheticGrayPng(7L), 4, 4).get
+    val Some((w, h, sum, _)) = Multimodal.decodeImage(thumb, 2)
+    assert(w == 4 && h == 4)
+    val expected = (for (y <- 0 until 4; x <- 0 until 4)
+      yield (7L * 31 + (2 * y) * 8 + 2 * x) % 256).sum
+    assert(sum == expected, s"$sum vs $expected")
+    // byte-determinism: same input → identical encoded bytes
+    val again = Multimodal.resizeImage(
+      Multimodal.syntheticGrayPng(7L), 4, 4).get
+    assert(java.util.Arrays.equals(thumb, again))
+    // upscale also floor-maps (2×2 of the 4×4 thumb repeats pixels)
+    val up = Multimodal.resizeImage(thumb, 8, 8).get
+    val Some((uw, uh, usum, _)) = Multimodal.decodeImage(up, 2)
+    assert(uw == 8 && uh == 8 && usum == 4 * sum)
+    // corrupt payload → None, dataframe pass → null thumb
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+    val df = Seq((1L, Multimodal.syntheticGrayPng(1L)),
+      (2L, "junk".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(df, "doc_id", 4, 4)
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+  }
 }
