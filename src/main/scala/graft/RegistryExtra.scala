@@ -496,6 +496,73 @@ object RegistryExtra {
              |FROM cohort c JOIN active a USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_day, active_day""".stripMargin)),
 
+    // ---- W14: time-weighted average — each reading weighted by how long
+    //      it was current (lead-ts duration). Everything integer until
+    //      the end: value in CENTS (2-decimal data) times INTEGER
+    //      microseconds, summed wide (decimal-38 / HUGEINT — an int64 sum
+    //      would overflow at ~1e3 rows·1e16 products), then ONE identical
+    //      double division chain in both engines -------------------------
+    Q("w14_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("dur_us",
+            unix_micros(lead(col("ts"), 1).over(w)) -
+              unix_micros(col("ts")))
+          .filter(col("dur_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            sum((col("cents") * col("dur_us")).cast("decimal(38,0)"))
+              .as("vsum"),
+            sum(col("dur_us")).as("dsum"),
+            count(lit(1)).as("n_intervals"))
+          .select(col("user_id"),
+            (col("vsum").cast("double") / lit(100.0) /
+              col("dsum").cast("double")).as("tw_avg_value"),
+            col("n_intervals"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(sum(cents * dur_us) AS DOUBLE) / 100.0
+             |    / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE)
+             |    AS tw_avg_value,
+             |  count(*) AS n_intervals
+             |FROM d WHERE dur_us IS NOT NULL
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- A25: mode (most frequent value) per group with a DETERMINISTIC
+    //      tie-break (count desc, value asc) — never engine-default mode() -
+    Q("a25_mode",
+      (s, dir) => {
+        val counts = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("n").desc, col("o_orderstatus").asc)
+        counts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("o_orderpriority"),
+            col("o_orderstatus").as("mode_status"), col("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, mode_status, n FROM (
+             |  SELECT o_orderpriority, o_orderstatus AS mode_status,
+             |    count(*) AS n,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY count(*) DESC, o_orderstatus ASC) AS rk
+             |  FROM orders GROUP BY 1, 2)
+             |WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- U7: dense surrogate ids — gap-free row_number in total order
     //      WITHOUT a one-task global window: range partition, per-
     //      partition counts (tiny driver collect), broadcast offsets ------

@@ -1104,6 +1104,42 @@ object RegistryLlm {
              |  FROM tf JOIN dfreq d USING (token))
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- T11: one-row corpus profile — the token-distribution health
+    //      check run before any training job: vocab size, hapax fraction
+    //      (1-occurrence tokens — OCR noise shows up here first),
+    //      type-token ratio. All integer counts, single final divisions --
+    Q("t11_corpus_profile",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        val occ = toks.groupBy("token").agg(count(lit(1)).as("occ"))
+        occ.agg(
+          sum(col("occ")).as("n_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("occ") === 1, 1L).otherwise(0L)).as("hapax_count"))
+        .select(col("n_tokens"), col("vocab_size"), col("hapax_count"),
+          (col("hapax_count").cast("double") / col("vocab_size"))
+            .as("hapax_frac"),
+          (col("vocab_size").cast("double") / col("n_tokens"))
+            .as("type_token_ratio"))
+      },
+      Some("""WITH occ AS (
+             |  SELECT token, count(*) AS occ FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      t -> strlen(t) > 0)) AS token
+             |    FROM documents)
+             |  GROUP BY 1)
+             |SELECT CAST(sum(occ) AS BIGINT) AS n_tokens,
+             |  count(*) AS vocab_size,
+             |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hapax_count,
+             |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS hapax_frac,
+             |  CAST(count(*) AS DOUBLE) / CAST(sum(occ) AS BIGINT)
+             |    AS type_token_ratio
+             |FROM occ""".stripMargin)),
+
     // ---- T9: training-sequence chunking — 16-token windows, stride 8
     //      (50% overlap); every token covered, no redundant tail ---------
     Q("t09_seq_chunks",

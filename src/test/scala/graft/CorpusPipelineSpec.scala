@@ -123,6 +123,47 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(binTotals.forall(t => t <= 10 || t == 12L))
   }
 
+  test("packSequences properties hold on random corpora") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val capacity = 20 + rnd.nextInt(60)
+      val blockSize = 8 + rnd.nextInt(56)
+      val docs = (0L until n.toLong).map { i =>
+        // token counts 1..capacity+10: some docs exceed capacity
+        (i, ("w " * (1 + rnd.nextInt(capacity + 10))).trim)
+      }
+      val out = CorpusPipeline.packSequences(docs.toDF("doc_id", "text"),
+          capacity, blockSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+      val label = s"trial $trial (n=$n cap=$capacity block=$blockSize)"
+      // every doc assigned exactly once
+      assert(out.map(_._1).sorted.toSeq == (0L until n.toLong).toSeq, label)
+      // token counts faithful
+      val nt = docs.toMap.map { case (i, t) => i -> t.split(" ").length }
+      assert(out.forall(r => r._4 == nt(r._1)), label)
+      // bins never exceed capacity unless they hold ONE oversized doc
+      for (((_, _), rs) <- out.groupBy(r => (r._2, r._3))) {
+        val total = rs.map(_._4).sum
+        assert(total <= capacity ||
+          (rs.length == 1 && rs.head._4 > capacity), s"$label bin=$rs")
+      }
+      // greedy within block: a bin closes only because the NEXT doc did
+      // not fit — total(bin k) + first-doc(bin k+1) must exceed capacity
+      for ((_, rs) <- out.groupBy(_._2)) {
+        val bins = rs.groupBy(_._3).toSeq.sortBy(_._1).map { case (b, xs) =>
+          (b, xs.map(_._4).sum, xs.minBy(_._1)._4)
+        }
+        for (Seq((_, totalK, _), (_, _, firstNext)) <- bins.sliding(2)
+               if bins.size >= 2) {
+          assert(totalK + firstNext > capacity,
+            s"$label: mergeable bins ($totalK + $firstNext <= $capacity)")
+        }
+      }
+    }
+  }
+
   test("shuffleOrder is a deterministic permutation by portable hash") {
     val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = CorpusPipeline.shuffleOrder(docs).select("doc_id")
