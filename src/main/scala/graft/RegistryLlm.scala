@@ -309,6 +309,22 @@ object RegistryLlm {
              |  ORDER BY doc_id) = 1
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- D13: FUZZY decontamination — near-dup (not just exact-gram)
+    //      benchmark leakage via cross-corpus MinHash LSH; seeded-hash op
+    //      → rows-only summary (exact-gram d10 is the hash-checked twin) --
+    Q("d13_fuzzy_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val kept = graft.llm.CorpusPipeline.decontaminateFuzzy(
+          train, docs.filter(col("doc_id") % 10 === 0), threshold = 0.5)
+        train.agg(count(lit(1)).as("train_docs"))
+          .crossJoin(kept.agg(count(lit(1)).as("surviving_docs")))
+          .select(col("train_docs"), col("surviving_docs"),
+            (col("train_docs") - col("surviving_docs")).as("dropped_docs"))
+      },
+      None),
+
     // ---- D11: sparse TF-cosine near-dup pairs — inverted token index,
     //      integer dot/norms so the cosine is bit-stable; bounded-500 set
     //      (maxTokenDf is the web-scale valve, 0 here for exactness) ------

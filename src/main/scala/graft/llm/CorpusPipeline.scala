@@ -131,6 +131,44 @@ object CorpusPipeline {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** FUZZY benchmark decontamination: where [[decontaminate]] needs an
+    * exact shared n-gram, this drops training docs that are NEAR-DUPS of
+    * eval docs (banded MinHash LSH + exact-Jaccard verify) — the gate
+    * that catches paraphrased and lightly-edited benchmark leakage.
+    * Cross-corpus by construction: training signatures are computed
+    * scan-side and probe a BROADCAST of the (tiny) eval side's band
+    * buckets, so no train×train candidate pairs are ever generated and
+    * the corpus never shuffles for the search — only candidate
+    * (train, eval) pairs are verified, and only contaminated ids reach
+    * the final anti-join. Same LSH parameters/guarantees as
+    * `Dedup.minhashNearDups` (recall audited there by d07).
+    */
+  def decontaminateFuzzy(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 3,
+                         numHashes: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def buckets(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(textCol).as(s"${side}_txt"))
+        .withColumn("__bk", explode(Dedup.bandHashes(
+          graft.plans.MinHashSig(col(s"${side}_txt"), k, numHashes),
+          bands, rowsPerBand)))
+        .select(col(s"${side}_id"), col(s"${side}_txt"),
+          col("__bk.band").as("band"), col("__bk.bh").as("bh"))
+    val eb = buckets(evalDocs, "eval")
+    val candidates = buckets(train, "train")
+      .join(broadcast(eb), Seq("band", "bh"))
+      .select(col("train_id"), col("train_txt"),
+        col("eval_id"), col("eval_txt"))
+      .distinct()
+    val contaminated = candidates
+      .filter(Dedup.ngramJaccard(col("train_txt"), col("eval_txt"), k)
+        >= threshold)
+      .select(col("train_id").as(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic corpus mixing: keep each document with a per-source
     * probability (`weights`, missing sources fall back to
     * `defaultWeight`), decided by a multiplicative hash of the stable id

@@ -82,6 +82,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept == Set(1L, 2L), kept.toSeq.sorted)
   }
 
+  test("fuzzy decontamination catches paraphrased benchmark leakage") {
+    val benchmark = "the quick brown fox jumps over the lazy dog " +
+      "and then runs across the wide green field toward the distant hills"
+    val evalSet = Seq((100L, benchmark)).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, benchmark),                                   // verbatim leak
+      (1L, benchmark.replace("hills", "mountains")),     // paraphrase leak
+      (2L, "a completely different document about cooking pasta " +
+        "with garlic and fresh tomatoes in a large copper pot tonight")
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.decontaminateFuzzy(train, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), kept.toSeq.sorted)
+    // the exact-gram gate (d10 twin) misses the paraphrase: that gap is
+    // exactly why the fuzzy gate exists — with 8-grams doc 1 still shares
+    // untouched 8-grams here, so tighten to the one-word-change case: a
+    // SHORT doc where the edit breaks every long gram
+    val shortEval = Seq((200L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta")).toDF("doc_id", "text")
+    val shortTrain = Seq((10L, "alpha beta gamma delta epsilon zeta eta " +
+      "iota")).toDF("doc_id", "text")
+    val exactKept = CorpusPipeline.decontaminate(shortTrain, shortEval)
+      .count()
+    val fuzzyKept = CorpusPipeline.decontaminateFuzzy(
+      shortTrain, shortEval).count()
+    assert(exactKept == 1L, "exact gate should MISS the one-word edit")
+    assert(fuzzyKept == 0L, "fuzzy gate should CATCH it")
+  }
+
   test("mixSources keeps a deterministic per-source hash slice") {
     val docs = (0L until 1000L).map(i =>
       (i, s"text $i", if (i % 2 == 0) "keep_all" else "keep_none"))
