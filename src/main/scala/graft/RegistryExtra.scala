@@ -563,6 +563,88 @@ object RegistryExtra {
              |  FROM orders GROUP BY 1, 2)
              |WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- J14: fuzzy entity matching — dirty probe names resolved
+    //      against the dim by edit distance (crossJoin of a BROADCAST dim
+    //      — bounded by |dim|, never fact×fact; deterministic tie-break) --
+    Q("j14_fuzzy_match",
+      (s, dir) => {
+        import s.implicits._
+        val probes = Seq("NATION_3", "NATINO_7", "NATION_99", "NOTION_12")
+          .toDF("probe")
+        val dim = t(s, dir, "nation").select(col("n_name"))
+        val w = Window.partitionBy(col("probe"))
+          .orderBy(col("dist"), col("n_name"))
+        probes.crossJoin(broadcast(dim))
+          .withColumn("dist", levenshtein(col("probe"), col("n_name")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("probe"), col("n_name").as("matched"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("probe")
+      },
+      Some("""WITH probes(probe) AS (VALUES ('NATION_3'), ('NATINO_7'),
+             |    ('NATION_99'), ('NOTION_12'))
+             |SELECT probe, matched, dist FROM (
+             |  SELECT p.probe, n.n_name AS matched,
+             |    CAST(levenshtein(p.probe, n.n_name) AS BIGINT) AS dist,
+             |    row_number() OVER (PARTITION BY p.probe
+             |      ORDER BY levenshtein(p.probe, n.n_name), n.n_name)
+             |      AS rk
+             |  FROM probes p CROSS JOIN nation n)
+             |WHERE rk = 1 ORDER BY probe""".stripMargin)),
+
+    // ---- A26: exact-arithmetic correlation — corr()'s streaming FP sums
+    //      are partitioning-dependent, so the moments are INTEGER sums
+    //      (units × cents, decimal-38/HUGEINT wide) and the Pearson
+    //      formula is ONE identical double expression in both engines ----
+    Q("a26_exact_corr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("c"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(col("q")).cast("double").as("sx"),
+            sum(col("c")).cast("double").as("sy"),
+            sum((col("q") * col("q")).cast("decimal(38,0)"))
+              .cast("double").as("sxx"),
+            sum((col("c") * col("c")).cast("decimal(38,0)"))
+              .cast("double").as("syy"),
+            sum((col("q") * col("c")).cast("decimal(38,0)"))
+              .cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            col("n").cast("long").as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(*) AS DOUBLE) AS n,
+             |    CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |      AS DOUBLE) AS sx,
+             |    CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * 100 AS BIGINT)
+             |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * 100 AS BIGINT)) AS DOUBLE) AS syy,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)
+             |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * 100 AS BIGINT)) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  (n * sxy - sx * sy)
+             |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             |    AS corr_qty_price,
+             |  CAST(n AS BIGINT) AS n
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // ---- U7: dense surrogate ids — gap-free row_number in total order
     //      WITHOUT a one-task global window: range partition, per-
     //      partition counts (tiny driver collect), broadcast offsets ------

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the registry-only analytics entries that the oracle gate
+  * checks by value: partition-order independence (the property that makes
+  * them safe on a 1000-executor cluster) and deterministic tie-breaks.
+  */
+class RegistryInvariantsSpec extends SparkSpec {
+
+  test("a26_exact_corr: integer moments make Pearson partition-invariant") {
+    val q = SparkEntry.queries("a26_exact_corr")
+    val base = q(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(base.nonEmpty && base.values.forall(v => v >= -1.0 && v <= 1.0))
+    // Built-in corr() streams FP sums, so its bits shift with partitioning;
+    // the integer-moment formulation must not. Re-run under a different
+    // shuffle width and require BIT equality, not approx equality.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = q(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(again == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("j14_fuzzy_match: every probe resolves once, ties break by name") {
+    val rows = SparkEntry.queries("j14_fuzzy_match")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    val byProbe = rows.map(r =>
+      r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // exact hit wins at distance 0
+    assert(byProbe("NATION_3") == (("NATION_3", 0L)))
+    // NATION_99 is distance 1 from both NATION_19 (substitution) and
+    // NATION_9 (deletion): the tie must break lexicographically.
+    assert(byProbe("NATION_99")._1 == "NATION_19")
+    assert(byProbe("NATION_99")._2 == 1L)
+  }
+}
