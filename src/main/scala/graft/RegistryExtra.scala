@@ -420,6 +420,45 @@ object RegistryExtra {
              |  lang AS lang_param
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X20: z-order (Morton) value — the clustering key behind 2-D
+    //      data skipping (Lake.writeZOrdered / OPTIMIZE ZORDER BY). All
+    //      integer shift/mask arithmetic, so the oracle replays the same
+    //      magic-number bit spread bit-for-bit ---------------------------
+    Q("x20_zorder",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+        val b = li.agg(max(col("pk")).as("mx"), max(col("sk")).as("my"))
+        li.crossJoin(broadcast(b))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ZOrder.zValue(ZOrder.quantize(col("pk"), col("mx")),
+              ZOrder.quantize(col("sk"), col("my"))).as("z"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH b AS (SELECT CAST(max(l_partkey) AS BIGINT) AS mx,
+             |              CAST(max(l_suppkey) AS BIGINT) AS my
+             |            FROM lineitem),
+             |q AS (SELECT l_orderkey, l_linenumber,
+             |    (CAST(l_partkey AS BIGINT) * 65536) // (mx + 1) AS qx,
+             |    (CAST(l_suppkey AS BIGINT) * 65536) // (my + 1) AS qy
+             |  FROM lineitem, b),
+             |s1 AS (SELECT l_orderkey, l_linenumber,
+             |    ((qx | (qx << 8)) & 16711935) AS x1,
+             |    ((qy | (qy << 8)) & 16711935) AS y1 FROM q),
+             |s2 AS (SELECT l_orderkey, l_linenumber,
+             |    ((x1 | (x1 << 4)) & 252645135) AS x2,
+             |    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+             |s3 AS (SELECT l_orderkey, l_linenumber,
+             |    ((x2 | (x2 << 2)) & 858993459) AS x3,
+             |    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+             |s4 AS (SELECT l_orderkey, l_linenumber,
+             |    ((x3 | (x3 << 1)) & 1431655765) AS x4,
+             |    ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+             |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS z
+             |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- A23: GROUPING SETS — priority and status marginals plus the
     //      grand total in ONE pass (one shuffle, grouping()-tagged) -------
     Q("a23_grouping_sets",
@@ -644,6 +683,35 @@ object RegistryExtra {
              |    AS corr_qty_price,
              |  CAST(n AS BIGINT) AS n
              |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- A27: key-skew diagnostics — the measurement that DECIDES
+    //      whether a join needs j08's salting: heavy hitters and their
+    //      share/skew-vs-average, via per-key counts + a broadcast of the
+    //      two-scalar total and a sort+limit (TakeOrdered — no global
+    //      window, no single-task stage at any scale) --------------------
+    Q("a27_skew_stats",
+      (s, dir) => {
+        val c = t(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nk"))
+        c.crossJoin(broadcast(tot))
+          .select(col("k"), col("cnt"),
+            (col("cnt").cast("double") / col("total")).as("share"),
+            ((col("cnt") * col("nk")).cast("double") / col("total"))
+              .as("skew_vs_avg"),
+            col("total"), col("nk"))
+          .orderBy(col("cnt").desc, col("k"))
+          .limit(5)
+      },
+      Some("""WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt
+             |           FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             |             count(*) AS nk FROM c)
+             |SELECT k, cnt,
+             |  CAST(cnt AS DOUBLE) / total AS share,
+             |  CAST(cnt * nk AS DOUBLE) / total AS skew_vs_avg,
+             |  total, nk
+             |FROM c, t ORDER BY cnt DESC, k LIMIT 5""".stripMargin)),
 
     // ---- U7: dense surrogate ids — gap-free row_number in total order
     //      WITHOUT a one-task global window: range partition, per-

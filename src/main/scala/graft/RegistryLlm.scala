@@ -325,6 +325,92 @@ object RegistryLlm {
       },
       None),
 
+    // ---- D14: canonical-doc selection — dedup that keeps the BEST copy,
+    //      not the first: within each near-dup cluster (d08's connected
+    //      components) pick by quality desc, length desc, id asc. The
+    //      window partitions by cluster rep (#reps ≈ #docs — no skewed
+    //      partition), and quality is the integer-derived t02 ratio, so
+    //      the ordering is bit-identical across engines -------------------
+    Q("d14_canonical_docs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        val cc = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")),
+          Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5))
+        val scored = docs.select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          length(col("text")).cast("long").as("len"))
+        val w = Window.partitionBy(col("rep"))
+          .orderBy(col("quality").desc, col("len").desc, col("id"))
+        cc.join(scored, "id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("rep"), col("id").as("canonical"), col("quality"))
+          .orderBy("rep")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(toks)-1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |    ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        x -> strlen(x) > 0) AS toks
+             |    FROM documents WHERE doc_id < 500)),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |e AS (
+             |  SELECT id_a AS a, id_b AS b FROM cand
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+             |edges AS (SELECT a, b FROM e UNION ALL
+             |          SELECT b AS a, a AS b FROM e),
+             |reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst
+             |  FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.src, e2.b AS dst FROM reach r
+             |  JOIN edges e2 ON r.dst = e2.a),
+             |cc AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+             |q0 AS (
+             |  SELECT doc_id AS id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ltoks,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT) AS n,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             |      AS BIGINT) AS npunct,
+             |    CAST(strlen(text) AS BIGINT) AS nchars
+             |  FROM documents WHERE doc_id < 500),
+             |q1 AS (
+             |  SELECT id, n, nchars, npunct,
+             |    CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and',
+             |      'or','of','to','in','is','it'))) AS BIGINT) AS nsw
+             |  FROM q0),
+             |scored AS (
+             |  SELECT id,
+             |    (CAST(n >= 10 AND n <= 100000 AS INT)
+             |     + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
+             |     + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT)) / 3.0
+             |      AS quality,
+             |    nchars AS len
+             |  FROM q1)
+             |SELECT rep, id AS canonical, quality FROM (
+             |  SELECT cc.rep, cc.id, scored.quality,
+             |    row_number() OVER (PARTITION BY cc.rep
+             |      ORDER BY scored.quality DESC, scored.len DESC, cc.id)
+             |      AS rk
+             |  FROM cc JOIN scored ON cc.id = scored.id)
+             |WHERE rk = 1 ORDER BY rep""".stripMargin)),
+
     // ---- D11: sparse TF-cosine near-dup pairs — inverted token index,
     //      integer dot/norms so the cosine is bit-stable; bounded-500 set
     //      (maxTokenDf is the web-scale valve, 0 here for exactness) ------
@@ -662,6 +748,45 @@ object RegistryLlm {
              |      AS BIGINT) AS cum_tokens
              |  FROM n)
              |WHERE cum_tokens <= 1200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- L8: epoch repetition — repeat high-quality docs across training
+    //      epochs (×3 / ×2 / ×1 by quality tier). Pure per-row generator
+    //      (explode of a bounded sequence): no shuffle at any scale --------
+    Q("l08_epoch_repeat",
+      (s, dir) => graft.llm.CorpusPipeline.epochRepeat(
+          t(s, dir, "documents"))
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ltoks,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT) AS n,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             |      AS BIGINT) AS npunct,
+             |    CAST(strlen(text) AS BIGINT) AS nchars
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, n, nchars, npunct,
+             |    CAST(len(list_filter(ltoks, x -> x IN ('the','a','an','and',
+             |      'or','of','to','in','is','it'))) AS BIGINT) AS nsw
+             |  FROM r),
+             |q AS (
+             |  SELECT doc_id,
+             |    (CAST(n >= 10 AND n <= 100000 AS INT)
+             |     + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
+             |     + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT)) / 3.0
+             |      AS quality
+             |  FROM m),
+             |rep AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN quality > 0.9 THEN 3
+             |              WHEN quality > 0.5 THEN 2
+             |              ELSE 1 END AS BIGINT) AS repeats
+             |  FROM q)
+             |SELECT doc_id, repeats,
+             |  unnest(generate_series(1, repeats)) AS epoch
+             |FROM rep ORDER BY doc_id, epoch""".stripMargin)),
 
     // ---- N1: exact ANN (brute-force cosine top-k baseline) -----------------------
     Q("n01_ann_bruteforce",

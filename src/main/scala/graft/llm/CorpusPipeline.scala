@@ -261,6 +261,31 @@ object CorpusPipeline {
       .drop("__tb_key", "__tb_nt")
   }
 
+  /** Quality-tiered epoch repetition — the "repeat the good data"
+    * mixing lever (wiki ×3, average web ×1): each document is emitted
+    * `repeats` times, decided by its quality score against descending
+    * `(threshold, repeats)` tiers (first match wins; below all tiers
+    * → 1). `explode(sequence(...))` is a per-row generator — no
+    * shuffle, no join, bounded fan-out — so it composes with
+    * [[shuffleOrder]] downstream to interleave the epochs. Thresholds
+    * compare quality values that are exact small-integer ratios, so
+    * tier assignment is reproducible on any engine.
+    */
+  def epochRepeat(docs: DataFrame,
+                  tiers: Seq[(Double, Int)] = Seq(0.9 -> 3, 0.5 -> 2),
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(tiers.map(_._1) == tiers.map(_._1).sorted.reverse,
+      "tiers must be in descending threshold order")
+    val q = TextAnalysis.qualityScore(col(textCol))
+    val repeats = tiers.foldRight(lit(1): Column) { case ((thr, n), acc) =>
+      when(q > thr, n).otherwise(acc)
+    }.cast("long")
+    docs.select(col(idCol), repeats.as("repeats"))
+      .select(col(idCol), col("repeats"),
+        explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+  }
+
   /** Deterministic training-order shuffle: a global sort by a
     * multiplicative hash of the stable id (ties broken by id). The same
     * portable-arithmetic rationale as [[mixSources]] — reproducible

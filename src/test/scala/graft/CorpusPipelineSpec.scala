@@ -240,4 +240,20 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == (0 until 20).map(_.toLong).toSet, kept.toSeq.sorted)
   }
+
+  test("epochRepeat: quality tiers decide the repeat count exactly") {
+    val tiered = Seq(
+      // all three quality conditions → 1.0 → 3 epochs
+      (0L, "the quick brown fox jumps over the lazy dog again"),
+      // ≥10 words but zero stopwords → 2/3 → 2 epochs
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // short fragment → 1/3 → 1 epoch
+      (2L, "hi")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.epochRepeat(tiered).collect()
+      .groupBy(_.getLong(0))
+    assert(out(0L).length == 3 && out(1L).length == 2 && out(2L).length == 1)
+    // epochs are 1..repeats, so downstream interleaving can key on them
+    assert(out(0L).map(_.getAs[Long]("epoch")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -25,6 +25,30 @@ class RegistryInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("d14_canonical_docs: one canonical per cluster, none beats it") {
+    import graft.llm.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val canon = SparkEntry.queries("d14_canonical_docs")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val cc = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5))
+      .join(docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("q")), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every rep got exactly one canonical, the canonical is a member of
+    // its own cluster, and no member has strictly higher quality
+    assert(canon.keySet == cc.map(_._2).toSet)
+    cc.groupBy(_._2).foreach { case (rep, members) =>
+      val (cId, cQ) = canon(rep)
+      assert(members.exists(_._1 == cId), s"canonical $cId not in $rep")
+      assert(members.forall(_._3 <= cQ), s"better member than $cId in $rep")
+    }
+  }
+
   test("j14_fuzzy_match: every probe resolves once, ties break by name") {
     val rows = SparkEntry.queries("j14_fuzzy_match")(spark, sf).collect()
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
