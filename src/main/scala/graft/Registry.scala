@@ -53,7 +53,7 @@ object Registry {
 
   def all: Seq[Q] =
     RegistryCore.entries ++ RegistryScalars.entries ++
-      RegistryLlm.entries ++ RegistryExtra.entries
+      RegistryLlm.entries ++ RegistryExtra.entries ++ RegistryWide.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -51,6 +51,34 @@ object Merge {
       .select(outCols.map(col): _*)
   }
 
+  /** Snapshot diff: classify every key of two table snapshots as
+    * `added` / `removed` / `changed` / `unchanged` — the audit step a
+    * lake runs before promoting a new crawl snapshot, and the input to
+    * incremental downstream recomputes (process only `added`+`changed`).
+    *
+    * Rows are compared by an md5 fingerprint over `valueCols` (null-safe:
+    * NULL and empty string hash differently), so wide rows cost one
+    * digest each instead of a column-by-column comparison, and the full
+    * outer join carries only (key, 16-byte digest) through the shuffle —
+    * at 100 TB the shuffle is keys+digests, never document payloads.
+    */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame, keys: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      df.select(keys.map(col) :+ md5(concat_ws("\u0001",
+        valueCols.map(c => coalesce(col(c).cast("string"),
+          lit("\u0000"))): _*)).as("__fp"): _*)
+    val p = fp(prev).withColumnRenamed("__fp", "__fp_p")
+    val c = fp(curr).withColumnRenamed("__fp", "__fp_c")
+    p.join(c, keys, "full_outer")
+      .withColumn("status",
+        when(col("__fp_p").isNull, lit("added"))
+          .when(col("__fp_c").isNull, lit("removed"))
+          .when(col("__fp_p") =!= col("__fp_c"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(keys.map(col) :+ col("status"): _*)
+  }
+
   /** SCD2 history from a change log: for each key's change rows (ordered
     * by `effectiveCol`) emit half-open validity intervals —
     * `effective_to` = the next change's effective date (null = current

@@ -68,6 +68,53 @@ object RangeJoin {
     (dropKeys :+ i("__bin") :+ p("__bin")).foldLeft(joined)(_ drop _)
   }
 
+  /** Binned interval-OVERLAP join: rows of `a` and `b` are paired when
+    * their closed integer intervals intersect (`aLo <= bHi && bLo <= aHi`),
+    * optionally under an equi-key. The companion of `binned` for the
+    * interval×interval case (genomics ranges, session overlap, booking
+    * conflicts).
+    *
+    * Scale shape: both sides are replicated into every bin their interval
+    * touches and meet through a bin equi-join, so Spark never plans the
+    * nested loop. Unlike the point case, an overlapping pair shares SEVERAL
+    * bins; to emit it exactly once without a dedup shuffle, the pair is
+    * kept only in the bin of `max(aLo, bLo)` — a bin both intervals
+    * provably occupy (overlap means `max(lo) <= min(hi)`, and each side's
+    * bin range covers `[binOf(lo), binOf(hi)]`). Replication per row is
+    * `ceil(span / binWidth) + 1`, so pick `binWidth` near the typical span.
+    *
+    * The two inputs must have DISJOINT column names (pre-alias before
+    * calling); `keys` are the equi-key columns of side `a` paired
+    * positionally with `bKeys` (defaults to the same names).
+    */
+  def overlapBinned(a: DataFrame, aLo: String, aHi: String,
+                    b: DataFrame, bLo: String, bHi: String,
+                    binWidth: Long, keys: Seq[String] = Nil,
+                    bKeysIn: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bKeys = if (bKeysIn.nonEmpty) bKeysIn else keys
+    require(bKeys.length == keys.length, "keys/bKeys arity mismatch")
+    def explodeBins(df: DataFrame, lo: String, hi: String,
+                    loBin: String): DataFrame =
+      df.where(col(lo) <= col(hi))
+        .withColumn("__lov", col(lo).cast("long"))
+        .withColumn("__hiv", col(hi).cast("long"))
+        .withColumn(loBin, expr(binSql("__lov", binWidth)))
+        .withColumn("__bin", explode(sequence(
+          col(loBin), expr(binSql("__hiv", binWidth)))))
+        .drop("__lov", "__hiv")
+    val ae = explodeBins(a, aLo, aHi, "__alob")
+    val be = explodeBins(b, bLo, bHi, "__blob")
+    val cond = (Seq(ae("__bin") === be("__bin")) ++
+      keys.zip(bKeys).map { case (k, bk) => ae(k) === be(bk) } ++
+      Seq(ae(aLo) <= be(bHi), be(bLo) <= ae(aHi),
+        // emit each pair exactly once: only in the bin of max(lo, lo)
+        ae("__bin") === greatest(ae("__alob"), be("__blob"))))
+      .reduce(_ && _)
+    ae.join(be, cond, "inner")
+      .drop("__bin", "__alob", "__blob")
+  }
+
   /** Reference form for tests/small data: the same semantics as a plain
     * theta join (Spark executes it as a nested-loop broadcast).
     */

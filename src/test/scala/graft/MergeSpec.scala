@@ -60,4 +60,37 @@ class MergeSpec extends SparkSpec {
       (1L, "2024-03-15", "∞", true),
       (2L, "2024-06-01", "∞", true)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val curr = Seq((1L, "a", 10.0),  // unchanged
+      (2L, "b", 21.0),               // changed
+      (9L, "new", 90.0)              // added; 3 removed
+    ).toDF("k", "name", "v")
+    val out = Merge.snapshotDiff(prev, curr, Seq("k"), Seq("name", "v"))
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (9L, "added")))
+  }
+
+  test("snapshotDiff: NULL and empty string fingerprint differently") {
+    val prev = Seq((1L, Option.empty[String]), (2L, Option("")))
+      .toDF("k", "name")
+    val curr = Seq((1L, Option("")), (2L, Option.empty[String]))
+      .toDF("k", "name")
+    val out = Merge.snapshotDiff(prev, curr, Seq("k"), Seq("name"))
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(out == Seq((1L, "changed"), (2L, "changed")))
+  }
+
+  test("snapshotDiff: adjacent-column concat cannot collide") {
+    // ("ab","c") vs ("a","bc") — a separator-free fingerprint would
+    // classify this as unchanged
+    val prev = Seq((1L, "ab", "c")).toDF("k", "c1", "c2")
+    val curr = Seq((1L, "a", "bc")).toDF("k", "c1", "c2")
+    val out = Merge.snapshotDiff(prev, curr, Seq("k"), Seq("c1", "c2"))
+      .as[(Long, String)].collect.toSeq
+    assert(out == Seq((1L, "changed")))
+  }
 }

@@ -75,6 +75,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(exploded.count() == 11)
   }
 
+  test("overlapBinned == naive overlap join on randomized intervals") {
+    // two interval sets with spans 0..60, coordinates spanning negatives;
+    // the naive theta join is the semantics oracle
+    def mk(n: Int, pfx: String) = (1 to n).map { i =>
+      val lo = (rnd.nextInt(1000) - 500).toLong
+      (i.toLong, lo, lo + rnd.nextInt(61))
+    }.toDF(s"${pfx}_id", s"${pfx}_lo", s"${pfx}_hi")
+    val a = mk(120, "a")
+    val b = mk(90, "b")
+    val want = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    for (width <- Seq(1L, 16L, 4096L)) {
+      val got = RangeJoin.overlapBinned(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", width)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+      assert(got.sameElements(want), s"overlap parity failed at w=$width")
+      assert(got.length == got.distinct.length,
+        s"pair emitted twice at w=$width")
+    }
+  }
+
+  test("overlapBinned respects equi-keys and plans no nested loop") {
+    val a = Seq((1L, "x", 0L, 10L), (2L, "y", 0L, 10L))
+      .toDF("a_id", "ka", "a_lo", "a_hi")
+    val b = Seq((7L, "x", 5L, 15L)).toDF("b_id", "kb", "b_lo", "b_hi")
+    val j = RangeJoin.overlapBinned(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      8L, keys = Seq("ka"), bKeysIn = Seq("kb"))
+    assert(j.select("a_id", "b_id").as[(Long, Long)].collect()
+      .toSeq == Seq((1L, 7L))) // key "y" must not match
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in:\n$plan")
+  }
+
   test("salted skew join == plain join under a hot key") {
     // 90% of fact rows share one key — the skew case salting exists for
     val fact = (1 to 500).map { i =>
