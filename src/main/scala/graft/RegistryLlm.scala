@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Boilerplate, Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import Registry._
 
@@ -1379,6 +1379,62 @@ object RegistryLlm {
              |  FROM kept GROUP BY doc_id)
              |SELECT d.doc_id, coalesce(r.text, '') AS text
              |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- T12: BPE tokenizer — merges trained on the corpus word-
+    //      frequency table (one shuffle + driver-side loop over a bounded
+    //      vocab), greedy lowest-rank encode per word via mapPartitions
+    //      with a distinct-word memo. Output: per-source token totals +
+    //      compression vs whitespace words — rows-only (DuckDB has no
+    //      BPE); BpeSpec pins the classic merge sequence, encode/train
+    //      parity, and lossless round-trip --------------------------------
+    Q("t12_bpe_tokens",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Bpe.fit(docs, "text", numMerges = 60)
+        Bpe.encode(docs, "doc_id", "text", merges)
+          .join(docs.select(col("doc_id").as("id"), col("source"),
+            size(split(lower(col("text")), "\\s+")).as("n_words")), "id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_bpe_tokens").cast("long")).as("bpe_tokens"),
+            sum(col("n_words").cast("long")).as("words"))
+          .withColumn("tokens_per_word",
+            col("bpe_tokens").cast("double") / col("words"))
+          .orderBy("source")
+      },
+      None),
+
+    // ---- D16: SemDeDup (arXiv:2303.09540) — semantic near-duplicate
+    //      pruning via k-means cells + within-cell cosine threshold,
+    //      keep-lowest-id; capped pair generation (cosineNearDups shape)
+    //      so a degenerate cell is O(cap²+N), never O(N²). Per-cell
+    //      summary keeps the rows-only check non-vacuous; planted-dup
+    //      recall is pinned in SimilaritySpec ------------------------------
+    Q("d16_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, threshold = 0.92)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("kept").cast("long")).as("kept_docs"))
+        .orderBy("cell"),
+      None),
+
+    // ---- N8: IVF-PQ recall audit — the 100 TB ANN composition: IVF
+    //      cells bound which vectors a query touches, 8-byte PQ codes
+    //      bound what each touch costs (asymmetric distance, corpus
+    //      floats never cross the join). Recall@3 vs the exact cosine
+    //      baseline; floor pinned in SimilaritySpec ------------------------
+    Q("n08_pq_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3),
+          Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 3,
+            nCells = 16, nProbe = 6, m = 8, ksub = 32, rerank = 8))
+      },
+      None)
   )
 }

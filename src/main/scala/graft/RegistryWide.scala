@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Merge, RangeJoin}
-import Registry.t
+import graft.etl.{AsOfJoin, Merge, RangeJoin}
+import Registry.{decSum, t}
 
 /** Round-5 widening: interval-overlap join, snapshot diff, deterministic
   * corpus splits, rank-fraction windows, ORC roundtrip, model-based
@@ -201,6 +201,249 @@ object RegistryWide {
              |  CAST((((ntok * 0.01::DOUBLE) - ((np / len) * 3.0::DOUBLE))
              |    + ((nu / len) * 1.5::DOUBLE)) > 0.4::DOUBLE AS INT)
              |    AS keep
-             |FROM f ORDER BY doc_id""".stripMargin))
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- W17: rolling exact median — `percentile` as a WINDOW function
+    //      over a 7-row frame per priority group. Rolling quantiles have
+    //      no streaming-aggregate shortcut; Spark evaluates the frame
+    //      per row AFTER one (partition, order) sort-shuffle, which is
+    //      the scale-correct plan (frame cost is bounded by the 7-row
+    //      window, shuffle cost by the keys). Same interpolation as
+    //      DuckDB quantile_cont (proved exact by a21) ----------------------
+    Q("w17_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-6, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate"), col("o_totalprice"))
+          .withColumn("med7",
+            expr("percentile(o_totalprice, 0.5)").over(w))
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("med7"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, med7 FROM (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.5) OVER
+             |      (PARTITION BY o_orderpriority
+             |       ORDER BY o_orderdate, o_orderkey
+             |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+             |  FROM orders)
+             |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- A28: chi-square contingency — independence screening between
+    //      two categorical columns. Output is PER-CELL contributions
+    //      (observed, expected, (o-e)²/e), not the summed statistic:
+    //      each cell is a fixed-order arithmetic expression over exact
+    //      integer counts, so the oracle compare stays bit-exact (a
+    //      cross-cell double SUM would be addition-order-dependent) -------
+    Q("a28_chi_square",
+      (s, dir) => {
+        val obs = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("observed"))
+        val rowT = obs.groupBy("prio")
+          .agg(sum(col("observed")).as("row_total"))
+        val colT = obs.groupBy("status")
+          .agg(sum(col("observed")).as("col_total"))
+        val total = obs.agg(sum(col("observed")).as("n"))
+        obs.join(broadcast(rowT), "prio")
+          .join(broadcast(colT), "status")
+          .crossJoin(broadcast(total))
+          .withColumn("expected",
+            col("row_total").cast("double") * col("col_total").cast("double")
+              / col("n").cast("double"))
+          .withColumn("contrib",
+            (col("observed").cast("double") - col("expected")) *
+              (col("observed").cast("double") - col("expected")) /
+              col("expected"))
+          .select(col("prio"), col("status"), col("observed"),
+            col("expected"), col("contrib"))
+          .orderBy("prio", "status")
+      },
+      Some("""WITH obs AS (
+             |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             |    count(*) AS observed
+             |  FROM orders GROUP BY 1, 2),
+             |rt AS (SELECT prio, CAST(sum(observed) AS BIGINT) AS row_total
+             |       FROM obs GROUP BY 1),
+             |ct AS (SELECT status, CAST(sum(observed) AS BIGINT) AS col_total
+             |       FROM obs GROUP BY 1),
+             |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+             |SELECT prio, status, observed,
+             |  CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+             |    / CAST(n AS DOUBLE) AS expected,
+             |  (CAST(observed AS DOUBLE)
+             |     - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+             |       / CAST(n AS DOUBLE))
+             |  * (CAST(observed AS DOUBLE)
+             |     - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+             |       / CAST(n AS DOUBLE))
+             |  / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+             |       / CAST(n AS DOUBLE)) AS contrib
+             |FROM obs JOIN rt USING (prio) JOIN ct USING (status), tot
+             |ORDER BY prio, status""".stripMargin)),
+
+    // ---- A29: data-contract expectations — the validation suite a lake
+    //      runs before promoting a batch: one row per rule with its
+    //      violation count (null / range / set / regex / uniqueness /
+    //      referential integrity via anti-join). Each rule is a
+    //      conditional aggregate over ONE shared scan (no per-rule
+    //      passes); the FK rule is the only join and broadcasts the
+    //      customer keys --------------------------------------------------
+    Q("a29_expectations",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val inline = o.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0 ||
+            col("o_totalprice") > 600000, 1L).otherwise(0L))
+            .as("range_totalprice"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("set_orderstatus"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
+            .otherwise(0L)).as("regex_orderpriority"),
+          (count(col("o_orderkey")) -
+            count_distinct(col("o_orderkey"))).as("unique_orderkey"))
+        val orphans = o.join(
+            t(s, dir, "customer").select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_custkey"))
+        inline.crossJoin(orphans)
+          .select(expr("stack(6, " +
+            "'fk_custkey', fk_custkey, " +
+            "'null_custkey', null_custkey, " +
+            "'range_totalprice', range_totalprice, " +
+            "'regex_orderpriority', regex_orderpriority, " +
+            "'set_orderstatus', set_orderstatus, " +
+            "'unique_orderkey', unique_orderkey) AS (rule, violations)"))
+          .orderBy("rule")
+      },
+      Some("""WITH inline AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS null_custkey,
+             |    CAST(sum(CASE WHEN o_totalprice <= 0
+             |      OR o_totalprice > 600000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS range_totalprice,
+             |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS set_orderstatus,
+             |    CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+             |      '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS regex_orderpriority,
+             |    count(o_orderkey) - count(DISTINCT o_orderkey)
+             |      AS unique_orderkey
+             |  FROM orders),
+             |orphans AS (
+             |  SELECT count(*) AS fk_custkey FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |rules AS (
+             |  SELECT 'fk_custkey' AS rule, fk_custkey AS violations
+             |    FROM orphans
+             |  UNION ALL SELECT 'null_custkey', null_custkey FROM inline
+             |  UNION ALL SELECT 'range_totalprice', range_totalprice
+             |    FROM inline
+             |  UNION ALL SELECT 'regex_orderpriority', regex_orderpriority
+             |    FROM inline
+             |  UNION ALL SELECT 'set_orderstatus', set_orderstatus
+             |    FROM inline
+             |  UNION ALL SELECT 'unique_orderkey', unique_orderkey
+             |    FROM inline)
+             |SELECT rule, violations FROM rules ORDER BY rule""".stripMargin)),
+
+    // ---- U8/U9: bag (multiset) set-ops — EXCEPT ALL / INTERSECT ALL
+    //      keep multiplicities (the set forms u04/u05 collapse them).
+    //      Spark plans both as one hash aggregate over a union with
+    //      signed counts — single shuffle, no join --------------------------
+    Q("u08_except_all",
+      (s, dir) => {
+        val hi = t(s, dir, "lineitem").filter(col("l_quantity") >= 40)
+          .select(col("l_suppkey"))
+        val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R" &&
+          col("l_quantity") >= 45).select(col("l_suppkey"))
+        hi.exceptAll(ret).groupBy("l_suppkey")
+          .agg(count(lit(1)).as("surplus"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH d AS (
+             |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 40
+             |  EXCEPT ALL
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity >= 45)
+             |SELECT l_suppkey, count(*) AS surplus
+             |FROM d GROUP BY 1 ORDER BY l_suppkey""".stripMargin)),
+
+    Q("u09_intersect_all",
+      (s, dir) => {
+        val hi = t(s, dir, "lineitem").filter(col("l_quantity") >= 40)
+          .select(col("l_suppkey"))
+        val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R" &&
+          col("l_quantity") >= 45).select(col("l_suppkey"))
+        hi.intersectAll(ret).groupBy("l_suppkey")
+          .agg(count(lit(1)).as("common"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH d AS (
+             |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 40
+             |  INTERSECT ALL
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_returnflag = 'R' AND l_quantity >= 45)
+             |SELECT l_suppkey, count(*) AS common
+             |FROM d GROUP BY 1 ORDER BY l_suppkey""".stripMargin)),
+
+    // ---- J16: as-of join with match tolerance — the j05 semantics plus
+    //      a max-staleness cap: a preceding metric older than 30 days is
+    //      no match (nulled), which is what any point-in-time feature
+    //      store enforces. Same single-sort union+last plan as j05; the
+    //      tolerance is a row-local post-filter, costing nothing extra ----
+    Q("j16_asof_tolerance",
+      (s, dir) => {
+        val od = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey").as("team"),
+          col("o_orderdate").cast("date").as("date"),
+          col("o_totalprice"))
+        val metrics = od.groupBy(col("team"), col("date"))
+          .agg((decSum(col("o_totalprice")) / count(lit(1))).as("mprice"))
+        val fixtures = od.select(col("o_orderkey").as("match_id"),
+          col("team"), date_add(col("date"), 10).as("fdate"))
+        val stale = datediff(col("fdate"), col("asof_date")) > 30
+        AsOfJoin.asOf(fixtures, metrics, "team", "fdate", "date",
+            valueCols = Seq("date", "mprice"))
+          .select(col("match_id"), col("team"),
+            date_format(col("fdate"), "yyyy-MM-dd").as("fdate"),
+            when(stale, lit(null).cast("string"))
+              .otherwise(date_format(col("asof_date"), "yyyy-MM-dd"))
+              .as("asof_date"),
+            when(stale, lit(null).cast("double"))
+              .otherwise(col("asof_mprice")).as("asof_mprice"))
+          .orderBy("match_id")
+      },
+      Some("""WITH orders_d AS (
+             |  SELECT o_orderkey, o_custkey AS team,
+             |         CAST(o_orderdate AS DATE) AS date, o_totalprice
+             |  FROM orders),
+             |metrics AS (
+             |  SELECT team, date,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS mprice
+             |  FROM orders_d GROUP BY team, date),
+             |fixtures AS (
+             |  SELECT o_orderkey AS match_id, team,
+             |         date + INTERVAL 10 DAY AS fdate
+             |  FROM orders_d)
+             |SELECT f.match_id, f.team,
+             |  strftime(f.fdate, '%Y-%m-%d') AS fdate,
+             |  CASE WHEN date_diff('day', m.date, CAST(f.fdate AS DATE)) > 30
+             |    THEN NULL ELSE strftime(m.date, '%Y-%m-%d') END AS asof_date,
+             |  CASE WHEN date_diff('day', m.date, CAST(f.fdate AS DATE)) > 30
+             |    THEN NULL ELSE m.mprice END AS asof_mprice
+             |FROM fixtures f
+             |ASOF LEFT JOIN metrics m
+             |  ON f.team = m.team AND f.fdate >= m.date
+             |ORDER BY f.match_id""".stripMargin))
   )
 }

@@ -139,6 +139,17 @@ object Similarity {
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "kmeansFit: empty corpus")
+    kmeansOnSample(sample, k, iters, seed)
+  }
+
+  /** The k-means++/Lloyd core over an already-collected sample — shared
+    * by the full-dimension fit (`kmeansFit`) and the per-subspace PQ
+    * codebook fit (`pqFit`, which slices ONE sample M ways instead of
+    * collecting M times).
+    */
+  def kmeansOnSample(sample: Array[Array[Double]], k: Int,
+                     iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeansOnSample: empty sample")
     val dim = sample(0).length
     val rnd = new scala.util.Random(seed)
 
@@ -191,6 +202,31 @@ object Similarity {
     cs
   }
 
+  /** Per-subspace PQ codebooks: ONE bounded corpus sample (first
+    * `sampleSize` by id, like `kmeansFit`), sliced into `m` contiguous
+    * subspaces, each fitted with its own seeded k-means. Returns
+    * `m × ksub × (dim/m)` centroids for `PqEncode`/`PqAdc`. Vectors are
+    * L2-normalized before the fit — the codebooks live in the same space
+    * the index encodes (`ivfPqTopK` normalizes identically).
+    */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, ksub: Int = 16, sampleSize: Int = 2048,
+            iters: Int = 10, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] =
+      corpus.orderBy(col(idCol)).limit(sampleSize)
+        .select(graft.plans.L2Normalize(col(vecCol))).collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqFit: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqFit: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
+        (s + 1) * dsub))
+      kmeansOnSample(slice, ksub, iters, seed + s)
+    }
+  }
+
   /** IVF-style ANN — the other classic scale path: corpus vectors are
     * assigned to their nearest of K centroids (one scan-side pass,
     * bucketed by centroid id); queries probe their `nProbe` nearest
@@ -218,6 +254,116 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** IVF-PQ ANN — the composition that actually runs at 100 TB: IVF
+    * cells bound WHICH corpus vectors a query touches (`nProbe` cells of
+    * `nCells`), and PQ codes bound what each touch COSTS (M bytes + an
+    * ADC distance against the query, never the raw floats). The corpus
+    * index is (id, cell, M-byte codes) — 32× smaller than the float
+    * embeddings, which at scale is the difference between an in-memory
+    * index and one that spills.
+    *
+    * Both sides are L2-normalized first, so the squared-L2 ADC ranking
+    * is exactly the cosine ranking (`L2Normalize` doc); the ADC pass
+    * builds a `rerank*k` shortlist per query and an exact cosine
+    * re-ranks only the shortlist (see inline note). Recall vs
+    * `bruteForceTopK` is audited in `n08_pq_recall`. Final order
+    * (sim desc, neighbor_id) — deterministic at any parallelism.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    import graft.plans.{L2Normalize, PqAdc, PqEncode}
+    val centroids = kmeansFit(corpus, idCol, vecCol, nCells)
+    val codebooks = pqFit(corpus, idCol, vecCol, m, ksub)
+
+    // corpus index: cell id from the FULL vector, codes from the
+    // normalized vector — the raw floats never cross the join
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"))
+      .withColumn("cell",
+        element_at(NearestCells(col("cv"), centroids, 1), 1))
+      .withColumn("codes", PqEncode(L2Normalize(col("cv")), codebooks))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        L2Normalize(col(vecCol)).as("qn"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(NearestCells(col("qv"), centroids, nProbe)))
+      .select(col("query_id"), col("qn"), col("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", PqAdc(col("qn"), col("codes"), codebooks))
+    // ADC shortlist → exact re-rank: the standard PQ pipeline. ADC alone
+    // ranks coarsely when true neighbors are tightly clustered (the
+    // quantization step exceeds the inter-neighbor gaps), so the codes
+    // select a small candidate set (rerank*k per query) and ONLY those
+    // ids fetch their full-precision vector back for an exact cosine —
+    // at scale that second read is |queries|*rerank*k rows, not the
+    // corpus.
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = scored.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k.toLong * rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cvBack = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val exact = shortlist
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cvBack, Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via embedding clustering — k-means cells bound the
+    * candidate space (duplicates land in the same cell), then within
+    * each cell any document whose cosine to a LOWER-id document exceeds
+    * `threshold` is dropped (keep-lowest-id, the deterministic stand-in
+    * for the paper's keep-lowest-centroid-distance).
+    *
+    * Scale shape: candidate pairs exist only WITHIN a cell, generated
+    * with the same head/star cap as `cosineNearDups` — a cell of N
+    * near-identical vectors costs O(cap² + N) pairs, never O(N²), and
+    * every member still meets the cell's minimum-id representative, so
+    * a degenerate all-duplicates cell still collapses to one survivor.
+    * Returns (id, cell, kept) for every input row.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.95,
+                    cap: Int = 64): DataFrame = {
+    val centroids = kmeansFit(emb, idCol, vecCol, nCells)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(NearestCells(col("v"), centroids, 1), 1))
+    val wC = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val ranked = v.withColumn("rn", row_number().over(wC))
+
+    val a = ranked.as("a"); val b = ranked.as("b")
+    val headPairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          col("a.rn") <= cap && col("b.rn") <= cap)
+      .select(col("a.v").as("va"), col("b.id").as("id_b"),
+        col("b.v").as("vb"))
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("cell"), col("v").as("rep_v"))
+    val tailPairs = ranked.filter(col("rn") > cap).as("t")
+      .join(reps, Seq("cell"))
+      .select(col("rep_v").as("va"), col("t.id").as("id_b"),
+        col("t.v").as("vb"))
+
+    val dropped = headPairs.unionByName(tailPairs)
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    v.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs, skew-safe: B independent

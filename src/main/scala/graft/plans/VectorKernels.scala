@@ -324,3 +324,186 @@ object QCosineSim {
     ColumnBridge.column(
       QCosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** L2 normalization to a unit double vector. Monotone bridge between the
+  * metric families: on unit vectors `||a-b||^2 = 2 - 2*cos(a,b)`, so a
+  * squared-L2 ranking (what PQ/ADC computes) IS the cosine ranking — the
+  * standard trick that lets one compressed index serve both metrics. An
+  * all-zero vector normalizes to all zeros rather than NaN.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVecType(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.catalogString}")
+
+  private lazy val isFloat = VecOps.isFloatVec(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = VecOps.toDoubles(input.asInstanceOf[ArrayData], isFloat)
+    if (v == null) return null
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+    if (n2 > 0) {
+      val inv = 1.0 / math.sqrt(n2)
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(v)
+  }
+
+  override def prettyName: String = "l2_normalize"
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  def apply(vec: Column): Column =
+    ColumnBridge.column(L2Normalize(ColumnBridge.expression(vec)))
+}
+
+/** Product-quantization encode: the vector is cut into `codebooks.length`
+  * contiguous subspaces; each slice is replaced by the id of its nearest
+  * sub-centroid (squared L2, ties by id). A 64-dim float vector becomes
+  * `M` bytes — 32× compression — and, unlike scalar quantization, the
+  * codes support asymmetric distance (`PqAdc`) without touching the
+  * original vector again. All M×ksub sub-distances run in one compiled
+  * pass per row.
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  // BINARY, not ARRAY<TINYINT>: the codes column is pure payload (M
+  // opaque bytes), and BinaryType stores it without per-element null
+  // bitmaps — this IS the compression the operator exists for.
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!VecOps.isVecType(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.catalogString}")
+    else if (codebooks.isEmpty || codebooks.exists(_.isEmpty) ||
+      codebooks.exists(_.size > 256))
+      TypeCheckResult.TypeCheckFailure(
+        "pq_encode: each subspace codebook needs 1..256 centroids")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private lazy val isFloat = VecOps.isFloatVec(child.dataType)
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dim = cbs.map(_(0).length).sum
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = VecOps.toDoubles(input.asInstanceOf[ArrayData], isFloat)
+    if (v == null) return null
+    VecOps.requireDim(v.length, dim, "pq_encode")
+    val codes = new Array[Byte](cbs.length)
+    var off = 0
+    var m = 0
+    while (m < cbs.length) {
+      val cb = cbs(m)
+      val dsub = cb(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { val x = v(off + j) - cen(j); s += x * x; j += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      codes(m) = best.toByte
+      off += dsub
+      m += 1
+    }
+    codes
+  }
+
+  override def prettyName: String = "pq_encode"
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def apply(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec),
+      codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+}
+
+/** PQ asymmetric distance (ADC): squared L2 between a FULL-precision
+  * query vector and a PQ-encoded corpus vector, as the sum over
+  * subspaces of `||q_slice - codebook_m[code_m]||^2`. The query side
+  * stays exact (that's the "asymmetric" in ADC — only the corpus is
+  * quantized), which is what makes PQ recall usable at byte-level
+  * compression. One compiled pass; no per-query lookup-table state, so
+  * the expression is a pure row function Catalyst can move freely —
+  * the LUT trick is an executor-local optimization PQ papers apply when
+  * the query set is fixed, irrelevant at one fused pass per pair.
+  */
+case class PqAdc(left: Expression, right: Expression,
+                 codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecOps.isVecType(left.dataType) && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (ARRAY<FLOAT|DOUBLE> query, BINARY codes), " +
+        s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private lazy val isFloat = VecOps.isFloatVec(left.dataType)
+  @transient private lazy val cbs: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val dim = cbs.map(_(0).length).sum
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val q = VecOps.toDoubles(l.asInstanceOf[ArrayData], isFloat)
+    if (q == null) return null
+    VecOps.requireDim(q.length, dim, "pq_adc")
+    val codes = r.asInstanceOf[Array[Byte]]
+    VecOps.requireDim(codes.length, cbs.length, "pq_adc codes")
+    var total = 0.0
+    var off = 0
+    var m = 0
+    while (m < cbs.length) {
+      val cb = cbs(m)
+      val code = codes(m) & 0xff
+      if (code >= cb.length)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code out of range for subspace $m (${cb.length})")
+      val cen = cb(code)
+      var j = 0
+      while (j < cen.length) {
+        val x = q(off + j) - cen(j); total += x * x; j += 1
+      }
+      off += cen.length
+      m += 1
+    }
+    total
+  }
+
+  override def prettyName: String = "pq_adc"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def apply(query: Column, codes: Column,
+            codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(query),
+      ColumnBridge.expression(codes),
+      codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
+}
