@@ -1381,6 +1381,31 @@ object RegistryLlm {
              |FROM docs d LEFT JOIN rebuilt r USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- M7: audio roundtrip — synthesize 16-bit PCM WAVs in-engine,
+    //      decode them back through the real RIFF walker (batched
+    //      mapPartitions). The structural fields are oracle-exact; the
+    //      RMS float math is gated by MultimodalSpec's known-sine test
+    //      (float summation order is not portable across engines) ---------
+    Q("m07_audio_roundtrip",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 200)
+        Multimodal.decodeAudioFeatures(
+            Multimodal.withSyntheticAudio(ids, "id"), "id")
+          .select(col("id").as("doc_id"), col("sample_rate"),
+            col("num_samples"), size(col("rms")).as("n_windows"),
+            aggregate(col("rms"), lit(0),
+              (acc, x) => acc + when(x > 0f, 1).otherwise(0))
+              .as("live_windows"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  8000 AS sample_rate, CAST(1000 AS BIGINT) AS num_samples,
+             |  16 AS n_windows, 16 AS live_windows
+             |FROM documents WHERE doc_id < 200
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- T12: BPE tokenizer — merges trained on the corpus word-
     //      frequency table (one shuffle + driver-side loop over a bounded
     //      vocab), greedy lowest-rank encode per word via mapPartitions

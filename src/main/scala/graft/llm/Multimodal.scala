@@ -479,6 +479,51 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Minimal RIFF/WAVE writer (16-bit PCM mono) — the audio counterpart
+    * of `buildAvi`, for synthesizing decodable payloads in-engine.
+    */
+  def buildWav(samples: Array[Short], rate: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+      le16(2) ++ le16(16)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic synthetic WAV payloads: sample i of id is
+    * `((id*31 + i*7) mod 65536) - 32768` — same arithmetic family as the
+    * synthetic video frames, so oracles can reason about the fields.
+    */
+  def withSyntheticAudio(df: DataFrame, idCol: String,
+                         nSamples: Int = 1000, rate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+        Row(id, buildWav(samples, rate))
+      }
+    }(encoder)
+  }
+
   /** RIFF/WAVE walker for 16-bit PCM (mono or stereo, channels averaged).
     * @return (sampleRate, numSamples, per-window RMS of [-1,1] samples)
     */
