@@ -56,4 +56,46 @@ class PlanShapeSpec extends SparkSpec {
     // only the eval-distinct and the anti-join keys move
     assert(!plan.toLowerCase.contains("rangepartitioning"))
   }
+
+  test("hash split is a pure projection: zero shuffles, no join") {
+    val split = docs.select(col("doc_id"),
+      substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+    assert(exchanges(split) == 0)
+    assert(!split.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("snapshotDiff shuffles digests, not payloads") {
+    val prev = docs.filter(col("doc_id") % 2 === 0)
+    val plan = graft.etl.Merge.snapshotDiff(prev, docs, Seq("doc_id"),
+      Seq("text", "source")).queryExecution.executedPlan.toString
+    // the md5 projection must sit BELOW the join exchange: text/source
+    // appear in scans and projections but never in a shuffle attribute
+    // set; the join carries (doc_id, __fp_*) only
+    assert(plan.contains("FullOuter"), plan.take(600))
+    val joinLine = plan.linesIterator
+      .find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(!joinLine.contains("text"), joinLine)
+  }
+
+  test("semanticDedup pairs only within cells: no cartesian, no nested loop") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val plan = graft.llm.Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("ivfPqTopK: corpus index carries codes, never raw floats, into the probe join") {
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    val plan = graft.llm.Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      2, nCells = 4, nProbe = 2, m = 4, ksub = 4)
+      .queryExecution.executedPlan.toString
+    // the cell equi-join must be a hash join (bucketed probe, no loop)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
 }
