@@ -520,6 +520,63 @@ object RegistryLlm {
              |SELECT src AS id, min(dst) AS rep FROM reach
              |GROUP BY src ORDER BY id""".stripMargin)),
 
+    // ---- L10: leakage-safe train/val/test split — the x21 hash split
+    //      keyed by the near-dup CLUSTER representative (d08's connected
+    //      components) instead of the doc id, so two near-duplicate
+    //      documents can never land in different splits (the classic
+    //      eval-contamination bug in naive per-doc splits). Exact oracle:
+    //      d08's recursive-CTE closure + the same md5 thresholds --------
+    Q("l10_leakage_safe_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        Dedup.connectedComponents(
+            docs.select(col("doc_id").as("id")),
+            Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5))
+          .select(col("id").as("doc_id"),
+            substring(md5(col("rep").cast("string")), 1, 2).as("h"))
+          .select(col("doc_id"),
+            when(col("h") < "cd", "train")
+              .when(col("h") < "e6", "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(toks)-1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |    ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        x -> strlen(x) > 0) AS toks
+             |    FROM documents WHERE doc_id < 500)),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |e AS (
+             |  SELECT id_a AS a, id_b AS b FROM cand
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+             |edges AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+             |reach AS (
+             |  SELECT doc_id AS src, doc_id AS dst
+             |  FROM documents WHERE doc_id < 500
+             |  UNION
+             |  SELECT r.src, e2.b AS dst FROM reach r
+             |  JOIN edges e2 ON r.dst = e2.a)
+             |SELECT src AS doc_id,
+             |  CASE WHEN substr(md5(CAST(min(dst) AS VARCHAR)), 1, 2) < 'cd'
+             |         THEN 'train'
+             |       WHEN substr(md5(CAST(min(dst) AS VARCHAR)), 1, 2) < 'e6'
+             |         THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // ---- L1: end-to-end corpus cleaning (quality → lang → dedup → near-dup) --
     // The whole training-data pipeline as ONE hash-checked query: every
     // stage reuses a formula the t02/t03/d05/d06 oracles verify in

@@ -185,4 +185,32 @@ class DedupSpec extends SparkSpec {
     val cols = Dedup.incrementalDedup(batch, prior, "text", "doc_id").columns
     assert(cols.toSet == Set("doc_id", "text"), cols.toSeq)
   }
+
+  test("leakage-safe split: near-dup cluster members share one split") {
+    import spark.implicits._
+    // 40 distinct docs + a 3-member near-dup cluster spread across ids
+    // that a per-doc hash split would scatter over train/val/test
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ((0L until 40L).map(i =>
+      (i, s"unique document number $i with its own words w$i x$i y$i")) ++
+      Seq(100L, 200L, 300L).map(id => (id, dupText)))
+      .toDF("doc_id", "text")
+    val labels = Dedup.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5))
+    val split = labels.select(col("id"),
+      substring(md5(col("rep").cast("string")), 1, 2).as("h"))
+      .select(col("id"),
+        when(col("h") < "cd", "train").when(col("h") < "e6", "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 43)
+    assert(split(100L) == split(200L) && split(200L) == split(300L),
+      s"cluster scattered: ${Seq(100L, 200L, 300L).map(split)}")
+    // and the split is the REPRESENTATIVE's hash (id 100 is the min)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("100".getBytes("UTF-8")).take(1).map("%02x".format(_)).head
+    val expected = if (h < "cd") "train" else if (h < "e6") "val" else "test"
+    assert(split(100L) == expected)
+  }
 }
