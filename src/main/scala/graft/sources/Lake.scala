@@ -128,6 +128,56 @@ object Lake {
     * day-level partitioning over years of data produces thousands of
     * tiny directories; month is the usual balance.
     */
+  /** Streaming incremental MERGE maintenance: a change-log stream kept
+    * folded into a lake table via `foreachBatch` + [[graft.etl.Merge.upsert]]
+    * — the end-to-end shape of every CDC-fed training-data table (inserts,
+    * updates and tombstone deletes arrive continuously; the table stays
+    * query-ready between batches).
+    *
+    * Each micro-batch rewrites the table via write-NEW-then-swap: the
+    * merged result lands in a fresh `<table>.tmp-<batch>` directory and is
+    * renamed over the old one, because Spark cannot overwrite a path it is
+    * lazily reading in the same job. On a real object store the rename
+    * becomes a manifest/metadata pointer flip (Delta/Iceberg commit); the
+    * directory swap is the filesystem equivalent, and exactly-once comes
+    * from the checkpoint: a replayed batch re-merges idempotently
+    * (upsert's winner-per-key is deterministic).
+    *
+    * Trigger is AvailableNow: drains what exists, then stops — the same
+    * call pattern works for a cron'd incremental job or a long-lived
+    * stream (swap the trigger).
+    */
+  def maintainUpsert(spark: SparkSession, changesDir: String,
+                     changeSchema: org.apache.spark.sql.types.StructType,
+                     tableDir: String, checkpointDir: String,
+                     keys: Seq[String], versionCol: Option[String] = None,
+                     deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dropCols = deleteCol.toSeq
+    spark.readStream.schema(changeSchema).parquet(changesDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val base =
+          if (fs.exists(dir)) s.read.parquet(tableDir)
+          else dropCols.foldLeft(batch.filter(lit(false)))(_ drop _)
+        val merged = graft.etl.Merge.upsert(base, batch, keys,
+          versionCol, deleteCol)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$tableDir.tmp-$batchId")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(dir)) fs.delete(dir, true)
+        fs.rename(tmp, dir)
+        ()
+      }
+      .start()
+  }
+
   def withMonth(df: DataFrame, dateCol: String): DataFrame =
     df.withColumn("month", date_format(col(dateCol), "yyyy-MM"))
 }

@@ -70,6 +70,39 @@ class StreamingSpec extends SparkSpec {
       "late row must be dropped by the persisted watermark")
   }
 
+  test("foreachBatch MERGE maintenance: change log folds into the lake table") {
+    // The CDC shape end-to-end: a parquet change stream (inserts, updates,
+    // tombstones) maintained into a query-ready table across TWO
+    // AvailableNow drains of one checkpoint — batch 2 must merge into
+    // batch 1's table, not rebuild it.
+    val dir = Files.createTempDirectory("graft-maint").toString
+    val in = s"$dir/in"; val table = s"$dir/table"; val cp = s"$dir/cp"
+    def append(data: Seq[(Long, String, Long, Boolean)]): Unit =
+      data.toDF("k", "name", "version", "del")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = Seq((0L, "", 0L, false))
+      .toDF("k", "name", "version", "del").schema
+    def drain(): Unit =
+      graft.sources.Lake.maintainUpsert(spark, in, schema, table, cp,
+        keys = Seq("k"), versionCol = Some("version"),
+        deleteCol = Some("del")).awaitTermination(120000)
+
+    append(Seq((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    drain()
+    assert(spark.read.parquet(table).orderBy("k")
+      .select("k", "name").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+
+    append(Seq((2L, "b2", 2L, false),  // update
+      (1L, "a", 2L, true),             // tombstone delete
+      (3L, "c", 2L, false)))           // insert
+    drain()
+    assert(spark.read.parquet(table).orderBy("k")
+      .select("k", "name").as[(Long, String)].collect()
+      .toSeq == Seq((2L, "b2"), (3L, "c")),
+      "batch 2 must update 2, delete 1, insert 3 on top of batch 1's table")
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
