@@ -1463,6 +1463,37 @@ object RegistryLlm {
              |FROM documents WHERE doc_id < 200
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- M8: cross-video shared-frame detection — videos sharing any
+    //      byte-identical frame (stock footage / intro cards), found by
+    //      md5-ing every decoded frame and equi-joining on the digest.
+    //      The synthetic frames repeat with period 256 in (id*31 + f*7),
+    //      so the oracle enumerates matches by modular arithmetic while
+    //      the engine proves the REAL container-walk + hash-join path ----
+    Q("m08_shared_frames",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 120)
+        val fh = Multimodal.frameHashes(
+          Multimodal.withSyntheticVideos(ids, "id"), "id")
+        val a = fh.select(col("id").as("id_a"), col("frame_md5"))
+        val b = fh.select(col("id").as("id_b"), col("frame_md5"))
+        a.join(b, Seq("frame_md5"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+             |  WHERE doc_id < 120),
+             |f AS (SELECT unnest(generate_series(0, 5)) AS fi)
+             |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |FROM ids a, ids b, f fa, f fb
+             |WHERE a.id < b.id
+             |  AND (a.id * 31 + fa.fi * 7) % 256
+             |    = (b.id * 31 + fb.fi * 7) % 256
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- T12: BPE tokenizer — merges trained on the corpus word-
     //      frequency table (one shuffle + driver-side loop over a bounded
     //      vocab), greedy lowest-rank encode per word via mapPartitions

@@ -450,6 +450,32 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Per-frame content digests: walk the AVI container and md5 each
+    * frame's bytes — the index behind exact CROSS-VIDEO frame matching
+    * (stock-footage/intro-card detection). Videos then meet through a
+    * 16-byte digest equi-join, never through pixel data; non-AVI
+    * payloads contribute no rows.
+    */
+  def frameHashes(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false)))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        parseAvi(r.getAs[Array[Byte]](1)).toSeq.flatMap { avi =>
+          avi.frames.zipWithIndex.map { case (fb, i) =>
+            Row(id, i, md.digest(fb).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }(encoder)
+  }
+
   // ------------------------------------------------------- real decode: WAV
 
   /** One modality decoded for REAL: WAV/PCM is RIFF chunks + little-endian
