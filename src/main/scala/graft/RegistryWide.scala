@@ -395,6 +395,32 @@ object RegistryWide {
              |SELECT l_suppkey, count(*) AS common
              |FROM d GROUP BY 1 ORDER BY l_suppkey""".stripMargin)),
 
+    // ---- O9: keyset pagination — page N fetched by compound-key
+    //      predicate + limit, the scale-correct pagination (OFFSET
+    //      scans and discards every earlier row on every page; keyset
+    //      pushes the predicate into the scan and TakeOrdered keeps
+    //      only the page). The cursor is the last (date, key) of the
+    //      previous page ------------------------------------------------
+    Q("o09_keyset_pagination",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderdate") > lit("1995-06-01").cast("timestamp") ||
+          (col("o_orderdate") === lit("1995-06-01").cast("timestamp") &&
+            col("o_orderkey") > 5000))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice")),
+      Some("""SELECT o_orderkey,
+             |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             |    AS o_orderdate,
+             |  o_totalprice
+             |FROM orders
+             |WHERE o_orderdate > TIMESTAMP '1995-06-01'
+             |  OR (o_orderdate = TIMESTAMP '1995-06-01'
+             |      AND o_orderkey > 5000)
+             |ORDER BY orders.o_orderdate, o_orderkey LIMIT 20""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature
