@@ -395,6 +395,52 @@ object RegistryWide {
              |SELECT l_suppkey, count(*) AS common
              |FROM d GROUP BY 1 ORDER BY l_suppkey""".stripMargin)),
 
+    // ---- J17: star-schema rollup (the TPC-H Q10 shape) — returned-item
+    //      revenue per customer and nation over a quarter. The fact
+    //      (lineitem) flows through key equi-joins Catalyst orders;
+    //      nation broadcasts; revenue accumulates in exact integer
+    //      1e-4-units (decimal-38 sums — w14's units×cents trick) so the
+    //      top-50 ranking is bit-stable at any parallelism ---------------
+    Q("j17_star_rollup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)") *
+              round((lit(1) - col("l_discount")) * 100, 0)
+                .cast("decimal(38,0)")).as("rev4"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg((sum(col("rev4")).cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(50)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue,
+             |  count(*) AS items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+             |  AND o_orderdate < TIMESTAMP '1997-02-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, c_custkey LIMIT 50""".stripMargin)),
+
     // ---- O9: keyset pagination — page N fetched by compound-key
     //      predicate + limit, the scale-correct pagination (OFFSET
     //      scans and discards every earlier row on every page; keyset
@@ -420,6 +466,25 @@ object RegistryWide {
              |  OR (o_orderdate = TIMESTAMP '1995-06-01'
              |      AND o_orderkey > 5000)
              |ORDER BY orders.o_orderdate, o_orderkey LIMIT 20""".stripMargin)),
+
+    // ---- A30: exact heavy hitters, two-pass — per-task Space-Saving
+    //      sketches NOMINATE candidates in O(cap) memory (any item above
+    //      N/cap provably survives), then only candidates are counted
+    //      exactly. The output carries no sketch estimates, so it
+    //      hash-matches the plain GROUP BY oracle — a sketch used for
+    //      memory bounds, not for approximation -------------------------
+    Q("a30_heavy_hitters",
+      (s, dir) => graft.functions.HeavyHitters.topK(
+        t(s, dir, "documents")
+          .select(explode(graft.llm.TextAnalysis.tokens(
+            lower(col("text")))).as("token")),
+        "token", k = 20),
+      Some("""SELECT token AS item, count(*) AS cnt FROM (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    t -> strlen(t) > 0)) AS token
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 20""".stripMargin)),
 
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
