@@ -103,6 +103,54 @@ class StreamingSpec extends SparkSpec {
       "batch 2 must update 2, delete 1, insert 3 on top of batch 1's table")
   }
 
+  test("transformWithState: running spend state survives across drains (RocksDB)") {
+    val dir = Files.createTempDirectory("graft-tws").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    def append(data: Seq[(Long, Double)]): Unit =
+      data.toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.RunningSpend.updates(stream)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.RunningSpend.SpendUpdate], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      append(Seq((1L, 1.25), (1L, 2.00), (2L, 0.50)))
+      drain()
+      append(Seq((1L, 0.25), (3L, 9.99)))
+      drain()
+      // last emitted row per user = exact running totals across BOTH drains
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("events").desc)
+      val finalsMap = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(finalsMap == Map(
+        1L -> (3L, 350L),   // 125 + 200 (+ 25 in drain 2) — state persisted
+        2L -> (1L, 50L),
+        3L -> (1L, 999L)), finalsMap.toString)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
