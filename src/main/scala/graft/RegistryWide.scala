@@ -486,6 +486,110 @@ object RegistryWide {
              |  FROM documents)
              |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 20""".stripMargin)),
 
+    // ---- W18: exponentially weighted moving average — the recursive
+    //      smoother no plain window frame expresses. Per key: one
+    //      shuffle, values assembled in (ts, id) order, then ONE
+    //      sequential fold `acc*0.8 + x*0.2` — written identically in
+    //      both engines (Spark `aggregate` folds left; DuckDB
+    //      `list_reduce` folds left seeded by the first element), so the
+    //      doubles round identically step for step and the gate stays
+    //      hash-exact. Per-key history must fit a task (document streams
+    //      at 100 TB: bound the frame or chunk by epoch first) ------------
+    Q("w18_ewma",
+      (s, dir) => Registry.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("value")))),
+          e => e.getField("value")).as("vals"))
+        .select(col("user_id"), size(col("vals")).as("n"),
+          aggregate(
+            slice(col("vals"), lit(2),
+              greatest(size(col("vals")) - 1, lit(0))),
+            element_at(col("vals"), 1),
+            (acc, x) => acc * lit(0.8) + x * lit(0.2)).as("ewma"))
+        .orderBy("user_id"),
+      Some("""WITH seq AS (
+             |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(len(vals) AS INT) AS n,
+             |  list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2) AS ewma
+             |FROM seq ORDER BY user_id""".stripMargin)),
+
+    // ---- A31: ANALYZE-style column profile — nulls / exact NDV /
+    //      min / max for every column of a table in ONE pass (plus the
+    //      NDVs' distinct shuffles), the stats block a CBO or data
+    //      catalog ingests. Values surface as strings with per-type
+    //      canonical formatting so one long table carries all columns ----
+    Q("a31_table_stats",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val agg = o.agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_k"),
+          count_distinct(col("o_orderkey")).as("nd_k"),
+          min(col("o_orderkey")).cast("string").as("mn_k"),
+          max(col("o_orderkey")).cast("string").as("mx_k"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_s"),
+          count_distinct(col("o_orderstatus")).as("nd_s"),
+          min(col("o_orderstatus")).as("mn_s"),
+          max(col("o_orderstatus")).as("mx_s"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_p"),
+          count_distinct(col("o_totalprice")).as("nd_p"),
+          min(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+            .as("mn_p"),
+          max(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+            .as("mx_p"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_d"),
+          count_distinct(col("o_orderdate")).as("nd_d"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn_d"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx_d"))
+        agg.select(expr("stack(4, " +
+            "'o_orderdate', nn_d, nd_d, mn_d, mx_d, " +
+            "'o_orderkey', nn_k, nd_k, mn_k, mx_k, " +
+            "'o_orderstatus', nn_s, nd_s, mn_s, mx_s, " +
+            "'o_totalprice', nn_p, nd_p, mn_p, mx_p) " +
+            "AS (col_name, n_nulls, n_distinct, min_value, max_value)"))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn_k,
+             |    count(DISTINCT o_orderkey) AS nd_k,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn_s,
+             |    count(DISTINCT o_orderstatus) AS nd_s,
+             |    min(o_orderstatus) AS mn_s,
+             |    max(o_orderstatus) AS mx_s,
+             |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn_p,
+             |    count(DISTINCT o_totalprice) AS nd_p,
+             |    CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+             |      AS mn_p,
+             |    CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+             |      AS mx_p,
+             |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nn_d,
+             |    count(DISTINCT o_orderdate) AS nd_d,
+             |    strftime(CAST(min(o_orderdate) AS DATE), '%Y-%m-%d')
+             |      AS mn_d,
+             |    strftime(CAST(max(o_orderdate) AS DATE), '%Y-%m-%d')
+             |      AS mx_d
+             |  FROM orders)
+             |SELECT col_name, n_nulls, n_distinct, min_value, max_value
+             |FROM (
+             |  SELECT 'o_orderdate' AS col_name, nn_d AS n_nulls,
+             |    nd_d AS n_distinct, mn_d AS min_value, mx_d AS max_value
+             |  FROM a
+             |  UNION ALL SELECT 'o_orderkey', nn_k, nd_k, mn_k, mx_k FROM a
+             |  UNION ALL SELECT 'o_orderstatus', nn_s, nd_s, mn_s, mx_s
+             |    FROM a
+             |  UNION ALL SELECT 'o_totalprice', nn_p, nd_p, mn_p, mx_p
+             |    FROM a)
+             |ORDER BY col_name""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature
