@@ -4,7 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{AsOfJoin, Merge, RangeJoin}
-import Registry.{decSum, t}
+import graft.llm.Dedup
+import Registry.{decSum, events, t}
 
 /** Round-5 widening: interval-overlap join, snapshot diff, deterministic
   * corpus splits, rank-fraction windows, ORC roundtrip, model-based
@@ -589,6 +590,146 @@ object RegistryWide {
              |  UNION ALL SELECT 'o_totalprice', nn_p, nd_p, mn_p, mx_p
              |    FROM a)
              |ORDER BY col_name""".stripMargin)),
+
+    // ---- W19: batch sessionization (gaps-and-islands) — per-user
+    //      sessions split on >30 min inactivity, built from two window
+    //      passes over ONE (user, time) sort-shuffle: a lag() boundary
+    //      flag and its running sum as the session id. The batch
+    //      counterpart of w07's streaming session_window -----------------
+    Q("w19_batch_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("news",
+            when(lag(col("ts"), 1).over(w).isNull ||
+              unix_micros(col("ts")) -
+                unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("news"))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+              .as("session_end"),
+            count(lit(1)).as("n_events"))
+          .drop("sid")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |      THEN 1 ELSE 0 END AS news
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- D18: excerpt detection via n-gram CONTAINMENT — the
+    //      asymmetric complement of d06's Jaccard: a short quote inside
+    //      a long page has Jaccard ≈ 0 but containment 1.0. Corpus =
+    //      docs + their synthesized 20-token excerpts (ids +1000), so
+    //      every (parent, excerpt) pair must surface at exactly 1.0 -----
+    Q("d18_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val excerpts = docs.select((col("doc_id") + 1000).as("doc_id"),
+          concat_ws(" ", slice(graft.llm.TextAnalysis.tokens(col("text")),
+            1, 20)).as("text"))
+        Dedup.containmentPairs(docs.unionByName(excerpts),
+            "text", "doc_id", n = 3, threshold = 0.9)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+             |  UNION ALL
+             |  SELECT doc_id + 1000 AS doc_id,
+             |    array_to_string(list_filter(
+             |      string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)[1:20], ' ') AS text
+             |  FROM documents WHERE doc_id < 300),
+             |t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(toks)-1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |    ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |        x -> strlen(x) > 0) AS toks
+             |    FROM corpus)),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+             |FROM pairs
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- A32: the TPC-H Q1 pricing summary — the canonical scan-heavy
+    //      rollup, with every money sum in exact integer units (cents /
+    //      1e-4 / 1e-6 via decimal-38 products) so sums and averages are
+    //      bit-stable at any parallelism ---------------------------------
+    Q("a32_pricing_summary",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0)
+          .cast("decimal(38,0)")
+        val disc = round((lit(1) - col("l_discount")) * 100, 0)
+          .cast("decimal(38,0)")
+        val tax = round((lit(1) + col("l_tax")) * 100, 0)
+          .cast("decimal(38,0)")
+        t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            (sum(cents).cast("double") / 100.0).as("sum_base_price"),
+            (sum(cents * disc).cast("double") / 10000.0)
+              .as("sum_disc_price"),
+            (sum(cents * disc * tax).cast("double") / 1000000.0)
+              .as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+             |    AS DOUBLE) / 100.0 AS sum_base_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT)
+             |      * CAST(round((1 + l_tax) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 1000000.0 AS sum_charge,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+             |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is

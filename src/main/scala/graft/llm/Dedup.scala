@@ -306,4 +306,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Excerpt/subset detection via n-gram CONTAINMENT: score =
+    * |A∩B| / min(|A|, |B|) — 1.0 when the smaller document's grams are
+    * entirely inside the larger one, however large the larger is. This
+    * is the asymmetric complement of [[exactNgramNearDups]]'s Jaccard: a
+    * 20-line quote inside a 2000-line page has Jaccard ≈ 0.01 (invisible
+    * to near-dup gates) but containment 1.0. Same inverted-index shape —
+    * docs meet only through a shared gram, never all-pairs.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), n).as("grams"))
+      .withColumn("sz", size(col("grams")))
+    val inv = grams.select(col("id"), col("sz"),
+      explode(col("grams")).as("gram"))
+    val a = inv.as("a"); val b = inv.as("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sza"), col("szb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }
