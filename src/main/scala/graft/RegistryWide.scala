@@ -731,6 +731,43 @@ object RegistryWide {
              |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
              |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- A33: incremental view maintenance — a maintained (key, cnt,
+    //      sum) aggregate absorbs a change log (inserts + deletes) by
+    //      re-summing ONLY |prev keys| + |delta| rows, never the base
+    //      table. Maintained result must hash-equal the from-scratch
+    //      aggregate of the post-change table (which is what the oracle
+    //      computes directly) -------------------------------------------
+    Q("a33_incremental_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cutHi = lit("1998-01-01").cast("timestamp")
+        val cutLo = lit("1997-06-01").cast("timestamp")
+        val prev = o.filter(col("o_orderdate") < cutHi)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast("decimal(28,6)"))
+              .as("sum_o_totalprice"))
+        val inserts = o.filter(col("o_orderdate") >= cutHi)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("del", lit(false))
+        val deletes = o.filter(col("o_orderdate") >= cutLo &&
+            col("o_orderdate") < cutHi)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("del", lit(true))
+        Merge.maintainAgg(prev, inserts.unionByName(deletes),
+            Seq("o_orderpriority"), Seq("o_totalprice"), "del")
+          .select(col("o_orderpriority"), col("cnt"),
+            col("sum_o_totalprice").cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             |    AS total
+             |FROM orders
+             |WHERE o_orderdate < TIMESTAMP '1997-06-01'
+             |   OR o_orderdate >= TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature

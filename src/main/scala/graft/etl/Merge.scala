@@ -79,6 +79,38 @@ object Merge {
       .select(keys.map(col) :+ col("status"): _*)
   }
 
+  /** Incremental view maintenance for additive aggregates: fold a
+    * change log (inserts and deletes) into a maintained `(keys, cnt,
+    * sums...)` aggregate WITHOUT rescanning the base table — the delta
+    * is aggregated with signed weights (+1 insert, -1 delete), unioned
+    * with the previous aggregate, and re-summed per key; groups whose
+    * count reaches zero disappear. Cost: one shuffle over |prev keys| +
+    * |delta keys|, independent of base-table size — the point of IVM at
+    * 100 TB. Only additive aggregates (count/sum, and means derived
+    * from them downstream) maintain this way; min/max need the base.
+    *
+    * `changes` carries the key cols, `deleteCol` (boolean) and the raw
+    * `sumCols`; `prev` carries keys, `cnt`, and `sum_<col>` per sumCol
+    * (the shape this function returns — it composes with itself).
+    */
+  def maintainAgg(prev: DataFrame, changes: DataFrame, keys: Seq[String],
+                  sumCols: Seq[String], deleteCol: String): DataFrame = {
+    val sign = when(col(deleteCol), lit(-1L)).otherwise(lit(1L))
+    val delta = changes
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("cnt"),
+        sumCols.map(c => sum((col(c) * sign.cast("double"))
+          .cast("decimal(28,6)")).as(s"sum_$c")): _*)
+    val prevTyped = prev.select(keys.map(col) ++ (col("cnt") +:
+      sumCols.map(c => col(s"sum_$c").cast("decimal(28,6)")
+        .as(s"sum_$c"))): _*)
+    prevTyped.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      .filter(col("cnt") > 0)
+  }
+
   /** SCD2 history from a change log: for each key's change rows (ordered
     * by `effectiveCol`) emit half-open validity intervals —
     * `effective_to` = the next change's effective date (null = current

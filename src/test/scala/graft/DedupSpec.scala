@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(cols.toSet == Set("doc_id", "text"), cols.toSeq)
   }
 
+  test("containment catches an excerpt Jaccard misses") {
+    import spark.implicits._
+    val page = (1 to 60).map(i => s"word$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, page), (2L, quote), (3L, "totally different text here"))
+      .toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(contained.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(contained.head._3 == 1.0) // every quote gram is in the page
+    // the same pair is invisible to the Jaccard gate at any useful bar
+    val jac = Dedup.exactNgramNearDups(docs, "text", "doc_id", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("leakage-safe split: near-dup cluster members share one split") {
     import spark.implicits._
     // 40 distinct docs + a 3-member near-dup cluster spread across ids

@@ -84,6 +84,28 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq((1L, "changed"), (2L, "changed")))
   }
 
+  test("maintainAgg: deltas fold in, zero-count groups vanish, composes") {
+    val prev = Seq(("a", 2L, BigDecimal(30.0)), ("b", 1L, BigDecimal(5.0)))
+      .toDF("k", "cnt", "sum_v")
+    val changes = Seq(
+      ("a", 10.0, false),  // insert
+      ("b", 5.0, true),    // delete b's only row -> group vanishes
+      ("c", 7.5, false)    // new group
+    ).toDF("k", "v", "del")
+    val out = Merge.maintainAgg(prev, changes, Seq("k"), Seq("v"), "del")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .orderBy("k").as[(String, Long, Double)].collect.toSeq
+    assert(out == Seq(("a", 3L, 40.0), ("c", 1L, 7.5)), out.toString)
+    // composes: feeding its own output as prev works (same shape)
+    val again = Merge.maintainAgg(
+      Merge.maintainAgg(prev, changes, Seq("k"), Seq("v"), "del"),
+      Seq(("c", 2.5, false)).toDF("k", "v", "del"),
+      Seq("k"), Seq("v"), "del")
+      .select(col("k"), col("cnt"), col("sum_v").cast("double"))
+      .orderBy("k").as[(String, Long, Double)].collect.toSeq
+    assert(again == Seq(("a", 3L, 40.0), ("c", 2L, 10.0)), again.toString)
+  }
+
   test("snapshotDiff: adjacent-column concat cannot collide") {
     // ("ab","c") vs ("a","bc") — a separator-free fingerprint would
     // classify this as unchanged
