@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{AsOfJoin, Merge, RangeJoin}
-import graft.llm.Dedup
+import graft.llm.{Dedup, Multimodal}
 import Registry.{decSum, events, t}
 
 /** Round-5 widening: interval-overlap join, snapshot diff, deterministic
@@ -767,6 +767,57 @@ object RegistryWide {
              |WHERE o_orderdate < TIMESTAMP '1997-06-01'
              |   OR o_orderdate >= TIMESTAMP '1998-01-01'
              |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- W20: rolling distinct users (7-day window per day) — COUNT
+    //      DISTINCT has no frame-based shortcut, so each event is
+    //      replicated into the ≤7 day-buckets it influences (bounded
+    //      fan-out, the range-join trick) and each bucket distinct-counts
+    //      independently. One explode + one distinct-agg shuffle ----------
+    Q("w20_rolling_distinct",
+      (s, dir) => events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("day", explode(sequence(col("d"),
+          date_add(col("d"), 6))))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count_distinct(col("user_id")).as("users"))
+        .orderBy("day"),
+      Some("""SELECT strftime(day, '%Y-%m-%d') AS day,
+             |  count(DISTINCT user_id) AS users
+             |FROM (
+             |  SELECT user_id, CAST(ts AS DATE) + CAST(k AS INT) AS day
+             |  FROM events
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k))
+             |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ---- M9: content-identical image dedup THROUGH the decode path —
+    //      images are grouped by the md5 of their decoded luminance
+    //      features, not their container bytes (the same pixels saved by
+    //      different encoders share a group; m08's byte-hash would not).
+    //      Synthetic pixels repeat with period 256 in id*31, so ids
+    //      congruent mod 256 decode identically and the oracle is pure
+    //      arithmetic -------------------------------------------------------
+    Q("m09_image_dups",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+        val feats = Multimodal.decodeImageFeatures(
+            Multimodal.withSyntheticImages(ids, "id"), "id", grid = 4)
+          .filter(col("features").isNotNull)
+          .select(col("id"),
+            md5(to_json(struct(col("sum_gray"), col("features"))))
+              .as("content_key"))
+        val a = feats.select(col("id").as("id_a"), col("content_key"))
+        val b = feats.select(col("id").as("id_b"), col("content_key"))
+        a.join(b, Seq("content_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id
+             |  AND (a.doc_id * 31) % 256 = (b.doc_id * 31) % 256
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
