@@ -65,6 +65,27 @@ class BpeSpec extends SparkSpec {
     assert(rareDone < 0 || alphaDone < rareDone)
   }
 
+  test("randomized lossless property: tokens always rebuild the input") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdef"
+    def word() = (1 to 1 + rnd.nextInt(6))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 30L).map(i =>
+        (i, (1 to 5 + rnd.nextInt(10)).map(_ => word()).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val merges = Bpe.fit(df, "text", numMerges = 15 * trial)
+      val out = Bpe.encode(df, "doc_id", "text", merges)
+        .select("id", "tokens").as[(Long, Seq[String])].collect().toMap
+      docs.foreach { case (id, text) =>
+        val rebuilt = out(id).mkString.replace(Bpe.EOW, " ").trim
+        assert(rebuilt == text.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).mkString(" "),
+          s"trial $trial doc $id not lossless")
+      }
+    }
+  }
+
   test("registry t12 shape: per-source totals, compression < 1 word") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val merges = Bpe.fit(docs, "text", numMerges = 40)

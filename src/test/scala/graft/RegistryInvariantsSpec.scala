@@ -61,4 +61,24 @@ class RegistryInvariantsSpec extends SparkSpec {
     assert(byProbe("NATION_99")._1 == "NATION_19")
     assert(byProbe("NATION_99")._2 == 1L)
   }
+
+  test("float-heavy round-5 queries are bit-stable across shuffle widths") {
+    // The property the oracle gate implies but never re-checks: the SAME
+    // bits under a different partitioning. Any order-dependent double
+    // accumulation (a plain sum(double), a fold whose order follows task
+    // order) fails this immediately at width 7 vs the session default.
+    val names = Seq("w18_ewma", "j17_star_rollup", "a28_chi_square",
+      "l09_quality_logit", "w17_rolling_median", "a33_incremental_agg")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val base = names.map(n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      names.zip(base).foreach { case (n, (_, rows)) =>
+        val again = SparkEntry.queries(n)(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(again == rows, s"$n drifted under shuffle width 7")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
