@@ -819,6 +819,108 @@ object RegistryWide {
              |  AND (a.doc_id * 31) % 256 = (b.doc_id * 31) % 256
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- P6: denormalize to training JSONL — orders exported as one
+    //      nested document each, lineitems folded in as a sorted array
+    //      (one groupBy + in-group sort). The JSON text is built with
+    //      plain string ops, char-identical in both engines, because the
+    //      export FORMAT is the contract a tokenizer downstream sees ------
+    Q("p06_denormalize",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"),
+            format_string("{\"line\":%d,\"qty\":%d}",
+              col("l_linenumber"),
+              col("l_quantity").cast("int")).as("item"))
+          .groupBy(col("l_orderkey"))
+          .agg(concat(lit("["),
+            array_join(sort_array(collect_list(col("item"))), ","),
+            lit("]")).as("items_json"),
+            count(lit(1)).as("n_items"))
+        items
+          .select(col("l_orderkey").as("order_key"),
+            concat(lit("{\"order\":"), col("l_orderkey").cast("string"),
+              lit(",\"items\":"), col("items_json"), lit("}")).as("doc"),
+            col("n_items"))
+          .orderBy("order_key")
+      },
+      // sort_array sorts the item STRINGS lexicographically; the oracle
+      // orders string_agg by the same rendered string
+      Some("""SELECT l_orderkey AS order_key,
+             |  '{"order":' || CAST(l_orderkey AS VARCHAR) || ',"items":['
+             |    || string_agg(item, ',' ORDER BY item) || ']}' AS doc,
+             |  count(*) AS n_items
+             |FROM (
+             |  SELECT l_orderkey,
+             |    '{"line":' || CAST(l_linenumber AS VARCHAR) || ',"qty":'
+             |      || CAST(CAST(l_quantity AS INT) AS VARCHAR) || '}'
+             |      AS item
+             |  FROM lineitem WHERE l_orderkey % 100 = 0)
+             |GROUP BY l_orderkey ORDER BY order_key""".stripMargin)),
+
+    // ---- A34: exact ROC-AUC of the l09 quality logit against the
+    //      is-English label — the Mann-Whitney rank form: AUC =
+    //      (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), with a
+    //      deterministic total order (logit, doc_id) so both engines
+    //      rank identically. The global 1..N rank comes from
+    //      `Ids.denseIds` (range partition + broadcast offsets — never a
+    //      one-task window), so model evaluation costs one range shuffle
+    //      however large the eval set ------------------------------------
+    Q("a34_auc",
+      (s, dir) => {
+        val txt = col("text")
+        val nTok = size(split(trim(txt), "\\s+")).cast("double")
+        val len = length(txt).cast("double")
+        val punct = (len - length(regexp_replace(txt, "[.,!?]", ""))
+          .cast("double")) / len
+        val upper = (len - length(regexp_replace(txt, "[A-Z]", ""))
+          .cast("double")) / len
+        val scored = t(s, dir, "documents")
+          .filter(length(txt) > 0)
+          .select(col("doc_id"), col("lang"),
+            (((nTok * 0.01) - (punct * 3.0)) + (upper * 1.5)).as("logit"))
+        val ranked = graft.etl.Ids.denseIds(scored,
+          Seq(col("logit"), col("doc_id")), "rk")
+        ranked.agg(
+            sum(when(col("lang") === "en", col("rk").cast("long"))
+              .otherwise(0L)).as("pos_rank_sum"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("CAST(pos_rank_sum - (n_pos * (n_pos + 1)) div 2 " +
+              "AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE)").as("auc"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang,
+             |    ((CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |        AS DOUBLE) * 0.01::DOUBLE)
+             |     - ((CAST(length(text)
+             |          - length(regexp_replace(text, '[.,!?]', '', 'g'))
+             |          AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             |        * 3.0::DOUBLE))
+             |    + ((CAST(length(text)
+             |         - length(regexp_replace(text, '[A-Z]', '', 'g'))
+             |         AS DOUBLE) / CAST(length(text) AS DOUBLE))
+             |       * 1.5::DOUBLE) AS logit
+             |  FROM documents WHERE length(text) > 0),
+             |r AS (
+             |  SELECT lang,
+             |    row_number() OVER (ORDER BY logit, doc_id) AS rk
+             |  FROM f),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN lang = 'en' THEN rk ELSE 0 END)
+             |      AS BIGINT) AS pos_rank_sum,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_pos,
+             |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_neg
+             |  FROM r)
+             |SELECT n_pos, n_neg,
+             |  CAST(pos_rank_sum - (n_pos * (n_pos + 1)) // 2 AS DOUBLE)
+             |    / CAST(n_pos * n_neg AS DOUBLE) AS auc
+             |FROM agg""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature
