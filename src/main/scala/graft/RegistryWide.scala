@@ -921,6 +921,71 @@ object RegistryWide {
              |    / CAST(n_pos * n_neg AS DOUBLE) AS auc
              |FROM agg""".stripMargin)),
 
+    // ---- A35: argmin/argmax aggregates — the "which row holds the
+    //      extreme" question without a self-join or window: min_by /
+    //      max_by with an explicit unique tie-break (the raw pair would
+    //      be partitioning-dependent on duplicate prices) ----------------
+    Q("a35_arg_extremes",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("max_price_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("min_price_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy("o_orderpriority"),
+      // DuckDB 1.0 arg_max has no struct ordering key; the oracle pins
+      // the same row via two deterministic rank windows
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  max(CASE WHEN rmax = 1 THEN o_orderkey END)
+             |    AS max_price_order,
+             |  max(CASE WHEN rmin = 1 THEN o_orderkey END)
+             |    AS min_price_order,
+             |  max(o_totalprice) AS max_price,
+             |  min(o_totalprice) AS min_price
+             |FROM r GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- W21: value-picking windows — first/last/nth value over an
+    //      explicit frame (UNBOUNDED..UNBOUNDED so last/nth see the whole
+    //      partition; default frames famously truncate last_value) -------
+    Q("w21_value_windows",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .withColumn("cheapest", first_value(col("o_orderkey")).over(w))
+          .withColumn("priciest", last_value(col("o_orderkey")).over(w))
+          .withColumn("third", nth_value(col("o_orderkey"), 3).over(w))
+          .filter(col("o_orderkey") % 100 === 0)
+          .drop("o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    first_value(o_orderkey) OVER w AS cheapest,
+             |    last_value(o_orderkey) OVER w AS priciest,
+             |    nth_value(o_orderkey, 3) OVER w AS third
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND UNBOUNDED FOLLOWING))
+             |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature
