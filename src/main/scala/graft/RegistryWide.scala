@@ -986,6 +986,39 @@ object RegistryWide {
              |      AND UNBOUNDED FOLLOWING))
              |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- X22: calendar arithmetic surface — trunc-to-month/quarter,
+    //      month-end, add_months, quarter/week-of-year extraction: the
+    //      date dimensions every reporting rollup keys on, all
+    //      codegen'd built-ins -------------------------------------------
+    Q("x22_calendar",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(date_trunc("quarter", col("o_orderdate")),
+            "yyyy-MM-dd").as("quarter_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+            .as("plus_quarter"),
+          quarter(col("o_orderdate")).as("q"),
+          weekofyear(col("o_orderdate")).as("iso_week"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             |    AS month_start,
+             |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             |    AS quarter_start,
+             |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             |    AS month_end,
+             |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+             |    '%Y-%m-%d') AS plus_quarter,
+             |  CAST(quarter(o_orderdate) AS INT) AS q,
+             |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature

@@ -86,6 +86,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("composite predicates and projections reach the parquet scan") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val q = orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") > 1000.0 &&
+        col("o_orderstatus").startsWith("F"))
+      .select("o_orderkey", "o_totalprice")
+    // formatted mode prints the full PushedFilters list (the plain plan
+    // string truncates it)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(o_orderpriority") &&
+      pushed.contains("GreaterThan(o_totalprice") &&
+      pushed.contains("StringStartsWith(o_orderstatus"), pushed)
+    // column pruning: the scan reads only the 4 referenced columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_custkey") &&
+      !readSchema.contains("o_orderdate"), readSchema)
+  }
+
   test("ivfPqTopK: corpus index carries codes, never raw floats, into the probe join") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
