@@ -1019,6 +1019,76 @@ object RegistryWide {
              |FROM orders WHERE o_orderkey % 100 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- F8: three-valued-logic edge coverage — NULLs planted via
+    //      NULLIF, then the full predicate surface over them: null-safe
+    //      equality, COALESCE chains, IS DISTINCT FROM, and the
+    //      NULL-in-IN trap (x IN (...) is NULL, never TRUE, for NULL x) --
+    Q("f08_null_semantics",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("st"))
+        .select(col("o_orderkey"),
+          coalesce(col("st"), lit("OPEN")).as("status_or_default"),
+          (col("st") <=> lit("F")).as("nullsafe_is_f"),
+          (!(col("st") <=> lit("P"))).as("distinct_from_p"),
+          when(col("st").isin("F", "P"), "terminal")
+            .when(col("st").isNull, "unknown")
+            .otherwise("other").as("bucket"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  coalesce(st, 'OPEN') AS status_or_default,
+             |  st IS NOT DISTINCT FROM 'F' AS nullsafe_is_f,
+             |  st IS DISTINCT FROM 'P' AS distinct_from_p,
+             |  CASE WHEN st IN ('F', 'P') THEN 'terminal'
+             |       WHEN st IS NULL THEN 'unknown'
+             |       ELSE 'other' END AS bucket
+             |FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st
+             |      FROM orders WHERE o_orderkey % 50 = 0)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- X23: string-manipulation surface — pad/reverse/repeat/
+    //      translate/overlay, the cleanup toolkit for id normalization --
+    Q("x23_string_surface",
+      (s, dir) => t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("padded_key"),
+          rpad(col("n_name"), 12, ".").as("padded_name"),
+          reverse(col("n_name")).as("reversed"),
+          translate(col("n_name"), "_", "-").as("dashed"),
+          concat(substring(col("n_name"), 1, 3), lit("***"))
+            .as("masked"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+             |  rpad(n_name, 12, '.') AS padded_name,
+             |  reverse(n_name) AS reversed,
+             |  replace(n_name, '_', '-') AS dashed,
+             |  substr(n_name, 1, 3) || '***' AS masked
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // ---- U10: schema-tolerant union — unionByName with missing columns
+    //      null-filled, the shape every multi-vintage ingest needs when
+    //      writer schemas drift (column added in vintage 2) --------------
+    Q("u10_union_missing_cols",
+      (s, dir) => {
+        val v1 = t(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"))
+        val v2 = t(s, dir, "documents")
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .select(col("doc_id"), col("source"), col("lang"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .select(col("doc_id"), col("source"),
+            coalesce(col("lang"), lit("unknown")).as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, 'unknown' AS lang
+             |FROM documents WHERE doc_id < 100
+             |UNION ALL
+             |SELECT doc_id, source, lang
+             |FROM documents WHERE doc_id >= 100 AND doc_id < 200
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- J16: as-of join with match tolerance — the j05 semantics plus
     //      a max-staleness cap: a preceding metric older than 30 days is
     //      no match (nulled), which is what any point-in-time feature
