@@ -1507,7 +1507,10 @@ object RegistryLlm {
         val merges = Bpe.fit(docs, "text", numMerges = 60)
         Bpe.encode(docs, "doc_id", "text", merges)
           .join(docs.select(col("doc_id").as("id"), col("source"),
-            size(split(lower(col("text")), "\\s+")).as("n_words")), "id")
+            // same filtered word count as Bpe.words: \s+ split emits a
+            // phantom "" token on empty/leading-whitespace text
+            size(filter(split(lower(col("text")), "\\s+"),
+              x => x =!= "")).as("n_words")), "id")
           .groupBy("source")
           .agg(count(lit(1)).as("docs"),
             sum(col("n_bpe_tokens").cast("long")).as("bpe_tokens"),

@@ -56,18 +56,23 @@ object Merge {
     * lake runs before promoting a new crawl snapshot, and the input to
     * incremental downstream recomputes (process only `added`+`changed`).
     *
-    * Rows are compared by an md5 fingerprint over `valueCols` (null-safe:
-    * NULL and empty string hash differently), so wide rows cost one
-    * digest each instead of a column-by-column comparison, and the full
-    * outer join carries only (key, 16-byte digest) through the shuffle —
-    * at 100 TB the shuffle is keys+digests, never document payloads.
+    * Rows are compared by an md5 fingerprint over `valueCols`, so wide
+    * rows cost one digest each instead of a column-by-column comparison,
+    * and the full outer join carries only (key, 16-byte digest) through
+    * the shuffle — at 100 TB the shuffle is keys+digests, never document
+    * payloads. The digest input is `to_json(struct(...))` with nulls
+    * kept, not a separator-joined string: JSON quotes and escapes every
+    * value and renders NULL as a bare `null`, so a value containing the
+    * would-be separator, or literally equal to a null sentinel, cannot
+    * collide with a different row — fingerprint equality is exactly
+    * row equality.
     */
   def snapshotDiff(prev: DataFrame, curr: DataFrame, keys: Seq[String],
                    valueCols: Seq[String]): DataFrame = {
     def fp(df: DataFrame): DataFrame =
-      df.select(keys.map(col) :+ md5(concat_ws("\u0001",
-        valueCols.map(c => coalesce(col(c).cast("string"),
-          lit("\u0000"))): _*)).as("__fp"): _*)
+      df.select(keys.map(col) :+ md5(to_json(
+        struct(valueCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).as("__fp"): _*)
     val p = fp(prev).withColumnRenamed("__fp", "__fp_p")
     val c = fp(curr).withColumnRenamed("__fp", "__fp_c")
     p.join(c, keys, "full_outer")

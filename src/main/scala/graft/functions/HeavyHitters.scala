@@ -48,22 +48,48 @@ object HeavyHitters {
 
   /** Exact top-`k` items of `itemCol` by count. `cap` is the per-task
     * sketch width (memory bound and nomination bar).
+    *
+    * The nomination guarantee only covers items with global count >
+    * N/cap, so exactness is VERIFIED after pass 2, not assumed: the run
+    * is accepted iff the k-th returned count clears the N/width bar (or
+    * the sketch provably kept every distinct item). Otherwise the cap
+    * quadruples and both passes re-run — the loop terminates because
+    * width eventually reaches the distinct-item count, where
+    * Space-Saving degenerates to an exact hash aggregate. N and width
+    * are both known, so the check costs one bounded `.collect()` of ≤ k
+    * rows per attempt, never a full re-count.
     */
   def topK(df: DataFrame, itemCol: String, k: Int,
            cap: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val width = if (cap > 0) cap else math.max(k * 16, 64)
     val items: Dataset[String] =
       df.select(col(itemCol).cast("string")).as[String]
-    val candidates = items
-      .mapPartitions(it => spaceSavingCandidates(it, width))
-      .distinct()
-      .toDF("item")
-    items.toDF("item")
-      .join(broadcast(candidates), Seq("item"))
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
+    val n = items.count()
+    var width = if (cap > 0) cap else math.max(k * 16, 64)
+    var result: Array[(String, Long)] = null
+    var exact = false
+    while (!exact) {
+      val candidates = items
+        .mapPartitions(it => spaceSavingCandidates(it, width))
+        .distinct()
+        .toDF("item")
+      val nCandidates = candidates.count()
+      result = items.toDF("item")
+        .join(broadcast(candidates), Seq("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+        .limit(k)
+        .as[(String, Long)].collect()
+      val bar = n / width // items strictly above this are always nominated
+      exact =
+        if (result.isEmpty) true // no rows at all
+        else if (result.length == k && result.last._2 > bar) true
+        else if (nCandidates == items.distinct().count()) true // kept all
+        else { width = width * 4; false }
+    }
+    spark.createDataset(result.toSeq).toDF("item", "cnt")
       .orderBy(col("cnt").desc, col("item"))
-      .limit(k)
   }
 }

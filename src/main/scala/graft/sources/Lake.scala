@@ -136,12 +136,20 @@ object Lake {
     *
     * Each micro-batch rewrites the table via write-NEW-then-swap: the
     * merged result lands in a fresh `<table>.tmp-<batch>` directory and is
-    * renamed over the old one, because Spark cannot overwrite a path it is
+    * swapped into place, because Spark cannot overwrite a path it is
     * lazily reading in the same job. On a real object store the rename
     * becomes a manifest/metadata pointer flip (Delta/Iceberg commit); the
     * directory swap is the filesystem equivalent, and exactly-once comes
     * from the checkpoint: a replayed batch re-merges idempotently
     * (upsert's winner-per-key is deterministic).
+    *
+    * The swap is crash-safe: the live dir is renamed ASIDE
+    * (`<table>.old-<batch>`) — never deleted — before the tmp dir is
+    * renamed into place, every rename's boolean result is checked (a
+    * false fails the batch instead of reporting success over a deleted
+    * table), and batch start restores the newest aside if a previous
+    * attempt died between the two renames. At no instant does the merged
+    * state exist only in a deleted directory.
     *
     * Trigger is AvailableNow: drains what exists, then stops — the same
     * call pattern works for a cron'd incremental job or a long-lived
@@ -160,19 +168,48 @@ object Lake {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
         val s = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(tableDir)
+        val dir = new Path(tableDir)
         val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // Recovery: a prior attempt may have died between moving the
+        // live table aside and completing the swap. If the live dir is
+        // missing but asides exist, the newest aside IS the table —
+        // restore it before reading the base (otherwise the replayed
+        // batch would silently rebuild the table from itself alone,
+        // losing all previously merged state). Asides left after a
+        // COMPLETED swap (died before cleanup) are just deleted.
+        def asides(): Array[org.apache.hadoop.fs.FileStatus] =
+          Option(fs.globStatus(new Path(s"$tableDir.old-*")))
+            .getOrElse(Array.empty)
+        def asideBatch(p: Path): Long =
+          p.getName.substring(p.getName.lastIndexOf("old-") + 4).toLong
+        if (!fs.exists(dir)) {
+          val found = asides()
+          if (found.nonEmpty) {
+            val newest = found.maxBy(st => asideBatch(st.getPath))
+            require(fs.rename(newest.getPath, dir),
+              s"recovery rename ${newest.getPath} -> $dir failed")
+          }
+        }
+        asides().foreach(st => fs.delete(st.getPath, true))
         val base =
           if (fs.exists(dir)) s.read.parquet(tableDir)
           else dropCols.foldLeft(batch.filter(lit(false)))(_ drop _)
         val merged = graft.etl.Merge.upsert(base, batch, keys,
           versionCol, deleteCol)
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$tableDir.tmp-$batchId")
+        val tmp = new Path(s"$tableDir.tmp-$batchId")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(dir)) fs.delete(dir, true)
-        fs.rename(tmp, dir)
+        // Swap: live -> aside, tmp -> live, then drop the aside. Each
+        // rename is checked; a failure aborts the batch with the table
+        // still reachable (live, or the just-created aside).
+        val old = new Path(s"$tableDir.old-$batchId")
+        if (fs.exists(dir)) {
+          if (fs.exists(old)) fs.delete(old, true) // stale same-batch retry
+          require(fs.rename(dir, old), s"rename $dir -> $old failed")
+        }
+        require(fs.rename(tmp, dir), s"rename $tmp -> $dir failed")
+        if (fs.exists(old)) fs.delete(old, true)
         ()
       }
       .start()

@@ -46,17 +46,25 @@ object RunningSpend {
 
   /** Wire the processor over a streaming events frame (`user_id`,
     * `value`): value is converted to exact integer cents scan-side.
+    *
+    * A real TTL requires `TimeMode.ProcessingTime` — the store stamps
+    * each state write with the batch's processing time and expires it
+    * against that clock; under `TimeMode.None` Spark rejects any
+    * non-NONE TTLConfig at query start. The time mode is therefore
+    * derived from the ttl argument rather than hardcoded.
     */
   def updates(events: Dataset[org.apache.spark.sql.Row],
               ttl: TTLConfig = TTLConfig.NONE): Dataset[SpendUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .select(col("user_id").cast("long").as("user_id"),
         round(col("value") * 100, 0).cast("long").as("cents"))
       .as[Spend]
       .groupByKey(_.user_id)
-      .transformWithState(new Processor(ttl), TimeMode.None(),
+      .transformWithState(new Processor(ttl), timeMode,
         OutputMode.Update(), Encoders.product[SpendUpdate])
   }
 

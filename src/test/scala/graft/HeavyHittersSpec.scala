@@ -35,6 +35,23 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("topK widens the cap when the k-th count is below the nomination bar") {
+    // Near-uniform counts (2..4 each over 400 distinct items, N≈1200):
+    // with cap=8 the N/8=150 bar exceeds EVERY count, so no run can be
+    // certified at that width — the exactness check must reject it and
+    // the widen loop must still converge to the exact group-by answer
+    // (terminating via the kept-every-distinct-item certificate).
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).flatMap(i => Seq.fill(2 + (i % 3))(f"u$i%03d"))
+    val df = rnd.shuffle(rows).toDF("token").repartition(8)
+    val got = HeavyHitters.topK(df, "token", k = 10, cap = 8)
+      .as[(String, Long)].collect().toSeq
+    val want = df.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(10).as[(String, Long)].collect().toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("nomination bar: items above N/cap are always in the candidate set") {
     val rows = Seq.fill(400)("heavy") ++ (0 until 600).map(i => s"x$i")
     val df = rows.toDF("token").repartition(4)

@@ -106,6 +106,20 @@ class MergeSpec extends SparkSpec {
     assert(again == Seq(("a", 3L, 40.0), ("c", 2L, 10.0)), again.toString)
   }
 
+  test("snapshotDiff: separator-containing and sentinel-equal values differ") {
+    // ("a\u0001","b") vs ("a","\u0001b"): a \u0001-joined fingerprint
+    // concatenates both to the same bytes; ("x",NULL) vs ("x","\u0000")
+    // likewise collides with a null-sentinel scheme. The JSON-encoded
+    // fingerprint must classify both as changed.
+    val prev = Seq((1L, "a\u0001", Option("b")), (2L, "x", Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val curr = Seq((1L, "a", Option("\u0001b")), (2L, "x", Option("\u0000")))
+      .toDF("k", "c1", "c2")
+    val out = Merge.snapshotDiff(prev, curr, Seq("k"), Seq("c1", "c2"))
+      .orderBy("k").as[(Long, String)].collect.toSeq
+    assert(out == Seq((1L, "changed"), (2L, "changed")), out.toString)
+  }
+
   test("snapshotDiff: adjacent-column concat cannot collide") {
     // ("ab","c") vs ("a","bc") — a separator-free fingerprint would
     // classify this as unchanged

@@ -103,6 +103,94 @@ class StreamingSpec extends SparkSpec {
       "batch 2 must update 2, delete 1, insert 3 on top of batch 1's table")
   }
 
+  test("maintainUpsert recovers a mid-swap crash: aside dir restores, no state lost") {
+    // Simulate a crash BETWEEN the two swap renames: after drain 1 the
+    // live dir is moved aside (exactly the on-disk state if the process
+    // died after `live -> old` but before `tmp -> live`). The next batch
+    // must restore the aside as the base and merge on top of it — NOT
+    // silently rebuild the table from the new batch alone.
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val in = s"$dir/in"; val table = s"$dir/table"; val cp = s"$dir/cp"
+    def append(data: Seq[(Long, String, Long, Boolean)]): Unit =
+      data.toDF("k", "name", "version", "del")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = Seq((0L, "", 0L, false))
+      .toDF("k", "name", "version", "del").schema
+    def drain(): Unit =
+      graft.sources.Lake.maintainUpsert(spark, in, schema, table, cp,
+        keys = Seq("k"), versionCol = Some("version"),
+        deleteCol = Some("del")).awaitTermination(120000)
+
+    append(Seq((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    drain()
+    // crash simulation: live gone, merged state only in the aside
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(s"$table.old-0")))
+    append(Seq((3L, "c", 2L, false)))
+    drain()
+    assert(spark.read.parquet(table).orderBy("k")
+      .select("k", "name").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "batch after a simulated mid-swap crash must merge onto the aside")
+    // the swap leaves no aside/tmp litter once complete
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$table.old-*"))
+      .isEmpty && fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$table.tmp-*")).isEmpty)
+  }
+
+  test("transformWithState TTL: idle key state expires and the counter restarts") {
+    // ttl != NONE must run under TimeMode.ProcessingTime (under
+    // TimeMode.None Spark rejects the TTL at query start), and the TTL
+    // must actually expire state: drain, idle past the TTL, drain again
+    // — the second batch's counter restarts at 1 instead of continuing.
+    val dir = Files.createTempDirectory("graft-ttl").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    def append(data: Seq[(Long, Double)]): Unit =
+      data.toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(2))
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.RunningSpend.updates(stream, ttl)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.RunningSpend.SpendUpdate], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      append(Seq((1L, 1.00)))
+      drain()
+      Thread.sleep(4000) // idle past the 2 s TTL
+      append(Seq((1L, 2.00)))
+      drain()
+      val rows = spark.read.parquet(out).orderBy("total_cents")
+        .as[graft.streaming.RunningSpend.SpendUpdate].collect().toSeq
+      assert(rows == Seq(
+        graft.streaming.RunningSpend.SpendUpdate(1L, 1L, 100L),
+        graft.streaming.RunningSpend.SpendUpdate(1L, 1L, 200L)),
+        s"expired state must restart the counter, got $rows")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: running spend state survives across drains (RocksDB)") {
     val dir = Files.createTempDirectory("graft-tws").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
