@@ -239,6 +239,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven sessionization: idle key's session emits from the timer wheel") {
+    // Key 1 receives events, then goes silent. No later event for key 1
+    // ever arrives — its session must still emit, fired by the store's
+    // processing-time timer during a later batch (here triggered by an
+    // unrelated key). This is the capability session_window cannot
+    // express (its close needs the event-time watermark to advance).
+    val dir = Files.createTempDirectory("graft-sesstimer").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    def append(data: Seq[(Long, Double)]): Unit =
+      data.toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.SessionTimeout.sessions(stream, gapMs = 2000)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.SessionTimeout.SessionOut], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      append(Seq((1L, 1.25), (1L, 2.00)))
+      drain() // session open, timer armed (handleInputRows emits nothing)
+      Thread.sleep(4000) // idle past the 2 s gap
+      append(Seq((9L, 0.10))) // unrelated key drives the next batch
+      drain() // key 1's expired timer fires during this batch
+      val rows = spark.read.parquet(out)
+        .filter(col("user_id") === 1L)
+        .as[graft.streaming.SessionTimeout.SessionOut].collect().toSeq
+      assert(rows == Seq(
+        graft.streaming.SessionTimeout.SessionOut(1L, 2L, 325L)),
+        s"idle key's completed session must emit exactly once, got $rows")
+      // and the state was cleared: a NEW key-1 event starts a fresh session
+      Thread.sleep(4000)
+      append(Seq((1L, 0.50)))
+      drain() // folds the new event; key 9 + old key 1 timers may fire
+      Thread.sleep(4000)
+      append(Seq((8L, 0.01)))
+      drain() // fires key 1's fresh-session timer
+      val again = spark.read.parquet(out)
+        .filter(col("user_id") === 1L).orderBy("total_cents")
+        .as[graft.streaming.SessionTimeout.SessionOut].collect().toSeq
+      assert(again == Seq(
+        graft.streaming.SessionTimeout.SessionOut(1L, 1L, 50L),
+        graft.streaming.SessionTimeout.SessionOut(1L, 2L, 325L)),
+        s"cleared state must restart, not resume: $again")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
