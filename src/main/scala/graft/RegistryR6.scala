@@ -153,6 +153,161 @@ object RegistryR6 {
              |    AS first3,
              |  CAST(list_dot_product(lens, list_reverse(lens)) AS BIGINT)
              |    AS rev_dot
-             |FROM l ORDER BY doc_id""".stripMargin))
+             |FROM l ORDER BY doc_id""".stripMargin)),
+
+    // ---- A38: EXACT distinct via bucketed bitmaps — the exact
+    //      counterpart of a36's HLL store: user ids partition into
+    //      32k-id buckets, each (grain, bucket) holds one ≤4 KB bitmap,
+    //      rollup = bitmap OR + popcount sum. Mergeable like HLL but
+    //      EXACT, so the oracle is a plain COUNT(DISTINCT) — hash-match,
+    //      not a tolerance. The per-(type,day,bucket) bitmap table is
+    //      the incremental layer: yesterday's bitmaps never recompute --
+    Q("a38_bitmap_distinct",
+      (s, dir) => {
+        val keyed = events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          bitmap_bucket_number(col("user_id")).as("bucket"),
+          bitmap_bit_position(col("user_id")).as("pos"))
+        val fine = keyed.groupBy("event_type", "day", "bucket")
+          .agg(bitmap_construct_agg(col("pos")).as("bmp"))
+        val rolled = fine.groupBy("event_type", "bucket")
+          .agg(bitmap_or_agg(col("bmp")).as("bmp"))
+        rolled.groupBy("event_type")
+          .agg(sum(bitmap_count(col("bmp"))).cast("long")
+            .as("distinct_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- X25: map-function surface — map_from_arrays / map_concat /
+    //      transform_values / map_filter / map_zip_with / map_keys /
+    //      map_contains_key as column expressions. The oracle re-derives
+    //      every output from the SOURCE fields (x19 pattern), so a map
+    //      bug cannot self-confirm -------------------------------------
+    Q("x25_map_surface",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val m = map_from_arrays(
+          array(lit("lang"), lit("source")),
+          array(col("lang"), col("source")))
+        val mm = map_concat(m, map_from_arrays(array(lit("n")),
+          array(col("n_chars").cast("string"))))
+        val up = transform_values(mm, (_, v) => upper(v))
+        docs.select(col("doc_id"),
+          element_at(up, "lang").as("lang_up"),
+          map_contains_key(mm, "n").as("has_n"),
+          size(mm).cast("long").as("n_keys"),
+          concat_ws(",", array_sort(map_keys(mm))).as("keys_sorted"),
+          concat_ws(",", map_values(map_filter(mm, (k, _) => k =!= "n")))
+            .as("vals_no_n"),
+          element_at(map_zip_with(m, up, (_, a, b) => concat(a, b)),
+            "source").as("zip_source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  upper(lang) AS lang_up,
+             |  true AS has_n,
+             |  CAST(3 AS BIGINT) AS n_keys,
+             |  'lang,n,source' AS keys_sorted,
+             |  concat(lang, ',', source) AS vals_no_n,
+             |  concat(source, upper(source)) AS zip_source
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- J18: TPC-H Q3 shape (shipping priority): filtered dim
+    //      broadcasts into the orders fact, fact-fact equi-join to
+    //      lineitem, revenue in exact integer units, top-10 under a
+    //      total order. The canonical 3-table analytic join plan -------
+    Q("j18_tpch_q3",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0)
+          .cast("decimal(38,0)")
+        val disc = round((lit(1) - col("l_discount")) * 100, 0)
+          .cast("decimal(38,0)")
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) < lit("1997-03-15"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).cast("string").as("o_orderdate"))
+        val li = t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) > lit("1997-03-15"))
+          .select(col("l_orderkey"), (cents * disc).as("rev_units"))
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg((sum(col("rev_units")).cast("double") / 10000.0)
+            .as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+          .orderBy(col("revenue").desc, col("o_orderdate"),
+            col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue,
+             |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             |    AS o_orderdate
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+             |  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // ---- J19: TPC-H Q5 shape (local-supplier volume): six-table join
+    //      where region→nation→supplier broadcast down into the fact
+    //      chain, customer joins on the shuffle, and the
+    //      same-nation-as-supplier condition lands as a post-join
+    //      filter. Exact integer revenue units, deterministic order ----
+    Q("j19_tpch_q5",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0)
+          .cast("decimal(38,0)")
+        val disc = round((lit(1) - col("l_discount")) * 100, 0)
+          .cast("decimal(38,0)")
+        val asiaNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(asiaNations),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val ord = t(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+            to_date(col("o_orderdate")) < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (cents * disc).as("rev_units"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg((sum(col("rev_units")).cast("double") / 10000.0)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
   )
 }
