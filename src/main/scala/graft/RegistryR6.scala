@@ -308,6 +308,104 @@ object RegistryR6 {
              |  AND r_name = 'ASIA'
              |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
              |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
-             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ---- T13: word-distribution Shannon entropy per doc — the
+    //      information-density quality signal (low entropy = repetitive
+    //      boilerplate). The -Σ p·ln(p) fold runs over the WORD-SORTED
+    //      count list in both engines (w18's pinned-fold pattern), so
+    //      the double sum has ONE defined order — no partitioning-
+    //      dependent FP drift; a 9-dp round absorbs the only remaining
+    //      divergence (JVM vs DuckDB libm ln() last-ulp) ---------------
+    Q("t13_word_entropy",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val wc = docs.select(col("doc_id"),
+          explode(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        wc.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("word"), col("cnt"))))
+            .as("wcs"))
+          .withColumn("n_words",
+            aggregate(col("wcs"), lit(0L), (a, s0) => a + s0.getField("cnt")))
+          .withColumn("acc",
+            aggregate(col("wcs"), lit(0.0), (a, s0) => {
+              val p = s0.getField("cnt").cast("double") /
+                col("n_words").cast("double")
+              a + p * log(p)
+            }))
+          .select(col("doc_id"), col("n_words"),
+            // round to 9 dp: JVM and DuckDB libm ln() can differ in the
+            // final ulp — the fold ORDER is pinned, rounding absorbs
+            // only that last-bit libm divergence
+            round(when(col("acc") === 0.0, lit(0.0)).otherwise(-col("acc")),
+              9).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x <> '')) AS word
+             |  FROM documents),
+             |wc AS (
+             |  SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+             |arr AS (
+             |  SELECT doc_id,
+             |    list(struct_pack(word := word, cnt := cnt)
+             |      ORDER BY word) AS wcs,
+             |    CAST(sum(cnt) AS BIGINT) AS n_words
+             |  FROM wc GROUP BY 1),
+             |e AS (
+             |  SELECT doc_id, n_words,
+             |    list_reduce(list_transform(wcs, s ->
+             |      (CAST(s.cnt AS DOUBLE) / CAST(n_words AS DOUBLE))
+             |        * ln(CAST(s.cnt AS DOUBLE) / CAST(n_words AS DOUBLE))),
+             |      (a, b) -> a + b) AS acc
+             |  FROM arr)
+             |SELECT doc_id, n_words,
+             |  round(CASE WHEN acc = 0 THEN 0.0 ELSE -acc END, 9)
+             |    AS entropy
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ---- X26: try_* ANSI-safety surface — the error-as-NULL arithmetic
+    //      a pipeline needs under ANSI mode (the driver's session!):
+    //      malformed parse, div-by-zero, int64 overflow, out-of-bounds
+    //      element, unparseable date. Oracle re-derives each outcome
+    //      from source fields (never hardcodes a Spark quirk it could
+    //      self-confirm) ------------------------------------------------
+    Q("x26_try_surface",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.select(col("doc_id"),
+          concat(lit("x"), col("n_chars").cast("string"))
+            .try_cast("bigint").as("bad_parse"),
+          col("n_chars").cast("string").try_cast("bigint").as("good_parse"),
+          try_divide(col("n_chars"), col("n_chars") - col("n_chars"))
+            .as("div0"),
+          try_divide(col("n_chars").cast("double"), lit(4.0)).as("div4"),
+          try_add(lit(Long.MaxValue), col("n_chars")).as("overflow_add"),
+          try_mod(col("n_chars"), lit(0L)).as("mod0"),
+          try_element_at(filter(split(col("text"), "\\s+"),
+            w => w =!= ""), lit(1000000)).as("far_elem"),
+          try_to_date(lit("not-a-date"), "yyyy-MM-dd").cast("string")
+            .as("bad_date"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(NULL AS BIGINT) AS bad_parse,
+             |  CAST(n_chars AS BIGINT) AS good_parse,
+             |  CAST(NULL AS DOUBLE) AS div0,
+             |  CAST(n_chars AS DOUBLE) / 4.0 AS div4,
+             |  CASE WHEN n_chars >= 1 THEN CAST(NULL AS BIGINT)
+             |    ELSE 9223372036854775807 + CAST(n_chars AS BIGINT) END
+             |    AS overflow_add,
+             |  CAST(NULL AS BIGINT) AS mod0,
+             |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+             |      x -> x <> '')) >= 1000000
+             |    THEN 'impossible' ELSE CAST(NULL AS VARCHAR) END
+             |    AS far_elem,
+             |  CAST(NULL AS VARCHAR) AS bad_date
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -110,6 +110,38 @@ class PlanShapeSpec extends SparkSpec {
       !readSchema.contains("o_orderdate"), readSchema)
   }
 
+  test("AQE splits a skewed join partition at runtime (the skew valve j08 complements)") {
+    // j08's salting handles skew we PREDICT; AQE's skew-join handles skew
+    // we didn't. Pin that the valve actually opens: under a sort-merge
+    // join whose left side is 50%-one-key skewed, the FINAL adaptive plan
+    // must mark the join skew=true (the skewed partition was split into
+    // advisory-sized sub-reads instead of one straggler task eating it).
+    val s2 = spark.newSession()
+    val sqlc = s2.conf
+    sqlc.set("spark.sql.adaptive.enabled", "true")
+    sqlc.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sqlc.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "16384")
+    sqlc.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    sqlc.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    sqlc.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import s2.implicits._
+    val left = (0 until 60000).map { i =>
+      (if (i % 2 == 0) 0L else (i % 97).toLong, s"payload-$i-${"x" * 24}")
+    }.toDF("k", "v")
+    val right = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val joined = left.join(right, "k")
+    // materialize THIS plan (count() would execute a different one and
+    // leave joined's adaptive plan unfinalized)
+    val cnt = joined.collect().length
+    // correctness unchanged by the split: every left row matches exactly once
+    assert(cnt == 60000, s"skew split must not change the join result: $cnt")
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      "final adaptive plan must mark the skewed SMJ partition as split:\n" +
+        finalPlan.take(1200))
+  }
+
   test("ivfPqTopK: corpus index carries codes, never raw floats, into the probe join") {
     val emb = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
