@@ -406,6 +406,32 @@ object RegistryR6 {
              |    THEN 'impossible' ELSE CAST(NULL AS VARCHAR) END
              |    AS far_elem,
              |  CAST(NULL AS VARCHAR) AS bad_date
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X27: XML surface — to_xml(struct) → from_xml(schema) round
+    //      trip plus xpath extraction, the third semi-structured format
+    //      beside JSON (s01/x17) and VARIANT (s10). Oracle re-derives
+    //      every output from the source fields (x19 pattern), so an
+    //      escape/roundtrip bug cannot self-confirm --------------------
+    Q("x27_xml_surface",
+      (s, dir) => {
+        val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, source STRING, n_chars BIGINT")
+        t(s, dir, "documents").select(col("doc_id"),
+          to_xml(struct(col("lang"), col("source"), col("n_chars")))
+            .as("x"))
+          .select(col("doc_id"),
+            from_xml(col("x"), xmlSchema).as("r"),
+            xpath_string(col("x"), lit("//lang")).as("xp_lang"),
+            xpath_long(col("x"), lit("//n_chars")).as("xp_n"))
+          .select(col("doc_id"),
+            col("r.lang").as("lang"), col("r.source").as("source"),
+            col("r.n_chars").as("n_chars"), col("xp_lang"), col("xp_n"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source,
+             |  CAST(n_chars AS BIGINT) AS n_chars,
+             |  lang AS xp_lang, CAST(n_chars AS BIGINT) AS xp_n
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

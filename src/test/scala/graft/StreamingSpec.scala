@@ -303,6 +303,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state-store reader: checkpointed transformWithState state is queryable as a DataFrame") {
+    // Spark 4's statestore data source — the ops surface for streaming
+    // state: inspect (audit, debug, backfill) the RocksDB state of a
+    // checkpoint WITHOUT replaying the stream. Drain the running-spend
+    // query, then read its value state by variable name and check it
+    // equals the exact per-key totals the stream computed.
+    val dir = Files.createTempDirectory("graft-ssread").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      Seq((1L, 1.25), (1L, 2.00), (2L, 0.50)).toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.RunningSpend.updates(
+          spark.readStream.schema(schema).parquet(in))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.RunningSpend.SpendUpdate], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val state = spark.read.format("statestore")
+        .option("path", cp)
+        .option("stateVarName", "spend")
+        .load()
+      val rows = state
+        .select(col("key.value").as("user_id"),
+          col("value.events").as("events"),
+          col("value.total_cents").as("cents"))
+        .orderBy("user_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows == Seq((1L, 2L, 325L), (2L, 1L, 50L)),
+        s"state read back from the checkpoint must equal the stream's exact totals: $rows")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
