@@ -164,17 +164,11 @@ object RegistryR6 {
     //      the incremental layer: yesterday's bitmaps never recompute --
     Q("a38_bitmap_distinct",
       (s, dir) => {
-        val keyed = events(s, dir).select(col("event_type"),
-          to_date(col("ts")).as("day"),
-          bitmap_bucket_number(col("user_id")).as("bucket"),
-          bitmap_bit_position(col("user_id")).as("pos"))
-        val fine = keyed.groupBy("event_type", "day", "bucket")
-          .agg(bitmap_construct_agg(col("pos")).as("bmp"))
-        val rolled = fine.groupBy("event_type", "bucket")
-          .agg(bitmap_or_agg(col("bmp")).as("bmp"))
-        rolled.groupBy("event_type")
-          .agg(sum(bitmap_count(col("bmp"))).cast("long")
-            .as("distinct_users"))
+        val fine = SketchStore.bitmapTable(
+          events(s, dir).withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day"), "user_id")
+        SketchStore.bitmapRollup(fine, Seq("event_type"))
+          .withColumnRenamed("distinct_items", "distinct_users")
           .orderBy("event_type")
       },
       Some("""SELECT event_type,
@@ -432,6 +426,100 @@ object RegistryR6 {
       Some("""SELECT doc_id, lang, source,
              |  CAST(n_chars AS BIGINT) AS n_chars,
              |  lang AS xp_lang, CAST(n_chars AS BIGINT) AS xp_n
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- F09: NOT IN null trap — the classic three-valued-logic
+    //      correctness cliff: a NULL in the IN-list makes `NOT IN`
+    //      unknowable for every non-matching row, so the first count is
+    //      provably 0 while the null-filtered variant returns real rows.
+    //      Runs through the SQL entry point (null-aware anti-join plan,
+    //      not a LeftAnti NOT EXISTS) ---------------------------------
+    Q("f09_not_in_trap",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""
+          SELECT
+            (SELECT count(*) FROM g_orders
+             WHERE o_custkey NOT IN
+               (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                       ELSE c_custkey END FROM g_customer))
+              AS cnt_with_null,
+            (SELECT count(*) FROM g_orders
+             WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM g_customer
+                WHERE c_custkey % 100 <> 0))
+              AS cnt_no_null""")
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN
+             |     (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+             |             ELSE c_custkey END FROM customer))
+             |    AS BIGINT) AS cnt_with_null,
+             |  CAST((SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN
+             |     (SELECT c_custkey FROM customer
+             |      WHERE c_custkey % 100 <> 0))
+             |    AS BIGINT) AS cnt_no_null""".stripMargin)),
+
+    // ---- A39: exact weighted median per group — smallest value whose
+    //      running weight reaches half the total (integer comparisons
+    //      only: 2*cum >= W, no FP thresholds). The weighted-percentile
+    //      shape quality-weighted corpus stats need; one sort-shuffle --
+    Q("a39_weighted_median",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("v"),
+          (col("l_linenumber").cast("long") + 1).as("wt"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy(col("v"), col("id"))
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+        li.withColumn("cum", sum(col("wt")).over(w))
+          .withColumn("total", sum(col("wt")).over(tot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy("l_returnflag")
+          .agg(min(col("v")).as("weighted_median"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+             |    CAST(l_linenumber AS BIGINT) + 1 AS wt,
+             |    l_orderkey * 10 + l_linenumber AS id
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, v,
+             |    sum(wt) OVER (PARTITION BY l_returnflag
+             |      ORDER BY v, id ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(wt) OVER (PARTITION BY l_returnflag) AS total
+             |  FROM base)
+             |SELECT l_returnflag, min(v) AS weighted_median
+             |FROM c WHERE cum * 2 >= total
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- X28: bitwise surface — bit_and/bit_or/bit_xor aggregates plus
+    //      shift/mask scalar ops, the bit-packing toolkit flag columns
+    //      and id-encoding schemes rely on ----------------------------
+    Q("x28_bitwise",
+      (s, dir) => {
+        val ev = events(s, dir)
+        ev.select(col("event_type"),
+          col("user_id").bitwiseAND(lit(255L)).as("masked"),
+          shiftleft(col("user_id"), 3).bitwiseOR(lit(5L)).as("shifted"))
+          .groupBy("event_type")
+          .agg(bit_and(col("masked")).as("and_bits"),
+            bit_or(col("masked")).as("or_bits"),
+            bit_xor(col("shifted")).as("xor_shifted"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  bit_and(user_id & 255) AS and_bits,
+             |  bit_or(user_id & 255) AS or_bits,
+             |  bit_xor((user_id << 3) | 5) AS xor_shifted,
+             |  count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

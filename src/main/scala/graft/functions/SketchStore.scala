@@ -47,6 +47,33 @@ object SketchStore {
     else sketches.groupBy(groupCols.map(col): _*).agg(est)
   }
 
+  /** EXACT counterpart of [[distinctSketches]]: ids partition into
+    * 32k-id buckets, each group holds one ≤4 KB bitmap per touched
+    * bucket. Same mergeable-store shape as HLL but exact — rollups OR
+    * the bitmaps and sum popcounts, and yesterday's bitmaps never
+    * recompute.
+    */
+  def bitmapTable(df: DataFrame, groupCols: Seq[String],
+                  itemCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+        bitmap_bucket_number(col(itemCol)).as("bucket") :+
+        bitmap_bit_position(col(itemCol)).as("pos"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(bitmap_construct_agg(col("pos")).as("bmp"))
+
+  /** Roll a bitmap table (or a union of bitmap tables — the incremental
+    * path) up to a coarser grain: OR per bucket, popcount, sum.
+    */
+  def bitmapRollup(bitmaps: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val ored = bitmaps
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(bitmap_or_agg(col("bmp")).as("bmp"))
+    val cnt = sum(bitmap_count(col("bmp"))).cast("long")
+      .as("distinct_items")
+    if (groupCols.isEmpty) ored.agg(cnt)
+    else ored.groupBy(groupCols.map(col): _*).agg(cnt)
+  }
+
   /** Build a Count-Min frequency sketch of `itemCol` (as string) with the
     * given error bound. Distributed agg; the returned sketch is a few KB
     * regardless of data size. Fixed seed → deterministic estimates.

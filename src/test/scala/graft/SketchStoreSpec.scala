@@ -43,6 +43,31 @@ class SketchStoreSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("bitmap store: incremental fold equals from-scratch, and both are EXACT") {
+    // Day-partitioned history: rolling up yesterday's bitmap table
+    // unioned with today's delta table must equal both the rollup of the
+    // from-scratch table AND the true COUNT(DISTINCT) — the exact-store
+    // counterpart of the HLL register-max law.
+    val yesterday = df.filter(col("day") =!= "d9")
+    val today = df.filter(col("day") === "d9")
+    val incremental = SketchStore.bitmapRollup(
+      SketchStore.bitmapTable(yesterday, Seq("grp", "day"), "user")
+        .unionByName(SketchStore.bitmapTable(today, Seq("grp", "day"), "user")),
+      Seq("grp"))
+    val scratch = SketchStore.bitmapRollup(
+      SketchStore.bitmapTable(df, Seq("grp", "day"), "user"), Seq("grp"))
+    val exact = df.groupBy("grp").agg(countDistinct("user").as("truth"))
+    val rows = incremental.withColumnRenamed("distinct_items", "inc")
+      .join(scratch.withColumnRenamed("distinct_items", "scr"), "grp")
+      .join(exact, "grp").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inc") == r.getAs[Long]("truth") &&
+        r.getAs[Long]("scr") == r.getAs[Long]("truth"),
+        s"bitmap store must be exact and incrementally foldable: $r")
+    }
+  }
+
   test("Count-Min: never undercounts, overshoot bounded by eps*N") {
     val n = df.count()
     val eps = 0.001
