@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.SketchStore
+import graft.llm.Dedup
 import Registry.{events, t}
 
 /** Round-6 widening: mergeable sketch stores (incremental distinct /
@@ -520,6 +521,28 @@ object RegistryR6 {
              |  bit_or(user_id & 255) AS or_bits,
              |  bit_xor((user_id << 3) | 5) AS xor_shifted,
              |  count(*) AS n
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- D19: incremental near-dup — today's batch probes the PRIOR
+    //      corpus's persisted LSH bucket table: prior signatures never
+    //      recompute, candidates are only new×prior and new×new (the
+    //      steady-state daily form of d02; prior×prior pairs were found
+    //      when those snapshots landed). Rows-only (seeded xxhash64);
+    //      cross-batch recall + no-prior-pair semantics pinned in
+    //      DedupSpec ----------------------------------------------------
+    Q("d19_incremental_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prior = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+        val pairs = Dedup.incrementalNearDups(batch,
+          Dedup.lshBuckets(prior, "text", "doc_id"), prior,
+          "text", "doc_id", threshold = 0.6)
+        pairs.agg(count(lit(1)).as("pairs"),
+          sum(when(col("vs") === "prior", 1L).otherwise(0L)).as("vs_prior"),
+          sum(when(col("vs") === "batch", 1L).otherwise(0L)).as("vs_batch"),
+          round(coalesce(min("jaccard"), lit(0.0)), 6).as("min_jaccard"))
+      },
+      None)
   )
 }

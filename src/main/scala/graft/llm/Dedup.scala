@@ -155,6 +155,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The persisted-LSH-index shape: (id, band, bh) bucket rows for a
+    * corpus — what a steady-state pipeline stores beside the corpus so
+    * tomorrow's batch can probe WITHOUT recomputing today's signatures.
+    */
+  def lshBuckets(df: DataFrame, textCol: String, idCol: String,
+                 k: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"),
+        graft.plans.MinHashSig(col(textCol), k, numHashes).as("sig"))
+      .withColumn("bands", bandHashes(col("sig"), bands, rowsPerBand))
+      .select(col("id"), explode(col("bands")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Incremental (cross-snapshot) NEAR-dup detection — the steady-state
+    * daily form of [[minhashNearDups]]: the new batch's signatures probe
+    * the PRIOR corpus's persisted bucket table ([[lshBuckets]] output),
+    * so prior signatures never recompute and the only candidate pairs
+    * generated are new×prior and new×new — prior×prior pairs were
+    * already found when those snapshots landed. Exact-Jaccard
+    * verification fetches text for CANDIDATES only (point lookups into
+    * the prior corpus, never a scan-wide rebuild).
+    *
+    * Returns (batch_id, other_id, vs ∈ {prior, batch}, jaccard) with
+    * jaccard >= threshold; for vs=batch, batch_id < other_id.
+    */
+  def incrementalNearDups(batch: DataFrame, priorBuckets: DataFrame,
+                          priorDocs: DataFrame, textCol: String,
+                          idCol: String, k: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8,
+                          threshold: Double = 0.7): DataFrame = {
+    val bBase = batch.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val bBuckets = lshBuckets(batch, textCol, idCol, k, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsPrior = bBuckets.as("n")
+      .join(priorBuckets.as("p"),
+        col("n.band") === col("p.band") && col("n.bh") === col("p.bh"))
+      .select(col("n.id").as("batch_id"), col("p.id").as("other_id"),
+        lit("prior").as("vs"))
+      .distinct()
+    val vsBatch = bBuckets.as("x")
+      .join(bBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("other_id"),
+        lit("batch").as("vs"))
+      .distinct()
+    val otherTxt = priorDocs
+      .select(col(idCol).as("other_id"), col(textCol).as("txt_o"),
+        lit("prior").as("vs"))
+      .unionByName(bBase.select(col("id").as("other_id"),
+        col("txt").as("txt_o"), lit("batch").as("vs")))
+    vsPrior.unionByName(vsBatch)
+      .join(bBase.select(col("id").as("batch_id"), col("txt").as("txt_b")),
+        "batch_id")
+      .join(otherTxt, Seq("other_id", "vs"))
+      .withColumn("jaccard",
+        size(array_intersect(wordShingles(col("txt_b"), k),
+          wordShingles(col("txt_o"), k))).cast("double") /
+          size(array_union(wordShingles(col("txt_b"), k),
+            wordShingles(col("txt_o"), k))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("other_id"), col("vs"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document: per-token hash bit votes summed in ONE

@@ -186,6 +186,35 @@ class DedupSpec extends SparkSpec {
     assert(cols.toSet == Set("doc_id", "text"), cols.toSeq)
   }
 
+  test("incrementalNearDups: batch probes the prior index; prior pairs never re-emit") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val prior = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")),  // prior×prior near-dup pair
+      (2L, "completely different text about winter mountain weather patterns")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("today", "tonight")),  // near-copy of prior 0
+      (11L, "novel content one about rivers and long valleys and morning fog banks"),
+      (12L, "novel content one about rivers and long valleys and morning fog hills"), // near-dup of 11
+      (13L, "unrelated text regarding ancient library catalog systems entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch,
+        Dedup.lshBuckets(prior, "text", "doc_id"), prior,
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out.contains((10L, 0L, "prior")),
+      s"cross-snapshot near-copy must surface against the prior index: $out")
+    assert(out.contains((11L, 12L, "batch")),
+      s"within-batch near-dup must surface: $out")
+    // the prior×prior pair (0,1) was found when that snapshot landed —
+    // the incremental pass must NOT re-emit it
+    assert(!out.exists(p => p._1 < 10L),
+      s"prior docs can only appear on the other_id side: $out")
+    assert(!out.exists(p => p._1 == 13L || p._2 == 13L), out.toString)
+  }
+
   test("containment catches an excerpt Jaccard misses") {
     import spark.implicits._
     val page = (1 to 60).map(i => s"word$i").mkString(" ")
