@@ -76,9 +76,11 @@ object Normalize {
   )
 
   /** X2 — normalize_date (`utils/data_utils.py:36-71`): try an explicit
-    * format list, first success wins, null otherwise. `to_date` returns
-    * null on mismatch (non-ANSI) — the exact analog of the reference's
-    * try/except cascade.
+    * format list, first success wins, null otherwise. `try_to_date`
+    * returns null on mismatch under BOTH ANSI modes — the exact analog
+    * of the reference's try/except cascade (plain `to_date` would throw
+    * under ANSI, Spark 4's default, the moment a value matches a later
+    * format than the one being tried).
     *
     * The first 12 entries are the reference's format list VERBATIM and in
     * ITS order — order is semantics here: an ambiguous "03-05-2025" parses
@@ -94,7 +96,7 @@ object Normalize {
     "yyyy/MM/dd"
   )
   def normalizeDate(c: Column, formats: Seq[String] = defaultDateFormats): Column =
-    coalesce(formats.map(f => to_date(c, f)): _*)
+    coalesce(formats.map(f => try_to_date(c, f)): _*)
 
   /** X3 — clean_number (`utils/data_utils.py:74-98`): strip everything but
     * digits/dot/minus, cast to double, null on failure.
