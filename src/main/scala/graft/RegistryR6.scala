@@ -145,15 +145,15 @@ object RegistryR6 {
              |  FROM d)
              |SELECT doc_id,
              |  len(words) AS n_words,
-             |  CAST(list_sum(lens) AS BIGINT) AS total_chars,
+             |  CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS total_chars,
              |  len(list_filter(words, w -> length(w) >= 7)) AS long_words,
              |  len(list_filter(words, w -> w = 'the')) > 0 AS has_the,
              |  len(list_filter(words, w -> length(w) >= 40)) = 0
              |    AS all_short,
              |  array_to_string(list_sort(list_distinct(words))[1:3], ',')
              |    AS first3,
-             |  CAST(list_dot_product(lens, list_reverse(lens)) AS BIGINT)
-             |    AS rev_dot
+             |  CAST(coalesce(list_dot_product(lens, list_reverse(lens)), 0)
+             |    AS BIGINT) AS rev_dot
              |FROM l ORDER BY doc_id""".stripMargin)),
 
     // ---- A38: EXACT distinct via bucketed bitmaps — the exact

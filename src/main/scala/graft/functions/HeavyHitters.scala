@@ -55,9 +55,11 @@ object HeavyHitters {
     * the sketch provably kept every distinct item). Otherwise the cap
     * quadruples and both passes re-run — the loop terminates because
     * width eventually reaches the distinct-item count, where
-    * Space-Saving degenerates to an exact hash aggregate. N and width
-    * are both known, so the check costs one bounded `.collect()` of ≤ k
-    * rows per attempt, never a full re-count.
+    * Space-Saving degenerates to an exact hash aggregate. The cast input
+    * is persisted for the loop's lifetime so each attempt re-reads the
+    * cache, not the source; per attempt the check itself costs one
+    * bounded `.collect()` of ≤ k rows, plus — only the first time a bar
+    * check fails — a one-time distinct count of the cached input.
     */
   def topK(df: DataFrame, itemCol: String, k: Int,
            cap: Int = 0): DataFrame = {
@@ -66,30 +68,37 @@ object HeavyHitters {
     import spark.implicits._
     val items: Dataset[String] =
       df.select(col(itemCol).cast("string")).as[String]
-    val n = items.count()
-    var width = if (cap > 0) cap else math.max(k * 16, 64)
-    var result: Array[(String, Long)] = null
-    var exact = false
-    while (!exact) {
-      val candidates = items
-        .mapPartitions(it => spaceSavingCandidates(it, width))
-        .distinct()
-        .toDF("item")
-      val nCandidates = candidates.count()
-      result = items.toDF("item")
-        .join(broadcast(candidates), Seq("item"))
-        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = items.count()
+      var distinctN = -1L // computed lazily, once, on first bar-check miss
+      var width = if (cap > 0) cap else math.max(k * 16, 64)
+      var result: Array[(String, Long)] = null
+      var exact = false
+      while (!exact) {
+        val candidates = items
+          .mapPartitions(it => spaceSavingCandidates(it, width))
+          .distinct()
+          .toDF("item")
+        val nCandidates = candidates.count()
+        result = items.toDF("item")
+          .join(broadcast(candidates), Seq("item"))
+          .groupBy("item").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("item"))
+          .limit(k)
+          .as[(String, Long)].collect()
+        val bar = n / width // items strictly above this are always nominated
+        exact =
+          if (result.isEmpty) true // no rows at all
+          else if (result.length == k && result.last._2 > bar) true
+          else {
+            if (distinctN < 0) distinctN = items.distinct().count()
+            if (nCandidates == distinctN) true // kept all distinct items
+            else { width = width * 4; false }
+          }
+      }
+      spark.createDataset(result.toSeq).toDF("item", "cnt")
         .orderBy(col("cnt").desc, col("item"))
-        .limit(k)
-        .as[(String, Long)].collect()
-      val bar = n / width // items strictly above this are always nominated
-      exact =
-        if (result.isEmpty) true // no rows at all
-        else if (result.length == k && result.last._2 > bar) true
-        else if (nCandidates == items.distinct().count()) true // kept all
-        else { width = width * 4; false }
-    }
-    spark.createDataset(result.toSeq).toDF("item", "cnt")
-      .orderBy(col("cnt").desc, col("item"))
+    } finally items.unpersist()
   }
 }

@@ -180,7 +180,16 @@ object Dedup {
     * the prior corpus, never a scan-wide rebuild).
     *
     * Returns (batch_id, other_id, vs ∈ {prior, batch}, jaccard) with
-    * jaccard >= threshold; for vs=batch, batch_id < other_id.
+    * jaccard >= threshold; for vs=batch, batch_id < other_id. A shared
+    * id across the two snapshots (a re-crawled doc keeping its id) is
+    * NOT reported as its own dup — the vs=prior side filters
+    * batch_id ≠ other_id, so id-spaces need not be disjoint.
+    *
+    * The batch's bucket rows are persisted only for this call: the
+    * result is materialized (and itself cached, caller-owned — the same
+    * lifecycle convention as [[minhashNearDups]]) before the bucket
+    * cache is released, so repeated calls in a long-lived session leak
+    * nothing.
     */
   def incrementalNearDups(batch: DataFrame, priorBuckets: DataFrame,
                           priorDocs: DataFrame, textCol: String,
@@ -192,7 +201,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vsPrior = bBuckets.as("n")
       .join(priorBuckets.as("p"),
-        col("n.band") === col("p.band") && col("n.bh") === col("p.bh"))
+        col("n.band") === col("p.band") && col("n.bh") === col("p.bh") &&
+          col("n.id") =!= col("p.id"))
       .select(col("n.id").as("batch_id"), col("p.id").as("other_id"),
         lit("prior").as("vs"))
       .distinct()
@@ -208,7 +218,7 @@ object Dedup {
         lit("prior").as("vs"))
       .unionByName(bBase.select(col("id").as("other_id"),
         col("txt").as("txt_o"), lit("batch").as("vs")))
-    vsPrior.unionByName(vsBatch)
+    val result = vsPrior.unionByName(vsBatch)
       .join(bBase.select(col("id").as("batch_id"), col("txt").as("txt_b")),
         "batch_id")
       .join(otherTxt, Seq("other_id", "vs"))
@@ -219,6 +229,10 @@ object Dedup {
             wordShingles(col("txt_o"), k))))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("other_id"), col("vs"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize so the bucket cache can release NOW
+    bBuckets.unpersist()
+    result
   }
 
   // -------------------------------------------------------------- simhash
@@ -283,47 +297,142 @@ object Dedup {
     * assignment (greedy "drop every id_b" can keep two members of one
     * cluster when both only ever appear on the left of a pair).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * min of its label and its neighbors' labels; converges in
-    * O(component diameter) rounds. The loop is driver-COORDINATED but
-    * every step is a distributed join/aggregate (the GraphX/Pregel
-    * shape). Each round persists+materializes its frame, the planner then
-    * reads the InMemoryRelation (so plans stay round-sized, no lineage
-    * blow-up), and the PREVIOUS round's blocks are released eagerly —
-    * localCheckpoint would leak RDB blocks `clearCache` cannot free. The
-    * FINAL labels stay cached, caller-owned (same lifecycle convention as
-    * `minhashNearDups`). Near-dup components are low-diameter in practice
-    * (dup clusters, not social graphs), so `maxIter` is a safety rail;
-    * non-convergence throws rather than returning silently-wrong labels.
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14 — public algorithm):
+    * each round rewires edges toward neighborhood minima —
+    * large-star re-attaches every LARGER neighbor of u to
+    * min(N(u) ∪ {u}); small-star, keyed by the larger endpoint,
+    * attaches the smaller neighbors (and u itself) to their minimum.
+    * The edge set converges to star forests centered at each
+    * component's minimum in O(log² n) rounds — 1–2 in practice for
+    * low-diameter dup clusters — vs O(component diameter) for min-label
+    * propagation, with ONE small aggregate action per round instead of
+    * a per-step changed-count. Each round persists+materializes its
+    * edge frame (plans stay round-sized, no lineage blow-up) and the
+    * previous round's blocks release eagerly.
+    *
+    * Convergence is detected EXACTLY, in each round's own action, by a
+    * star-forest witness: the round output (every edge is child →
+    * center, center < child) is a star forest iff no node appears on
+    * both sides, so a round whose witness count is 0 is the last — no
+    * "confirm" round, no fingerprint-collision caveat. Both star ops
+    * preserve the input's components (Kiveris et al. Lemmas 1–2) and a
+    * star's center is smaller than its children, so at witness 0 every
+    * component is ONE star centered at its minimum, and
+    * rep(u) = min(u, neighbors) is exact. Non-convergence within
+    * `maxIter` throws rather than returning silently-wrong labels.
+    *
+    * `verify = true` additionally re-checks the final labels against
+    * the ORIGINAL pairs (both endpoints of every pair must share a rep
+    * — one join-count): redundant given the witness, kept as an
+    * audit-mode belt for ad-hoc graphs; specs exercise it.
+    *
+    * The returned labels are materialized + cached (caller-owned, same
+    * lifecycle convention as `minhashNearDups`); every intermediate
+    * cache is released before returning.
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          verify: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+
+    // Each star step is ONE shuffle: the per-node neighborhood minimum
+    // comes from a whole-partition window min over the grouping key —
+    // not a groupBy + self-join back, which plans the (re-derived) edge
+    // frame as several independent subtrees and costs 12+ exchanges per
+    // round. (A high-degree node makes one heavy window partition — the
+    // same skew a groupBy would see; large-star is itself the step that
+    // splits such stars, so skew shrinks round over round.)
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+
+    // large-star: every neighbor v > u re-attaches to min(N(u) ∪ {u}).
+    // Symmetrization is an explode, not a self-union, so the input
+    // subtree is read ONCE. No dedup here — duplicates can't change any
+    // min, and small-star dedups the round's output once.
+    def largeStar(e: DataFrame): DataFrame =
+      e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .withColumn("m", least(min(col("v")).over(byU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+
+    // small-star: key each edge by its LARGER endpoint u; u and all its
+    // (smaller) neighbors attach to m = min of them. Both emissions —
+    // (v, m) for v ≠ m and (u, m), where m < u always — come from one
+    // explode, so the windowed frame is read once.
+    def smallStar(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .withColumn("m", min(col("v")).over(byU))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+    // Star-forest witness: 0 iff no node is both a child (u side) and a
+    // center (v side) — the exact "this round was the last" test,
+    // evaluated in the same action that materializes the round.
+    def nonStarWitness(e: DataFrame): Long =
+      e.select(explode(array(
+          struct(col("u").as("n"), lit(1).as("ch"), lit(0).as("ce")),
+          struct(col("v").as("n"), lit(0).as("ch"), lit(1).as("ce")))).as("x"))
+        .groupBy(col("x.n"))
+        .agg(max(col("x.ch")).as("ch"), max(col("x.ce")).as("ce"))
+        .where(col("ch") === 1 && col("ce") === 1)
+        .count()
+
+    // The initial edge set is persisted so the (often expensive) pair
+    // generation upstream is evaluated exactly once — round 0's job
+    // materializes it as a side effect.
+    val init = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
       .persist(MEMORY_AND_DISK)
-    var cached = vertices.select(col("id"), col("id").as("rep"))
-      .persist(MEMORY_AND_DISK)
-    var labels = cached
-    var changed = 1L
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    var converged = false
+    var cached = init
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("rep")).as("nrep"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("rep"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep2"))
-        .persist(MEMORY_AND_DISK)
-      changed = stepped.filter(col("rep2") < col("rep")).count()
-      cached.unpersist() // previous round, fully superseded once stepped is materialized
-      cached = stepped
-      labels = stepped.select(col("id"), col("rep2").as("rep"))
+    while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(cached)).persist(MEMORY_AND_DISK)
+      val w = nonStarWitness(next) // one action: materializes + tests
+      if (dbg) println(s"CCDBG round $i witness=$w ${(System.nanoTime() - t0) / 1e9}s")
+      if (cached ne init) cached.unpersist() // superseded once next is live
+      cached = next
+      converged = w == 0L
       i += 1
     }
-    edges.unpersist()
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
+    val nbrMin = cached.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("e"))
+      .groupBy(col("e.a").as("id")).agg(min(col("e.b")).as("nm"))
+    val labels = vertices.select(col("id"))
+      .join(nbrMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nm"), col("id"))).as("rep"))
+      .persist(MEMORY_AND_DISK)
+    if (verify) {
+      // audit gate (see scaladoc): every original edge agrees on rep
+      val bad = init
+        .join(labels.select(col("id").as("u"), col("rep").as("ra")), "u")
+        .join(labels.select(col("id").as("v"), col("rep").as("rb")), "v")
+        .where(col("ra") =!= col("rb")).count()
+      require(bad == 0,
+        s"connectedComponents: $bad original pairs have endpoints in " +
+          "different components — refusing to return wrong labels")
+    } else {
+      labels.count() // materialize before the edge caches release below
+    }
+    if (cached ne init) cached.unpersist()
+    init.unpersist()
     labels
   }
 

@@ -19,6 +19,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * `handleExpiredTimer` emits the completed session and clears state —
   * bounded state, one emitted row per completed session.
   *
+  * Sparse-trigger correctness: Spark feeds a batch's INPUT rows to the
+  * processor before its EXPIRED timers, so with an infrequent trigger
+  * (cron / AvailableNow) a key can receive new input in the same batch
+  * whose timer should have closed its old session. State therefore
+  * carries the last-event processing time; on input, if the gap already
+  * elapsed since that stamp, the stale session is emitted and reset
+  * FIRST and the new rows start a fresh session — the timer wheel is the
+  * fast path, the input-side check is the correctness backstop.
+  *
   * Scale shape: state and timers are per-key in the RocksDB store;
   * nothing scans the key space — expiry is the store's timer index, so
   * 100 M idle keys cost zero per-batch work beyond their own expirations.
@@ -26,7 +35,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
 object SessionTimeout {
 
   case class Evt(user_id: Long, cents: Long)
-  case class Sess(events: Long, total_cents: Long)
+  case class Sess(events: Long, total_cents: Long, last_ms: Long)
   case class SessionOut(user_id: Long, events: Long, total_cents: Long)
 
   class Processor(gapMs: Long)
@@ -39,15 +48,25 @@ object SessionTimeout {
 
     override def handleInputRows(key: Long, rows: Iterator[Evt],
                                  timers: TimerValues): Iterator[SessionOut] = {
-      val prev = if (state.exists()) state.get() else Sess(0L, 0L)
+      val now = timers.getCurrentProcessingTimeInMs()
+      // Input-side staleness backstop (see scaladoc): if the gap already
+      // elapsed since this key's last event, close the old session before
+      // folding the new rows — materialized eagerly, BEFORE state.update.
+      val stale: List[SessionOut] =
+        if (state.exists() && now - state.get().last_ms > gapMs) {
+          val s = state.get()
+          state.clear()
+          List(SessionOut(key, s.events, s.total_cents))
+        } else Nil
+      val prev = if (state.exists()) state.get() else Sess(0L, 0L, now)
       var n = prev.events
       var total = prev.total_cents
       rows.foreach { r => n += 1; total += r.cents }
-      state.update(Sess(n, total))
+      state.update(Sess(n, total, now))
       // re-arm: drop any previous deadline, set a fresh one gapMs ahead
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + gapMs)
-      Iterator.empty
+      getHandle.registerTimer(now + gapMs)
+      stale.iterator
     }
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,

@@ -146,11 +146,31 @@ class DedupSpec extends SparkSpec {
       .toDF("id_a", "id_b")
     // {0,1,2} is a chain; {4,5,6} is the case greedy drop-id_b gets wrong
     // (4 and 5 never appear as id_b, so greedy would keep both); 3 is a
-    // singleton.
-    val out = Dedup.connectedComponents(vertices, pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // singleton. verify=true exercises the audit gate alongside the
+    // star-forest witness.
+    val out = Dedup.connectedComponents(vertices, pairs, verify = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
       4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("connectedComponents: deep path and reversed ids need multiple star rounds") {
+    // A 10-node path with ids DESCENDING along the chain (worst case for
+    // min-propagation direction), plus a binary-tree-ish component and a
+    // duplicate/self-noise edge mix. Exercises multi-round convergence of
+    // alternating large-star/small-star plus the verify gate.
+    val vertices = spark.range(0, 16).toDF("id")
+    val path = (0 until 9).map(i => (9L - i, 8L - i)) // 9-8, 8-7, ..., 1-0
+    val tree = Seq((10L, 12L), (10L, 14L), (12L, 15L), (14L, 11L))
+    val noise = Seq((5L, 5L), (9L, 8L)) // self edge + duplicate edge
+    val pairs = (path ++ tree ++ noise).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(vertices, pairs, verify = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected =
+      (0L to 9L).map(_ -> 0L).toMap ++
+        Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 14L -> 10L, 15L -> 10L) ++
+        Map(13L -> 13L)
+    assert(out == expected, out.toSeq.sortBy(_._1).toString)
   }
 
   test("minhash recall vs exact near-dup set >= 0.9 on real documents") {
@@ -213,6 +233,17 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 < 10L),
       s"prior docs can only appear on the other_id side: $out")
     assert(!out.exists(p => p._1 == 13L || p._2 == 13L), out.toString)
+    // a re-crawled doc that KEEPS its id across snapshots must not be
+    // reported as a near-dup of itself (id-spaces need not be disjoint).
+    // Its text is IDENTICAL to prior doc 0, so every band collides and
+    // without the id filter the (0, 0, prior) pair would surface.
+    val recrawl = Seq((0L, base)).toDF("doc_id", "text")
+    val self = Dedup.incrementalNearDups(recrawl,
+        Dedup.lshBuckets(prior, "text", "doc_id"), prior,
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(!self.exists(p => p._1 == 0L && p._2 == 0L && p._3 == "prior"),
+      s"shared id must not emit a self pair: ${self.toSeq}")
   }
 
   test("containment catches an excerpt Jaccard misses") {

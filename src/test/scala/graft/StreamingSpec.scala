@@ -303,6 +303,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sparse-trigger sessionization: late input closes the stale session, not extends it") {
+    // No batch runs between a key's last event and a new event arriving
+    // past the gap — the timer never had a chance to fire (the common
+    // case under cron/AvailableNow triggers). The input-side staleness
+    // check must emit the old session and start a fresh one, rather than
+    // silently merging the two.
+    val dir = Files.createTempDirectory("graft-sessparse").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    def append(data: Seq[(Long, Double)]): Unit =
+      data.toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.SessionTimeout.sessions(stream, gapMs = 2000)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.SessionTimeout.SessionOut], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      append(Seq((1L, 1.00), (1L, 0.50)))
+      drain() // session (2 events, 150¢) open, timer armed
+      Thread.sleep(4000) // idle past the 2 s gap with NO intervening batch
+      append(Seq((1L, 0.25)))
+      drain() // the input path itself must close the stale session
+      val rows = spark.read.parquet(out)
+        .filter(col("user_id") === 1L)
+        .as[graft.streaming.SessionTimeout.SessionOut].collect().toSeq
+      assert(rows == Seq(
+        graft.streaming.SessionTimeout.SessionOut(1L, 2L, 150L)),
+        s"stale session must close on late input, got $rows")
+      // the 0.25 event started a FRESH session — it closes from the timer
+      Thread.sleep(4000)
+      append(Seq((7L, 0.01))) // unrelated key drives the firing batch
+      drain()
+      val again = spark.read.parquet(out)
+        .filter(col("user_id") === 1L).orderBy("total_cents")
+        .as[graft.streaming.SessionTimeout.SessionOut].collect().toSeq
+      assert(again == Seq(
+        graft.streaming.SessionTimeout.SessionOut(1L, 1L, 25L),
+        graft.streaming.SessionTimeout.SessionOut(1L, 2L, 150L)),
+        s"late event must open a fresh session: $again")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("state-store reader: checkpointed transformWithState state is queryable as a DataFrame") {
     // Spark 4's statestore data source — the ops surface for streaming
     // state: inspect (audit, debug, backfill) the RocksDB state of a
