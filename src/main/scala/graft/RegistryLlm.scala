@@ -16,6 +16,36 @@ import Registry._
   */
 object RegistryLlm {
 
+  /** Generated DuckDB SQL replaying [[graft.llm.Dedup.portableSimhash]]
+    * over `table` rows satisfying `pred`: tokenize exactly like
+    * TextAnalysis.tokens(lower(text)), md5 each token, vote on the
+    * first 64 md5 bits (nibble-major, MSB-first within the nibble),
+    * rebuild the 16-char hex signature from the vote signs (tie → 0).
+    * Yields columns (id, simhash).
+    */
+  private def simhashOracle(table: String, pred: String): String = {
+    val votes = (0 until 64).map { i =>
+      val j = i / 4; val b = 3 - (i % 4)
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n    ")
+    val chars = (0 until 16).map { j =>
+      val value = (0 until 4).map(k =>
+        s"CASE WHEN v${4 * j + k} > 0 THEN ${1 << (3 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($value) + 1, 1)"
+    }.mkString(" ||\n    ")
+    s"""WITH tk_sh AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> strlen(x) > 0)) AS tok
+       |  FROM $table WHERE $pred),
+       |hh_sh AS (SELECT id, md5(tok) AS h FROM tk_sh),
+       |vt_sh AS (SELECT id,
+       |    $votes
+       |  FROM hh_sh GROUP BY id)
+       |SELECT id, $chars AS simhash FROM vt_sh""".stripMargin
+  }
+
   def entries: Seq[Q] = Seq(
 
     // ---- T1: token counting ------------------------------------------------
@@ -170,11 +200,17 @@ object RegistryLlm {
       },
       None),
 
-    // ---- D3: SimHash signatures ------------------------------------------------
+    // ---- D3: SimHash signatures — the PORTABLE md5-bit variant, so the
+    //      oracle replays the whole signature bit-for-bit in DuckDB SQL
+    //      (generated below: 64 vote sums + 16 nibble chars). The
+    //      seeded-xxhash64 Dedup.simhash stays available for hot paths;
+    //      correctness-wise this row now hash-matches instead of the
+    //      former rows-only gate ------------------------------------------
     Q("d03_simhash",
-      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+      (s, dir) => Dedup.portableSimhash(t(s, dir, "documents"),
+          "text", "doc_id")
         .orderBy("id"),
-      None),
+      Some(simhashOracle("documents", "TRUE"))),
 
     // ---- D4: n-gram Jaccard (consecutive-doc pairs) -----------------------------
     Q("d04_ngram_jaccard",
@@ -259,16 +295,39 @@ object RegistryLlm {
       None),
 
     // ---- D9: SimHash near-dup summary (pigeonhole-exact banded join) ---------
-    // Summary row so the rows-only check is never vacuous even when the
-    // corpus has no hamming<=3 pair; exactness vs brute force is asserted
-    // in DedupSpec. No oracle: signatures are seeded xxhash64.
+    // Portable signatures make this hash-exact too: the oracle replays
+    // the 4-band bucket join and the 16-nibble-xor Hamming verify in
+    // DuckDB over the same md5-bit signatures. Summary row so the check
+    // is never vacuous even when the corpus has no hamming<=3 pair;
+    // exactness vs brute force is additionally asserted in DedupSpec.
     Q("d09_simhash_neardup",
-      (s, dir) => Dedup.simhashNearDups(
+      (s, dir) => Dedup.portableSimhashNearDups(
           t(s, dir, "documents").filter(col("doc_id") < 500),
           "text", "doc_id")
         .agg(count(lit(1)).as("neardup_pairs"),
           coalesce(min(col("hamming")), lit(-1L)).as("min_hamming")),
-      None),
+      Some(s"""WITH sig AS (${simhashOracle("documents", "doc_id < 500")}),
+             |b AS (
+             |  SELECT id, simhash, bb AS band,
+             |    substr(simhash, bb * 4 + 1, 4) AS v
+             |  FROM sig, unnest([0, 1, 2, 3]) AS t(bb)),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+             |    a.simhash AS sa, b2.simhash AS sb
+             |  FROM b a JOIN b b2
+             |    ON a.band = b2.band AND a.v = b2.v AND a.id < b2.id),
+             |ham AS (
+             |  SELECT id_a, id_b,
+             |    CAST(${(0 until 16).map(j =>
+                     s"bit_count(xor(strpos('0123456789abcdef', " +
+                       s"substr(sa, ${j + 1}, 1)) - 1, " +
+                       s"strpos('0123456789abcdef', " +
+                       s"substr(sb, ${j + 1}, 1)) - 1))").mkString(" + ")}
+             |      AS BIGINT) AS hamming
+             |  FROM cand)
+             |SELECT CAST(count(*) AS BIGINT) AS neardup_pairs,
+             |  coalesce(min(hamming), -1) AS min_hamming
+             |FROM ham WHERE hamming <= 3""".stripMargin)),
 
     // ---- D12: incremental snapshot dedup — today's batch (id >= 250)
     //      against the prior corpus digest set, then within-batch dedup.

@@ -254,6 +254,73 @@ object Dedup {
     agg.select(col("id"), sim.as("simhash"))
   }
 
+  /** Decode one lowercase hex char to its 0–15 nibble value. */
+  private def hexNibble(c: Column): Column = conv(c, 16, 10).cast("int")
+
+  /** Portable 64-bit SimHash, emitted as a 16-char lowercase hex STRING.
+    * Per-token bits are the first 64 bits of `md5(token)` (nibble-major,
+    * MSB-first within each nibble), so the whole signature is replayable
+    * bit-for-bit by ANY engine with md5 — the d03/d09 oracles recompute
+    * it in DuckDB SQL, which the seeded-xxhash64 [[simhash]] cannot
+    * offer. Every intermediate stays a 0–15 nibble int: no 64-bit
+    * overflow anywhere, ANSI-safe in both engines. Same aggregation
+    * shape as [[simhash]]: bit votes summed in ONE groupBy over exploded
+    * tokens (64 aggregate columns, single shuffle), then 16 hex chars
+    * rebuilt from the vote signs (tie → bit 0).
+    */
+  def portableSimhash(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val hexDigits = "0123456789abcdef"
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    def nib(j: Int): Column = hexNibble(substring(col("h"), j + 1, 1))
+    val votes = (0 until 64).map { i =>
+      val j = i / 4; val b = 3 - (i % 4)
+      sum(when(shiftright(nib(j), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val chars = (0 until 16).map { j =>
+      val value = (0 until 4).map(k =>
+        when(col(s"v${4 * j + k}") > 0, 1 << (3 - k)).otherwise(0))
+        .reduce(_ + _)
+      lit(hexDigits).substr(value + 1, lit(1))
+    }
+    agg.select(col("id"), concat(chars: _*).as("simhash"))
+  }
+
+  /** Portable-SimHash near-dup pairs at Hamming distance <= `maxDist`
+    * (<= 3), exact by the same 4-band pigeonhole as [[simhashNearDups]]
+    * but over the hex-string signatures of [[portableSimhash]]: bands
+    * are 4-hex-char substrings (16 bits), candidates come from the
+    * band-bucket equi-join (never all-pairs), and the Hamming verify is
+    * 16 nibble xor popcounts — all 0–15 ints, replayable in DuckDB.
+    */
+  def portableSimhashNearDups(df: DataFrame, textCol: String,
+                              idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"maxDist $maxDist > 3 breaks the 4-band pigeonhole guarantee")
+    val sigs = portableSimhash(df, textCol, idCol)
+    val banded = sigs.withColumn("bk", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          substring(col("simhash"), b * 4 + 1, 4).as("v"))): _*)))
+      .select(col("id"), col("simhash"),
+        col("bk.b").as("b"), col("bk.v").as("v"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val hamming = (0 until 16).map(j =>
+      bit_count(hexNibble(substring(col("sig_a"), j + 1, 1))
+        .bitwiseXOR(hexNibble(substring(col("sig_b"), j + 1, 1)))))
+      .reduce(_ + _)
+    a.join(b, col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** SimHash near-duplicate pairs at Hamming distance <= `maxDist`,
     * EXACT by pigeonhole: the 64-bit signature splits into 4 bands of 16
     * bits, and a pair differing in at most 3 bits must agree on at least

@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("portableSimhash: md5-bit signature, brute-force-exact band join") {
+    // Signature is a pure function of the token multiset, hex-shaped
+    val sigs = Dedup.portableSimhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(_.matches("[0-9a-f]{16}")), sigs.toString)
+    assert(sigs(0L) == sigs(1L)) // identical docs share the signature
+    assert(sigs(0L) != sigs(3L))
+    def bits(s: String): Long = java.lang.Long.parseUnsignedLong(s, 16)
+    // banded pairs == brute-force hamming<=3 over the same signatures
+    val out = Dedup.portableSimhashNearDups(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (ia, sa) <- sigs.toSeq; (ib, sb) <- sigs.toSeq
+      h = java.lang.Long.bitCount(bits(sa) ^ bits(sb))
+      if ia < ib && h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(out.toSet == expected, s"got ${out.toSeq}")
+    assert(out.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
   test("connectedComponents: chains and sibling pairs resolve to the min rep") {
     val vertices = spark.range(0, 7).toDF("id")
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 6L), (5L, 6L))
