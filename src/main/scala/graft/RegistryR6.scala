@@ -305,6 +305,134 @@ object RegistryR6 {
              |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // ---- J20: TPC-H Q7 shape (volume shipping): the join shape nothing
+    //      else pins — a FILTERED dim on BOTH fact sides. The nation
+    //      pair filters supplier (broadcast into lineitem) AND customer
+    //      (shuffle-joined: at scale the 2-of-25-nations customer slice
+    //      is still fact-sized, so broadcasting it would be wrong), with
+    //      the cross-pair predicate landing after both joins. Exact
+    //      integer revenue units; year extracted from shipdate ----------
+    Q("j20_tpch_q7",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0)
+          .cast("decimal(38,0)")
+        val disc = round((lit(1) - col("l_discount")) * 100, 0)
+          .cast("decimal(38,0)")
+        val pair = Seq("NATION_12", "NATION_10")
+        val n = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(n.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val cust = t(s, dir, "customer")
+          .join(broadcast(n.select(col("n_nationkey").as("nk2"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("nk2"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val li = t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")).between(
+            lit("1996-01-01"), lit("1997-12-31")))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(to_date(col("l_shipdate"))).cast("long").as("l_year"),
+            (cents * disc).as("rev_units"))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_12" &&
+              col("cust_nation") === "NATION_10") ||
+            (col("supp_nation") === "NATION_10" &&
+              col("cust_nation") === "NATION_12"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg((sum(col("rev_units")).cast("double") / 10000.0)
+            .as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue
+             |FROM supplier, lineitem, orders, customer,
+             |  nation n1, nation n2
+             |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |  AND c_nationkey = n2.n_nationkey
+             |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+             |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+             |  AND CAST(l_shipdate AS DATE)
+             |    BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- J21: TPC-H Q8 shape (national market share): eight-table join
+    //      with TWO nation roles (supplier nation labels the volume,
+    //      customer nation gates through region) and a conditional-sum
+    //      ratio per order year. Part + supplier dims broadcast into
+    //      lineitem; orders carries the year; the share divides two
+    //      exact integer-unit sums ------------------------------------
+    Q("j21_tpch_q8",
+      (s, dir) => {
+        val cents = round(col("l_extendedprice") * 100, 0)
+          .cast("decimal(38,0)")
+        val disc = round((lit(1) - col("l_discount")) * 100, 0)
+          .cast("decimal(38,0)")
+        val amNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("am_nk"))
+        val supN = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("snk"),
+              col("n_name").as("nation"))),
+            col("s_nationkey") === col("snk"))
+          .select(col("s_suppkey"), col("nation"))
+        val pt = t(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+        val ord = t(s, dir, "orders")
+          .filter(to_date(col("o_orderdate")).between(
+            lit("1996-01-01"), lit("1997-12-31")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+        val custAm = t(s, dir, "customer")
+          .join(broadcast(amNations), col("c_nationkey") === col("am_nk"))
+          .select(col("c_custkey"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (cents * disc).as("vol"))
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(custAm, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_year"))
+          .agg((sum(when(col("nation") === "NATION_3", col("vol"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).cast("double") /
+            sum(col("vol")).cast("double")).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT o_year,
+             |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol
+             |             ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(vol) AS DOUBLE) AS mkt_share
+             |FROM (
+             |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+             |      AS o_year,
+             |    CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT) AS vol,
+             |    n2.n_name AS nation
+             |  FROM part, supplier, lineitem, orders, customer,
+             |    nation n1, nation n2, region
+             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey
+             |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+             |    AND s_nationkey = n2.n_nationkey
+             |    AND CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+             |    AND p_type = 'ECONOMY')
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
     // ---- T13: word-distribution Shannon entropy per doc — the
     //      information-density quality signal (low entropy = repetitive
     //      boilerplate). The -Σ p·ln(p) fold runs over the WORD-SORTED
