@@ -333,9 +333,14 @@ object RegistryExtra {
              |FROM w ORDER BY o_orderkey""".stripMargin)),
 
     // ---- A16: sketch audit — HLL distinct + approx percentile against
-    //      their exact counterparts, with error bounds surfaced. The
-    //      approximations are engine-specific, so no cross-engine oracle;
-    //      the row carries its own quantitative pass flags. ----------------
+    //      their exact counterparts. PARTIAL ORACLE: the exact side
+    //      (distinct count; median in doubled-cent integer units, exact
+    //      because prices are cent-valued so the interpolated median is
+    //      a half-cent multiple) is recomputed by DuckDB, and the
+    //      accuracy bounds are pinned as literal TRUE — a sketch
+    //      drifting out of bounds now FAILS the driver's hash gate
+    //      instead of merely flipping an unchecked flag. Raw estimates
+    //      are engine-specific and live in the specs, not the row. ------
     Q("a16_sketch_audit",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -345,17 +350,28 @@ object RegistryExtra {
             countDistinct(col("l_orderkey")).as("exact_orders"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
               .as("approx_median_price"),
-            expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"))
-          .select(col("hll_orders"), col("exact_orders"),
-            (abs(col("hll_orders") - col("exact_orders")) /
-              col("exact_orders")).as("hll_rel_err"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
+            // the sketch guarantees RANK error, so the certificate is a
+            // rank window, not a value tolerance (value gaps near the
+            // median dominate at small n)
+            expr("percentile(l_extendedprice, 0.48)").as("p48"),
+            expr("percentile(l_extendedprice, 0.52)").as("p52"))
+          .select(col("exact_orders"),
             (abs(col("hll_orders") - col("exact_orders")) /
               col("exact_orders") <= 0.06).as("hll_within_3rsd"),
-            col("approx_median_price"), col("exact_median_price"),
-            (abs(col("approx_median_price") - col("exact_median_price")) /
-              col("exact_median_price") <= 0.01).as("median_within_1pct"))
+            round(col("exact_median_price") * 200).cast("long")
+              .as("exact_median_x200"),
+            (col("approx_median_price") >= col("p48") &&
+              col("approx_median_price") <= col("p52"))
+              .as("median_in_rank_window"))
       },
-      None),
+      Some("""SELECT
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS hll_within_3rsd,
+             |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 200)
+             |    AS BIGINT) AS exact_median_x200,
+             |  TRUE AS median_in_rank_window
+             |FROM lineitem""".stripMargin)),
 
     // ---- J11: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — null
     //      keys match null keys instead of dropping out -------------------
@@ -769,27 +785,39 @@ object RegistryExtra {
         .stripMargin)),
 
     // ---- A24: sketch-accuracy audit for approx_percentile (the a16
-    //      methodology, for quantiles): approximate vs exact medians per
-    //      group with the observed relative error. Rows-only (DuckDB has
-    //      no matching GK sketch) but quantitatively asserted in
-    //      RegistrySpec-style checks: rel_err must stay under the sketch's
-    //      accuracy parameter ---------------------------------------------
+    //      methodology, for quantiles). PARTIAL ORACLE, same split as
+    //      a16: DuckDB recomputes the exact per-group medians (doubled-
+    //      cent integer units — exact on cent-valued prices) and the
+    //      group sizes, and pins the certificate as literal TRUE, so an
+    //      out-of-bound sketch fails the hash gate. The certificate is
+    //      a RANK window (approx lands between the exact 48th and 52nd
+    //      percentiles) — what a rank-error sketch actually guarantees;
+    //      a value tolerance would be data-density-dependent. The raw
+    //      GK estimate (no DuckDB counterpart) stays in
+    //      SketchAuditSpec, which certifies observed error directly. ---
     Q("a24_quantile_audit",
       (s, dir) => t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("exact_median"),
-          // accuracy bounds RANK error (1/accuracy); the observed VALUE
-          // error also depends on local density, so the audit bound in
-          // SketchAuditSpec is what actually certifies it
+          expr("percentile(o_totalprice, 0.48)").as("p48"),
+          expr("percentile(o_totalprice, 0.52)").as("p52"),
           expr("approx_percentile(o_totalprice, 0.5, 10000)")
             .as("approx_median"),
           count(lit(1)).as("n"))
-        .withColumn("rel_err",
-          abs(col("approx_median") - col("exact_median")) /
-            greatest(abs(col("exact_median")), lit(1e-9)))
+        .select(col("o_orderpriority"),
+          round(col("exact_median") * 200).cast("long")
+            .as("exact_median_x200"),
+          col("n"),
+          (col("approx_median") >= col("p48") &&
+            col("approx_median") <= col("p52")).as("in_rank_window"))
         .orderBy("o_orderpriority"),
-      None),
+      Some("""SELECT o_orderpriority,
+             |  CAST(round(quantile_cont(o_totalprice, 0.5) * 200)
+             |    AS BIGINT) AS exact_median_x200,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS in_rank_window
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     // ---- U4/U5: INTERSECT / EXCEPT (distinct set semantics) --------------
     Q("u04_intersect",
       (s, dir) => {

@@ -1013,8 +1013,8 @@ object RegistryLlm {
       (s, dir) => Multimodal.decodeFeatures(
           Multimodal.withBinaryMetadata(t(s, dir, "documents"), "text"),
           "doc_id")
-        .select(col("id"), col("byte_len"), size(col("features"))
-          .cast("long").as("feature_dim"))
+        .select(col("id"), col("byte_len"), col("decoder"),
+          size(col("features")).cast("long").as("feature_dim"))
         .orderBy("id"),
       None),
 

@@ -107,13 +107,23 @@ object CorpusPipeline {
     * at least one word `n`-gram with the evaluation set — the standard
     * exact-substring contamination gate run before any LLM training job.
     * The eval side reduces to its DISTINCT gram set first (benchmarks
-    * are tiny next to the corpus — thousands of docs vs billions), which
-    * is then BROADCAST: the 100 TB training side is scanned once,
-    * streams through a broadcast hash join probe on its exploded grams,
-    * and never shuffles; only the (rare) contaminated doc-ids — not the
-    * documents — travel to the final anti-join. A doc shorter than `n`
-    * tokens contributes its whole text as one gram (`wordShingles`
-    * fallback), so short eval answers still decontaminate.
+    * are tiny next to the corpus — thousands of docs vs billions) and
+    * broadcasts; the training side never shuffles.
+    *
+    * Two-pass shape for the corpus-wide scan: the full corpus streams
+    * through a HASH prefilter — the native `NgramHashes` kernel emits
+    * each doc's distinct gram xxhash64 values with no intermediate gram
+    * strings, probed against the broadcast eval gram-hash set (the
+    * bloom-style membership test, with a 64-bit hash standing in for
+    * the bloom: same one-sided error) — and only the surviving suspects
+    * re-derive actual gram STRINGS for the exact string-equality
+    * verify. Exactness is unconditional: a truly contaminated doc
+    * always passes the prefilter (same gram → same hash), and a hash
+    * collision only sends a clean doc to the verify pass, which rejects
+    * it. Only the (rare) contaminated doc-ids — never the documents —
+    * travel to the final anti-join. A doc shorter than `n` tokens
+    * contributes its whole text as one gram (`wordShingles` fallback),
+    * so short eval answers still decontaminate.
     */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -121,9 +131,18 @@ object CorpusPipeline {
     val evalGrams = evalDocs
       .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
-    // No distinct on the contaminated ids: LEFT ANTI is set-semantics on
-    // the probe side already, so deduping here would only add a shuffle.
+    val evalHashes = evalGrams.select(xxhash64(col("gram")).as("gh"))
+    // pass 1 (whole corpus, hashes only): candidate doc-ids
+    val suspects = train
+      .select(col(idCol),
+        explode(graft.plans.NgramHashes(col(textCol), n)).as("gh"))
+      .join(broadcast(evalHashes), Seq("gh"))
+      .select(col(idCol)).distinct()
+    // pass 2 (suspects only): exact gram-string verify. No distinct on
+    // the contaminated ids: LEFT ANTI is set-semantics on the probe
+    // side already, so deduping here would only add a shuffle.
     val contaminated = train
+      .join(broadcast(suspects), Seq(idCol), "left_semi")
       .select(col(idCol),
         explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))

@@ -35,15 +35,23 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Batched "decode + feature extract" over binary payloads — the
-    * mapInPandas-shaped pass. The real decoder is a stub: a deterministic
-    * hash-seeded pseudo-feature vector, so tests exercise the plumbing
-    * (schema, batching, partitioning) with stable outputs.
+    * mapInPandas-shaped pass, with a PLUGGABLE decoder. The default
+    * decoder is a stub (deterministic hash-seeded pseudo-features; the
+    * JVM ships no generic/H.264 codec), so tests exercise the plumbing
+    * (schema, batching, partitioning) with stable outputs. The
+    * decoder's NAME travels in every output row's `decoder` column:
+    * a 100 TB run downstream can always tell — and filter on — whether
+    * features came from `stub:*` or a real codec, instead of stub
+    * features silently impersonating real ones.
     */
-  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
+  def decodeFeatures(df: DataFrame, idCol: String,
+                     decoderName: String = StubDecoderName,
+                     decoder: Array[Byte] => Array[Float] = fakeDecode)
+      : DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
       StructField("byte_len", LongType),
+      StructField("decoder", StringType),
       StructField("features", ArrayType(FloatType))))
     val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
@@ -53,10 +61,15 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, payload.length.toLong, fakeDecode(payload))
+        Row(id, payload.length.toLong, decoderName, decoder(payload))
       }
     }(encoder)
   }
+
+  /** Name carried by [[decodeFeatures]]' default stub decoder — the
+    * `stub:` prefix is the downstream contract for "not real features".
+    */
+  val StubDecoderName = "stub:pseudo-hash"
 
   /** STUB decoder: deterministic pseudo-features from payload bytes.
     * Replace with a real image/audio decode in production.

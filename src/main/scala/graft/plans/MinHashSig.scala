@@ -117,6 +117,7 @@ object MinHashSig {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(MinHashSig.descriptor)
+    ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(CosineSim.descriptor)
     ext.injectOptimizerRule(_ => AliasLookupSimplification)
   }

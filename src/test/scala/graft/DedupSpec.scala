@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("native NgramHashes == xxhash64 over wordShingles, bit for bit") {
+    val df = docs.select(
+      array_sort(graft.plans.NgramHashes(col("text"), 3)).as("fast"),
+      array_sort(transform(Dedup.wordShingles(col("text"), 3),
+        g => xxhash64(g))).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("simhash: identical docs share signature; distinct content differs") {
     val sims = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

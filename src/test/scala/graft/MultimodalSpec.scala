@@ -22,19 +22,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[String]("format_tag") == "6865") // "he"
   }
 
-  test("decodeFeatures: stable schema, deterministic stub features") {
+  test("decodeFeatures: stable schema, deterministic stub features, stub provenance") {
     val out = Multimodal.decodeFeatures(
       Multimodal.withBinaryMetadata(docs, "text"), "doc_id")
-    assert(out.schema.fieldNames.toSeq == Seq("id", "byte_len", "features"))
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "byte_len", "decoder", "features"))
     val rows = out.orderBy("id").collect()
     assert(rows.length == 2)
-    val f1 = rows(0).getSeq[Float](2)
+    // the stub can never impersonate a real codec: every row is marked
+    assert(rows.forall(_.getAs[String]("decoder").startsWith("stub:")))
+    val f1 = rows(0).getSeq[Float](3)
     assert(f1.length == Multimodal.FeatureDim)
     // deterministic: second run yields identical features
     val again = Multimodal.decodeFeatures(
       Multimodal.withBinaryMetadata(docs, "text"), "doc_id")
-      .orderBy("id").collect()(0).getSeq[Float](2)
+      .orderBy("id").collect()(0).getSeq[Float](3)
     assert(f1 == again)
+    // pluggable: a real decoder plugs in with its own name
+    val real = Multimodal.decodeFeatures(
+      Multimodal.withBinaryMetadata(docs, "text"), "doc_id",
+      "len-probe", b => Array(b.length.toFloat))
+      .orderBy("id").collect()
+    assert(real.forall(_.getAs[String]("decoder") == "len-probe"))
+    assert(real(0).getSeq[Float](3) ==
+      Seq(real(0).getAs[Long]("byte_len").toFloat))
   }
 
   test("sampleFrames emits every nth frame index") {
