@@ -433,6 +433,41 @@ object RegistryR6 {
              |    AND p_type = 'ECONOMY')
              |GROUP BY o_year ORDER BY o_year""".stripMargin)),
 
+    // ---- J22: TPC-H Q17 shape (small-quantity-order revenue): a
+    //      CORRELATED SCALAR SUBQUERY — each lineitem compares against
+    //      0.2×avg(quantity) of ITS OWN part — through the SQL entry
+    //      point, pinning Catalyst's decorrelation (the subquery
+    //      rewrites to a per-part aggregate joined back; no per-row
+    //      re-execution). Threshold doubles are bit-identical across
+    //      engines: integer-valued quantity sums / exact counts, same
+    //      division, same ×0.2. Exact integer cents for revenue --------
+    Q("j22_tpch_q17",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("g_part")
+        s.sql("""
+          SELECT p_brand,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+              AS DOUBLE) / 700.0 AS avg_yearly
+          FROM g_lineitem, g_part
+          WHERE p_partkey = l_partkey
+            AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+            AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM g_lineitem l2
+                              WHERE l2.l_partkey = p_partkey)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""SELECT p_brand,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+             |    AS DOUBLE) / 700.0 AS avg_yearly
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey
+             |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+             |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |                    FROM lineitem l2
+             |                    WHERE l2.l_partkey = p_partkey)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // ---- T13: word-distribution Shannon entropy per doc — the
     //      information-density quality signal (low entropy = repetitive
     //      boilerplate). The -Σ p·ln(p) fold runs over the WORD-SORTED

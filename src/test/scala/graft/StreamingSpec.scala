@@ -340,10 +340,16 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.read.parquet(out)
         .filter(col("user_id") === 1L)
         .as[graft.streaming.SessionTimeout.SessionOut].collect().toSeq
-      assert(rows == Seq(
+      // the old session closed AS IT WAS (2 events, 150¢) — the late
+      // event did NOT merge into it. (The fresh 1-event session may
+      // have already closed too if its own 2 s timer elapsed during
+      // the drain's batches; that's timing, not semantics.)
+      assert(rows.contains(
         graft.streaming.SessionTimeout.SessionOut(1L, 2L, 150L)),
-        s"stale session must close on late input, got $rows")
-      // the 0.25 event started a FRESH session — it closes from the timer
+        s"stale session must close unmerged on late input, got $rows")
+      assert(!rows.exists(r => r.events == 3L),
+        s"late event must not merge into the stale session: $rows")
+      // the 0.25 event's FRESH session closes from the timer
       Thread.sleep(4000)
       append(Seq((7L, 0.01))) // unrelated key drives the firing batch
       drain()
@@ -402,6 +408,115 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSeq
       assert(rows == Seq((1L, 2L, 325L), (2L, 1L, 50L)),
         s"state read back from the checkpoint must equal the stream's exact totals: $rows")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("state-store reader: LIST state (last-k ring) reads back flattened by element") {
+    // The statestore source over a ListState variable: one row per
+    // element with flattenCollectionTypes (the audit/backfill shape for
+    // bounded per-key feature rings).
+    val dir = Files.createTempDirectory("graft-ssl").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val q = graft.streaming.RecentEvents.features(
+            spark.readStream.schema(schema).parquet(in), k = 3)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.RecentEvents.Feature], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      Seq((1L, 0.10), (1L, 0.20), (2L, 0.50)).toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      Seq((1L, 0.30), (1L, 0.40)).toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain() // key 1 ring trims to last 3: (20, 30, 40)
+      // the emitted features saw the trimmed ring
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("recent_cents").desc)
+      val finals = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_recent", "recent_cents")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(finals == Map(1L -> (3L, 90L), 2L -> (1L, 50L)),
+        s"trimmed ring features: $finals")
+      // offline audit: the checkpoint's list state, element-flattened
+      val state = spark.read.format("statestore")
+        .option("path", cp)
+        .option("stateVarName", "recent")
+        .option("flattenCollectionTypes", "true")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("list_element.value").as("cents"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(state == Map(1L -> Set(20L, 30L, 40L), 2L -> Set(50L)),
+        s"list state must hold exactly the trimmed ring: $state")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("state-store reader: registered TIMERS of an open session are auditable") {
+    val dir = Files.createTempDirectory("graft-sst").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, 0.0)).toDF("user_id", "value").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      Seq((5L, 1.00)).toDF("user_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      val armMs = System.currentTimeMillis()
+      val q = graft.streaming.SessionTimeout.sessions(
+          spark.readStream.schema(schema).parquet(in), gapMs = 3600000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            graft.streaming.SessionTimeout.SessionOut], _: Long) =>
+          batch.write.mode("append").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val timers = spark.read.format("statestore")
+        .option("path", cp)
+        .option("readRegisteredTimers", "true")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("expiration_timestamp_ms").as("deadline_ms"))
+        .as[(Long, Long)].collect().toSeq
+      // exactly the one open session's timer, armed ~gapMs after the
+      // batch ran (the batch runs at/after armMs; slack absorbs clock
+      // granularity either side)
+      assert(timers.map(_._1) == Seq(5L), s"timer keys: $timers")
+      val deadline = timers.head._2
+      assert(deadline >= armMs + 3500000L &&
+          deadline <= System.currentTimeMillis() + 3700000L,
+        s"deadline $deadline not ~1h after arm time $armMs")
     } finally {
       prior match {
         case Some(v) => spark.conf.set(
