@@ -468,6 +468,77 @@ object RegistryR6 {
              |                    WHERE l2.l_partkey = p_partkey)
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- J23: LATERAL correlated subquery with ORDER BY + LIMIT — the
+    //      "top-n related rows per driving row" SQL shape (Spark 4
+    //      lateral join). Catalyst rewrites the per-row LIMIT into a
+    //      rank-window over the joined pairs — no per-customer
+    //      re-execution; deterministic tiebreak keys make it
+    //      hash-stable --------------------------------------------------
+    Q("j23_lateral_topn",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM g_customer c,
+            LATERAL (SELECT o_orderkey, o_totalprice
+                     FROM g_orders o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT 2) t
+          WHERE c.c_custkey % 50 = 0
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |  LATERAL (SELECT o_orderkey, o_totalprice
+             |           FROM orders o
+             |           WHERE o.o_custkey = c.c_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey
+             |           LIMIT 2) t
+             |WHERE c.c_custkey % 50 = 0
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
+        .stripMargin)),
+
+    // ---- X29: RECURSIVE CTE (Spark 4) — gap-free monthly spine from a
+    //      seed row + add_months recursion, LEFT-joined to the order
+    //      counts so zero-order months still appear (the calendar-
+    //      gap-fill pattern; sequence() could build the spine, but this
+    //      row pins the WITH RECURSIVE surface itself, depth ~80 within
+    //      Spark's default 100-level recursion limit) -------------------
+    Q("x29_recursive_spine",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          WITH RECURSIVE spine AS (
+            SELECT to_date('1995-01-01') AS m
+            UNION ALL
+            SELECT add_months(m, 1) FROM spine
+            WHERE m < to_date('2001-08-01'))
+          SELECT date_format(spine.m, 'yyyy-MM') AS month,
+            CAST(coalesce(o.cnt, 0) AS BIGINT) AS orders
+          FROM spine
+          LEFT JOIN (SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS mm,
+                       count(*) AS cnt
+                     FROM g_orders GROUP BY 1) o
+            ON spine.m = o.mm
+          ORDER BY month""")
+      },
+      Some("""WITH RECURSIVE spine AS (
+             |  SELECT DATE '1995-01-01' AS m
+             |  UNION ALL
+             |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+             |  WHERE m < DATE '2001-08-01')
+             |SELECT strftime(spine.m, '%Y-%m') AS month,
+             |  CAST(coalesce(o.cnt, 0) AS BIGINT) AS orders
+             |FROM spine
+             |LEFT JOIN (SELECT date_trunc('month',
+             |             CAST(o_orderdate AS DATE)) AS mm,
+             |             count(*) AS cnt
+             |           FROM orders GROUP BY 1) o
+             |  ON spine.m = o.mm
+             |ORDER BY month""".stripMargin)),
+
     // ---- T13: word-distribution Shannon entropy per doc — the
     //      information-density quality signal (low entropy = repetitive
     //      boilerplate). The -Σ p·ln(p) fold runs over the WORD-SORTED
