@@ -468,6 +468,208 @@ object RegistryR6 {
              |                    WHERE l2.l_partkey = p_partkey)
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- J24: TPC-H Q4 shape — correlated EXISTS whose correlation
+    //      carries a NON-EQUI predicate (line shipped >60 days after its
+    //      own order's date; the reference's l_commitdate/l_receiptdate
+    //      don't exist in this dataset). Catalyst must decorrelate to
+    //      ONE left-semi hash join on l_orderkey with the date condition
+    //      as an extra join predicate — never a per-order re-scan ------
+    Q("j24_tpch_q4",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM g_orders o
+          WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+            AND EXISTS (SELECT * FROM g_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND CAST(l.l_shipdate AS DATE)
+                              > date_add(CAST(o.o_orderdate AS DATE), 60))
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+             |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+             |  AND EXISTS (SELECT * FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND CAST(l.l_shipdate AS DATE)
+             |                    > CAST(o.o_orderdate AS DATE) + 60)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- J25: TPC-H Q21 shape — EXISTS and NOT EXISTS correlated to
+    //      the SAME fact table with an inequality on the correlated key
+    //      (another supplier's line in the same order / no OTHER
+    //      supplier late). Decorrelates to a left-semi AND a left-anti
+    //      join against lineitem on l_orderkey, each carrying the
+    //      l_suppkey <> condition; "late" is a fixed ship-date cutoff
+    //      (the reference's receipt-vs-commit pair isn't in this
+    //      dataset) ----------------------------------------------------
+    Q("j25_tpch_q21",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""
+          SELECT s_name, count(*) AS numwait
+          FROM g_supplier, g_lineitem l1, g_orders, g_nation
+          WHERE s_suppkey = l1.l_suppkey
+            AND o_orderkey = l1.l_orderkey
+            AND CAST(l1.l_shipdate AS DATE) > DATE '2000-06-01'
+            AND EXISTS (SELECT * FROM g_lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT * FROM g_lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND CAST(l3.l_shipdate AS DATE)
+                                  > DATE '2000-06-01')
+            AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+          GROUP BY s_name ORDER BY numwait DESC, s_name""")
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders, nation
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o_orderkey = l1.l_orderkey
+             |  AND CAST(l1.l_shipdate AS DATE) > DATE '2000-06-01'
+             |  AND EXISTS (SELECT * FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT * FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND CAST(l3.l_shipdate AS DATE)
+             |                        > DATE '2000-06-01')
+             |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name""".stripMargin)),
+
+    // ---- J26: TPC-H Q22 shape — uncorrelated scalar subquery as a
+    //      filter threshold PLUS a correlated NOT EXISTS anti-join.
+    //      The avg comparison is exact-rational (cents * N > sum_cents,
+    //      all integers) so no engine's division rounding can flip a
+    //      boundary row; "country code" is c_custkey % 7 (no c_phone in
+    //      this dataset) and "no orders" is "no URGENT order" (every
+    //      customer here has orders) -----------------------------------
+    Q("j26_tpch_q22",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT cntrycode, count(*) AS numcust,
+            CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+          FROM (SELECT c_custkey % 7 AS cntrycode,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM g_customer c
+                WHERE c_custkey % 7 IN (1, 3, 5)
+                  AND CAST(round(c_acctbal * 100) AS BIGINT) *
+                      (SELECT count(*) FROM g_customer
+                       WHERE c_acctbal > 0.0
+                         AND c_custkey % 7 IN (1, 3, 5))
+                    > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       FROM g_customer
+                       WHERE c_acctbal > 0.0
+                         AND c_custkey % 7 IN (1, 3, 5))
+                  AND NOT EXISTS (SELECT * FROM g_orders o
+                                  WHERE o.o_custkey = c.c_custkey
+                                    AND o.o_orderpriority = '1-URGENT'))
+          GROUP BY cntrycode ORDER BY cntrycode""")
+      },
+      Some("""SELECT cntrycode, count(*) AS numcust,
+             |  CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+             |FROM (SELECT c_custkey % 7 AS cntrycode,
+             |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |      FROM customer c
+             |      WHERE c_custkey % 7 IN (1, 3, 5)
+             |        AND CAST(round(c_acctbal * 100) AS BIGINT) *
+             |            (SELECT count(*) FROM customer
+             |             WHERE c_acctbal > 0.0
+             |               AND c_custkey % 7 IN (1, 3, 5))
+             |          > (SELECT sum(CAST(round(c_acctbal * 100)
+             |               AS BIGINT))
+             |             FROM customer
+             |             WHERE c_acctbal > 0.0
+             |               AND c_custkey % 7 IN (1, 3, 5))
+             |        AND NOT EXISTS (SELECT * FROM orders o
+             |                        WHERE o.o_custkey = c.c_custkey
+             |                          AND o.o_orderpriority =
+             |                              '1-URGENT'))
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    // ---- J27: TPC-H Q13 shape — LEFT OUTER join with a filter INSIDE
+    //      the ON clause (dropped orders must NOT drop their customer),
+    //      then a double aggregation: per-customer order count, then the
+    //      distribution of those counts. Zero-order customers land in
+    //      the c_count = 0 bucket — the outer-join null path is load-
+    //      bearing, an inner join would silently lose them --------------
+    Q("j27_tpch_q13",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT c_count, count(*) AS custdist
+          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM g_customer c LEFT OUTER JOIN g_orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey) c_orders
+          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             |      FROM customer c LEFT OUTER JOIN orders o
+             |        ON c.c_custkey = o.o_custkey
+             |       AND o.o_orderpriority <> '1-URGENT'
+             |      GROUP BY c.c_custkey) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---- J28: TPC-H Q18 shape — IN over a GROUP BY ... HAVING subquery
+    //      (large-quantity orders) re-joined to the same fact for the
+    //      final per-order aggregate. The IN decorrelates to a left-semi
+    //      join against the aggregated subquery; quantities are integral
+    //      doubles, summed exactly and emitted as BIGINT ----------------
+    Q("j28_tpch_q18",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT c_name, c.c_custkey, o.o_orderkey,
+            date_format(CAST(o.o_orderdate AS DATE), 'yyyy-MM-dd')
+              AS o_orderdate,
+            o.o_totalprice,
+            CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+          FROM g_customer c, g_orders o, g_lineitem l
+          WHERE o.o_orderkey IN (SELECT l_orderkey FROM g_lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING sum(l_quantity) > 250)
+            AND c.c_custkey = o.o_custkey
+            AND o.o_orderkey = l.l_orderkey
+          GROUP BY c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+            o.o_totalprice
+          ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey""")
+      },
+      Some("""SELECT c_name, c.c_custkey, o.o_orderkey,
+             |  strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')
+             |    AS o_orderdate,
+             |  o.o_totalprice,
+             |  CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+             |FROM customer c, orders o, lineitem l
+             |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                       GROUP BY l_orderkey
+             |                       HAVING sum(l_quantity) > 250)
+             |  AND c.c_custkey = o.o_custkey
+             |  AND o.o_orderkey = l.l_orderkey
+             |GROUP BY c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             |  o.o_totalprice
+             |ORDER BY o.o_totalprice DESC, o_orderdate,
+             |  o.o_orderkey""".stripMargin)),
+
     // ---- J23: LATERAL correlated subquery with ORDER BY + LIMIT — the
     //      "top-n related rows per driving row" SQL shape (Spark 4
     //      lateral join). Catalyst rewrites the per-row LIMIT into a

@@ -27,6 +27,34 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("j24/j25/j26/j28 EXISTS shapes decorrelate to semi/anti joins") {
+    def plan(name: String): String = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    val q4 = plan("j24_tpch_q4")
+    assert(q4.contains("LeftSemi"), q4.take(600))
+    assert(!q4.contains("CartesianProduct"), q4.take(600))
+    val q21 = plan("j25_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      q21.take(800))
+    val q22 = plan("j26_tpch_q22")
+    assert(q22.contains("LeftAnti"), q22.take(600))
+    assert(!q22.contains("CartesianProduct"), q22.take(600))
+    val q18 = plan("j28_tpch_q18")
+    assert(q18.contains("LeftSemi"), q18.take(600))
+  }
+
+  test("j27 outer-join count distribution keeps zero-order customers") {
+    val rows = SparkEntry.queries("j27_tpch_q13")(spark, sf).collect()
+    // every customer lands in exactly one bucket
+    val total = rows.map(_.getLong(1)).sum
+    val custs = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total == custs, s"$total != $custs")
+    // the ON-clause filter guarantees a nonzero c_count=0 or low bucket
+    // exists only if some customer has no non-urgent orders; either way
+    // the distribution is non-degenerate (more than one bucket)
+    assert(rows.length > 1)
+  }
+
   test("x29 recursive spine is gap-free monthly calendar with LEFT join") {
     val df = SparkEntry.queries("x29_recursive_spine")(spark, sf)
     val rows = df.collect()
