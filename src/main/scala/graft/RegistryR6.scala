@@ -670,6 +670,67 @@ object RegistryR6 {
              |ORDER BY o.o_totalprice DESC, o_orderdate,
              |  o.o_orderkey""".stripMargin)),
 
+    // ---- A40: ordered-set aggregate — PERCENTILE_DISC ... WITHIN GROUP
+    //      (Spark 4 SQL surface). Disc quantiles SELECT an actual member
+    //      of the group (smallest value whose cume_dist >= p), so on
+    //      integer cents the result is bit-exact — no interpolation
+    //      arithmetic to drift between engines (DuckDB's quantile_disc
+    //      uses the same convention, probed empirically) ----------------
+    Q("a40_percentile_disc",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+            percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+            percentile_disc(0.5)  WITHIN GROUP (ORDER BY cents) AS p50,
+            percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS p75,
+            count(*) AS n
+          FROM (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM g_orders)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+             |  quantile_disc(cents, 0.25) AS p25,
+             |  quantile_disc(cents, 0.5)  AS p50,
+             |  quantile_disc(cents, 0.75) AS p75,
+             |  count(*) AS n
+             |FROM (SELECT o_orderpriority,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- X30: SQL PIVOT clause (not the DataFrame .pivot of s05) —
+    //      status counts fanned to columns with explicit IN values, so
+    //      the output schema is static at plan time (the only pivot form
+    //      that's sane at scale: value discovery needs an extra pass).
+    //      Missing combos surface as NULL from PIVOT; coalesce to 0 for
+    //      the conditional-aggregation oracle --------------------------
+    Q("x30_sql_pivot",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+            CAST(coalesce(f, 0) AS BIGINT) AS n_f,
+            CAST(coalesce(o, 0) AS BIGINT) AS n_o,
+            CAST(coalesce(p, 0) AS BIGINT) AS n_p
+          FROM (SELECT o_orderpriority, o_orderstatus FROM g_orders)
+          PIVOT (count(*) FOR o_orderstatus
+                 IN ('F' AS f, 'O' AS o, 'P' AS p))
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_p
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- J23: LATERAL correlated subquery with ORDER BY + LIMIT — the
     //      "top-n related rows per driving row" SQL shape (Spark 4
     //      lateral join). Catalyst rewrites the per-row LIMIT into a

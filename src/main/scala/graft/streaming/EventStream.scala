@@ -86,17 +86,22 @@ object EventStream {
     * O(events per `within` + delay window), not O(stream history). In
     * batch the same definition is a plain interval join (the w10
     * oracle). Inner join: matches emit immediately, no watermark wait.
+    * `left_outer` emits the null-padded row for an unmatched left event
+    * only once the watermark passes `left.ts + within` — the earliest
+    * moment "no match" is final — so outer results lag by the watermark
+    * delay by construction, they are not missing.
     */
   def attributionJoin(left: DataFrame, right: DataFrame, keyCol: String,
                       within: String = "1 hour",
-                      delay: String = "1 day"): DataFrame = {
+                      delay: String = "1 day",
+                      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", delay).alias("l")
     val r = right.withWatermark("ts", delay).alias("r")
     l.join(r,
         col(s"l.$keyCol") === col(s"r.$keyCol") &&
           col("r.ts") >= col("l.ts") &&
           col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
-        "inner")
+        joinType)
       .select(col(s"l.$keyCol").as(keyCol),
         col("l.event_id").as("left_id"), col("l.ts").as("left_ts"),
         col("r.event_id").as("right_id"), col("r.ts").as("right_ts"))

@@ -663,6 +663,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("c1", "p1")), rows.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join: null row emits only after the " +
+      "watermark finalizes no-match") {
+    val dir = Files.createTempDirectory("graft-ssoj").toString
+    val inL = s"$dir/clicks"; val inR = s"$dir/buys"
+    val out = s"$dir/out"; val cp = s"$dir/cp"
+    def df(rows: Seq[(String, String, Long)]) =
+      rows.toDF("event_id", "ts", "user_id")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    // sentinels at 13:00 advance BOTH watermarks to 12:50 (10 min delay)
+    // — past c1's 11:00 no-match horizon but NOT past their own, so the
+    // sentinels themselves must stay in state, not emit
+    df(Seq(
+      ("c1", "2024-01-01 10:00:00", 1L), // never matched → outer row
+      ("c2", "2024-01-01 10:05:00", 2L), // matched by p2
+      ("sl", "2024-01-01 13:00:00", 3L)
+    )).coalesce(1).write.parquet(inL)
+    df(Seq(
+      ("p2", "2024-01-01 10:30:00", 2L),
+      ("sr", "2024-01-01 13:00:00", 4L)
+    )).coalesce(1).write.parquet(inR)
+    val schema = df(Nil).schema
+    val q = EventStream.attributionJoin(
+        EventStream.readEvents(spark, inL, schema = schema),
+        EventStream.readEvents(spark, inR, schema = schema), "user_id",
+        delay = "10 minutes", joinType = "left_outer")
+      .writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("c1", None), ("c2", Some("p2"))), rows)
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
