@@ -1207,6 +1207,38 @@ object RegistryLlm {
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
+    // ---- W12: LEFT OUTER attribution join — same interval join as w10
+    //      but clicks with NO purchase within the hour survive with null
+    //      purchase columns (the unconverted-click funnel). Streaming
+    //      semantics (null row emits only after the watermark finalizes
+    //      no-match) are pinned in StreamingSpec; this entry pins the
+    //      batch equivalence the stream must converge to -----------------
+    Q("w12_stream_outer_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        EventStream.attributionJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"), "user_id",
+            joinType = "left_outer")
+          .select(col("user_id"), col("left_id").as("click_id"),
+            date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            col("right_id").as("purchase_id"),
+            date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id,
+             |  c.event_id AS click_id,
+             |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+             |  p.event_id AS purchase_id,
+             |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+             |FROM events c LEFT JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |WHERE c.event_type = 'click'
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     // ---- W6: sliding (hopping) windows — 2-day window, 1-day slide:
     //      every event lands in exactly two windows; the oracle fans each
     //      row out to its two window starts --------------------------------
