@@ -670,6 +670,115 @@ object RegistryR6 {
              |ORDER BY o.o_totalprice DESC, o_orderdate,
              |  o.o_orderkey""".stripMargin)),
 
+    // ---- J29: TPC-H Q12 shape — join + dual conditional counts (the
+    //      CASE-sum pivot on a priority class; grouped by l_returnflag
+    //      since this dataset has no l_shipmode). The year filter on
+    //      l_shipdate unwraps its DATE cast and pushes to the scan ------
+    Q("j29_tpch_q12",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT l_returnflag,
+            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+                       '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          FROM g_orders, g_lineitem
+          WHERE o_orderkey = l_orderkey
+            AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT',
+             |             '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+             |             '2-HIGH')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders, lineitem
+             |WHERE o_orderkey = l_orderkey
+             |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- J30: TPC-H Q19 shape — disjunction of conjunctions spanning
+    //      BOTH join sides (brand+size on the part dim, quantity on the
+    //      fact). The per-side halves of each conjunct push into the
+    //      respective scans; the cross-side residual evaluates after the
+    //      broadcast join. Revenue in exact integer cent-units ----------
+    Q("j30_tpch_q19",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("g_part")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT count(*) AS n_lines,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT))
+              AS DOUBLE) / 10000.0 AS revenue
+          FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+          WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                 AND l.l_quantity BETWEEN 1 AND 20)
+             OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+                 AND l.l_quantity BETWEEN 10 AND 35)""")
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+             |       AND l.l_quantity BETWEEN 1 AND 20)
+             |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+             |       AND l.l_quantity BETWEEN 10 AND 35)"""
+        .stripMargin)),
+
+    // ---- J31: TPC-H Q14 shape — promo revenue share: conditional sum /
+    //      total sum over one month of the fact joined to the part dim.
+    //      Both sums surface as exact BIGINT cent-units; the percentage
+    //      is ONE IEEE division of two exactly-representable integers,
+    //      so it is bit-identical across engines ------------------------
+    Q("j31_tpch_q14",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("g_part")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT promo_units, total_units,
+            100.0 * CAST(promo_units AS DOUBLE)
+              / CAST(total_units AS DOUBLE) AS promo_pct
+          FROM (
+            SELECT
+              CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_units,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_units
+            FROM g_lineitem l JOIN g_part p ON p.p_partkey = l.l_partkey
+            WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+              AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01')""")
+      },
+      Some("""SELECT promo_units, total_units,
+             |  100.0 * CAST(promo_units AS DOUBLE)
+             |    / CAST(total_units AS DOUBLE) AS promo_pct
+             |FROM (
+             |  SELECT
+             |    CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+             |        CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |        * CAST(round((1 - l_discount) * 100) AS HUGEINT)
+             |      ELSE 0 END) AS BIGINT) AS promo_units,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |        * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |      AS BIGINT) AS total_units
+             |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-09-01'
+             |    AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01')"""
+        .stripMargin)),
+
     // ---- A40: ordered-set aggregate — PERCENTILE_DISC ... WITHIN GROUP
     //      (Spark 4 SQL surface). Disc quantiles SELECT an actual member
     //      of the group (smallest value whose cume_dist >= p), so on

@@ -43,6 +43,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(q18.contains("LeftSemi"), q18.take(600))
   }
 
+  test("date-cast filters unwrap and push into the parquet scan") {
+    // CAST(ts AS DATE) >= DATE '...' must not defeat pushdown: Catalyst's
+    // cast-unwrap rewrites it to timestamp bounds the scan can use. At
+    // 100 TB this is the difference between reading 6 months and reading
+    // everything — pin it so a filter rewrite can't regress it.
+    val q4 = SparkEntry.queries("j24_tpch_q4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("GreaterThanOrEqual(o_orderdate"), q4.take(800))
+    assert(q4.contains("LessThan(o_orderdate"), q4.take(800))
+    val q12 = SparkEntry.queries("j29_tpch_q12")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q12.contains("GreaterThanOrEqual(l_shipdate"), q12.take(800))
+  }
+
+  test("j30 OR-of-ANDs pushes per-side halves into each scan") {
+    val plan = SparkEntry.queries("j30_tpch_q19")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the brand/size disjunction is fully part-side → pushed to part;
+    // the quantity disjunction is fully fact-side → pushed to lineitem
+    assert(plan.contains("Or(EqualTo(p_brand,Brand#1)") ||
+      plan.contains("Or(And(EqualTo(p_brand"), plan.take(1200))
+    assert(plan.contains("l_quantity"), plan.take(1200))
+  }
+
   test("j27 outer-join count distribution keeps zero-order customers") {
     val rows = SparkEntry.queries("j27_tpch_q13")(spark, sf).collect()
     // every customer lands in exactly one bucket
