@@ -779,6 +779,114 @@ object RegistryR6 {
              |    AND CAST(l.l_shipdate AS DATE) < DATE '1997-10-01')"""
         .stripMargin)),
 
+    // ---- J32: TPC-H Q1 shape — the canonical one-pass pricing summary:
+    //      eight aggregates over one scan, fully map-side-combinable (two
+    //      grouping keys × ~4 values → the partial agg collapses each
+    //      task's output to a handful of rows before the one shuffle).
+    //      All money math in integer units: base cents, disc-units
+    //      (cents × discount-percent), charge-units (× tax-percent);
+    //      averages are ONE IEEE division of exact integers -------------
+    Q("j32_tpch_q1",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+            sum_qty, count_order,
+            CAST(sum_base AS DOUBLE) / 100.0 AS sum_base_price,
+            CAST(sum_disc AS DOUBLE) / 10000.0 AS sum_disc_price,
+            CAST(sum_charge AS DOUBLE) / 1000000.0 AS sum_charge,
+            CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE)
+              AS avg_qty,
+            CAST(sum_base AS DOUBLE) / CAST(count_order AS DOUBLE)
+              / 100.0 AS avg_price
+          FROM (
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS sum_disc,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                  * CAST(round((1 + l_tax) * 100) AS BIGINT))
+                AS BIGINT) AS sum_charge,
+              count(*) AS count_order
+            FROM g_lineitem
+            WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus)
+          ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum_qty, count_order,
+             |  CAST(sum_base AS DOUBLE) / 100.0 AS sum_base_price,
+             |  CAST(sum_disc AS DOUBLE) / 10000.0 AS sum_disc_price,
+             |  CAST(sum_charge AS DOUBLE) / 1000000.0 AS sum_charge,
+             |  CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE)
+             |    AS avg_qty,
+             |  CAST(sum_base AS DOUBLE) / CAST(count_order AS DOUBLE)
+             |    / 100.0 AS avg_price
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |      AS sum_qty,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+             |      AS BIGINT) AS sum_base,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |        * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |      AS BIGINT) AS sum_disc,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |        * CAST(round((1 - l_discount) * 100) AS HUGEINT)
+             |        * CAST(round((1 + l_tax) * 100) AS HUGEINT))
+             |      AS BIGINT) AS sum_charge,
+             |    count(*) AS count_order
+             |  FROM lineitem
+             |  WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+             |  GROUP BY l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- J33: TPC-H Q15 shape — a CTE referenced TWICE (once as the
+    //      join input, once under the scalar max) selecting the top-
+    //      revenue supplier(s). Pins CTE reuse + max-over-aggregate as a
+    //      scalar subquery; the equality is on exact integer units so
+    //      ties surface identically in both engines --------------------
+    Q("j33_tpch_q15",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("g_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                AS total_units
+            FROM g_lineitem
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+            GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name,
+            CAST(total_units AS DOUBLE) / 10000.0 AS total_revenue
+          FROM g_supplier, revenue
+          WHERE s_suppkey = supplier_no
+            AND total_units = (SELECT max(total_units) FROM revenue)
+          ORDER BY s_suppkey""")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |      AS total_units
+             |  FROM lineitem
+             |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name,
+             |  CAST(total_units AS DOUBLE) / 10000.0 AS total_revenue
+             |FROM supplier, revenue
+             |WHERE s_suppkey = supplier_no
+             |  AND total_units = (SELECT max(total_units) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
     // ---- A40: ordered-set aggregate — PERCENTILE_DISC ... WITHIN GROUP
     //      (Spark 4 SQL surface). Disc quantiles SELECT an actual member
     //      of the group (smallest value whose cume_dist >= p), so on
