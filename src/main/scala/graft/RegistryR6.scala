@@ -887,6 +887,76 @@ object RegistryR6 {
              |  AND total_units = (SELECT max(total_units) FROM revenue)
              |ORDER BY s_suppkey""".stripMargin)),
 
+    // ---- J34: TPC-H Q6 shape — the pure scan-filter-aggregate
+    //      forecasting query: no join, no group key, every predicate
+    //      (date window, discount band, quantity cap) pushes into the
+    //      parquet scan, and the whole plan is one WholeStageCodegen
+    //      span ending in a single-row partial+final agg ----------------
+    Q("j34_tpch_q6",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT count(*) AS n_lines,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT))
+              AS DOUBLE) / 10000.0 AS revenue
+          FROM g_lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+            AND round(l_discount * 100) BETWEEN 5 AND 7
+            AND l_quantity < 24""")
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round(l_discount * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+             |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+             |  AND round(l_discount * 100) BETWEEN 5 AND 7
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ---- J35: TPC-H Q10 shape — returned-item revenue per customer:
+    //      fact filtered on returnflag, one quarter of orders, customer
+    //      and (broadcast) nation dims, top-20 by exact integer revenue
+    //      with deterministic key tiebreak -----------------------------
+    Q("j35_tpch_q10",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g_customer")
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        t(s, dir, "nation").createOrReplaceTempView("g_nation")
+        s.sql("""
+          SELECT c.c_custkey, c.c_name, n.n_name,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT))
+              AS DOUBLE) / 10000.0 AS revenue
+          FROM g_customer c, g_orders o, g_lineitem l, g_nation n
+          WHERE c.c_custkey = o.o_custkey
+            AND l.l_orderkey = o.o_orderkey
+            AND CAST(o.o_orderdate AS DATE) >= DATE '1997-10-01'
+            AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+            AND l.l_returnflag = 'R'
+            AND c.c_nationkey = n.n_nationkey
+          GROUP BY c.c_custkey, c.c_name, n.n_name
+          ORDER BY revenue DESC, c.c_custkey
+          LIMIT 20""")
+      },
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |      * CAST(round((1 - l_discount) * 100) AS HUGEINT))
+             |    AS DOUBLE) / 10000.0 AS revenue
+             |FROM customer c, orders o, lineitem l, nation n
+             |WHERE c.c_custkey = o.o_custkey
+             |  AND l.l_orderkey = o.o_orderkey
+             |  AND CAST(o.o_orderdate AS DATE) >= DATE '1997-10-01'
+             |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+             |  AND l.l_returnflag = 'R'
+             |  AND c.c_nationkey = n.n_nationkey
+             |GROUP BY c.c_custkey, c.c_name, n.n_name
+             |ORDER BY revenue DESC, c.c_custkey
+             |LIMIT 20""".stripMargin)),
+
     // ---- A40: ordered-set aggregate — PERCENTILE_DISC ... WITHIN GROUP
     //      (Spark 4 SQL surface). Disc quantiles SELECT an actual member
     //      of the group (smallest value whose cume_dist >= p), so on
