@@ -514,14 +514,39 @@ object Dedup {
     * bounded. For web-scale corpora set `maxGramDf` to stoplist hot grams
     * (see the inline note on the conservative-miss semantics).
     */
+  /** Inverted distinct-gram index `(id, gram, sz)` built with
+    * posexplode + window leads instead of exploding a
+    * `wordShingles` array: higher-order lambdas evaluate INTERPRETED
+    * (no codegen) and cost ~2-4 ms per document — they dominated the
+    * near-dup operators' runtime. The window/distinct shuffles move
+    * O(corpus tokens) skinny rows through codegen'd operators instead.
+    * Semantics identical to [[wordShingles]]: distinct lowercase word
+    * n-grams; a doc with fewer than n tokens contributes its whole
+    * token string as the single fallback gram ("" when empty).
+    */
+  private def gramIndex(df: DataFrame, textCol: String, idCol: String,
+                        n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("id"), toks.as("toks"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w))
+    val full = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("id"),
+        concat_ws(" ", col("tok") +: leads: _*).as("gram"),
+        (if (n > 1) leads.last.isNotNull else lit(true)).as("ok"))
+      .where(col("ok")).select(col("id"), col("gram"))
+    val fallback = base.where(size(col("toks")) < n)
+      .select(col("id"), concat_ws(" ", col("toks")).as("gram"))
+    full.union(fallback).distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+  }
+
   def exactNgramNearDups(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.5,
                          maxGramDf: Int = 0): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("grams"))
-      .withColumn("sz", size(col("grams")))
-    val inv0 = grams.select(col("id"), col("sz"),
-      explode(col("grams")).as("gram"))
+    val inv0 = gramIndex(df, textCol, idCol, n)
     // Hot-gram cap (maxGramDf > 0): a gram shared by f docs contributes
     // f² candidate pairs, so one boilerplate phrase across a web-scale
     // corpus is a quadratic blowup. Grams with df above the cap are
@@ -559,11 +584,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-        wordShingles(col(textCol), n).as("grams"))
-      .withColumn("sz", size(col("grams")))
-    val inv = grams.select(col("id"), col("sz"),
-      explode(col("grams")).as("gram"))
+    val inv = gramIndex(df, textCol, idCol, n)
     val a = inv.as("a"); val b = inv.as("b")
     a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
