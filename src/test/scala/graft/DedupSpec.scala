@@ -102,6 +102,25 @@ class DedupSpec extends SparkSpec {
       s"all-pairs product in plan:\n$plan")
   }
 
+  test("gram index fallback: short and empty docs pair on the whole-" +
+      "string gram") {
+    // Docs with < n tokens contribute ONE fallback gram (the whole token
+    // string; "" when empty) — the path no testdata doc exercises. Two
+    // identical 2-token docs must pair at jaccard 1.0 via the fallback,
+    // the empty docs likewise, and neither may pair with a long doc.
+    val short = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"),       // short identical pair
+      (2L, ""), (3L, "   "),                        // empty / blank pair
+      (4L, "alpha beta gamma delta epsilon zeta")   // long doc: no pairs
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactNgramNearDups(short, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (2L, 3L)),
+      pairs.toSeq)
+    assert(pairs.forall(_._3 == 1.0), pairs.toSeq)
+  }
+
   test("hot-gram cap bounds the boilerplate blowup, keeps real pairs") {
     import spark.implicits._
     // every doc shares one boilerplate phrase; docs 0/1 also share a
