@@ -992,6 +992,9 @@ object RegistryR6 {
           .select(col("doc_id"),
             concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
           .distinct()
+          // referenced by signature, intersection (twice) and sizes —
+          // plan-lifetime cache, released by the harness clearCache()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // ONE md5 per distinct (doc, gram); the 32 seed hashes are pure
         // 64-bit integer arithmetic from the universal family.
         val p = lit(2147483647L)
