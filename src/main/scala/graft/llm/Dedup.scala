@@ -527,7 +527,11 @@ object Dedup {
   private def gramIndex(df: DataFrame, textCol: String, idCol: String,
                         n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // coalesce: NULL text must behave like empty text (fallback gram ""),
+    // matching wordShingles — size(NULL) is NULL and would silently drop
+    // the doc from the fallback branch otherwise
+    val toks = coalesce(TextAnalysis.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
     val base = df.select(col(idCol).as("id"), toks.as("toks"))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("tok"), j).over(w))

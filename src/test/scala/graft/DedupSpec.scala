@@ -111,13 +111,14 @@ class DedupSpec extends SparkSpec {
     val short = Seq(
       (0L, "alpha beta"), (1L, "alpha beta"),       // short identical pair
       (2L, ""), (3L, "   "),                        // empty / blank pair
-      (4L, "alpha beta gamma delta epsilon zeta")   // long doc: no pairs
+      (4L, "alpha beta gamma delta epsilon zeta"),  // long doc: no pairs
+      (5L, null.asInstanceOf[String])               // NULL text == empty
     ).toDF("doc_id", "text")
     val pairs = Dedup.exactNgramNearDups(short, "text", "doc_id",
         n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (2L, 3L)),
-      pairs.toSeq)
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (2L, 3L), (2L, 5L), (3L, 5L)), pairs.toSeq)
     assert(pairs.forall(_._3 == 1.0), pairs.toSeq)
   }
 
