@@ -26,14 +26,31 @@ object Registry {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** Events table with its TIMESTAMP(NANOS) parquet column surfaced as a
-    * microsecond TimestampType. Spark has no nanos timestamp: sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader does the
-    * ns→us conversion once (integer `div`, no double rounding).
+  /** Events table with its `ts` column surfaced as a microsecond
+    * TimestampType regardless of how the parquet writer encoded it.
+    * Generations of the testdata have shipped TIMESTAMP(NANOS) — which
+    * Spark can only read as a nanos LONG via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — and TIMESTAMP(MICROS)
+    * without isAdjustedToUTC, which reads as TIMESTAMP_NTZ. Dispatch on
+    * the actual dtype (sessions run in UTC, so the NTZ wall clock and the
+    * epoch-long interpretation agree):
+    *  - LongType: nanos epoch → integer `div` to micros (no double
+    *    rounding), then timestamp_micros;
+    *  - TIMESTAMP_NTZ: cast to TimestampType (UTC session ⇒ identity on
+    *    the instant);
+    *  - TimestampType: already what we want.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** Exact decimal sum surfaced as double (order-independent). */
   def decSum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")

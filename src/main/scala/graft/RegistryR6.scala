@@ -1109,15 +1109,23 @@ object RegistryR6 {
                 FROM g_orders)
           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
       },
-      Some("""SELECT o_orderpriority,
-             |  quantile_disc(cents, 0.25) AS p25,
-             |  quantile_disc(cents, 0.5)  AS p50,
-             |  quantile_disc(cents, 0.75) AS p75,
+      // DuckDB's quantile_disc picks a different index convention than the
+      // SQL-standard percentile_disc for some group sizes, so the oracle
+      // replays the standard definition literally: the smallest value
+      // whose cume_dist reaches p, surfaced as DOUBLE like Spark's.
+      Some("""WITH c AS (
+             |  SELECT o_orderpriority, cents,
+             |    cume_dist() OVER (PARTITION BY o_orderpriority
+             |                      ORDER BY cents) AS cd
+             |  FROM (SELECT o_orderpriority,
+             |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |        FROM orders))
+             |SELECT o_orderpriority,
+             |  CAST(min(CASE WHEN cd >= 0.25 THEN cents END) AS DOUBLE) AS p25,
+             |  CAST(min(CASE WHEN cd >= 0.5  THEN cents END) AS DOUBLE) AS p50,
+             |  CAST(min(CASE WHEN cd >= 0.75 THEN cents END) AS DOUBLE) AS p75,
              |  count(*) AS n
-             |FROM (SELECT o_orderpriority,
-             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-             |      FROM orders)
-             |GROUP BY o_orderpriority
+             |FROM c GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- X30: SQL PIVOT clause (not the DataFrame .pivot of s05) —

@@ -21,6 +21,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A silently-absent dump would shrink the correctness gate instead
+        // of failing it. Dump a one-row sentinel whose schema can never
+        // match any oracle, so the driver reports a mismatch for this
+        // query rather than skipping it.
+        import spark.implicits._
+        try Seq(s"$name failed: ${e.getMessage}".take(500))
+          .toDF("_graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
       }
       // Release blocks persisted inside operators (CombineData/Dedup own
       // plan-lifetime caches) so the query sweep doesn't accumulate cache.
