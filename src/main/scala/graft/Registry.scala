@@ -71,7 +71,7 @@ object Registry {
   def all: Seq[Q] =
     RegistryCore.entries ++ RegistryScalars.entries ++
       RegistryLlm.entries ++ RegistryExtra.entries ++
-      RegistryWide.entries ++ RegistryR6.entries
+      RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

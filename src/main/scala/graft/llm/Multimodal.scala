@@ -569,11 +569,45 @@ object Multimodal {
   def decodeWav(bytes: Array[Byte], windows: Int): Option[(Int, Long, Array[Float])] = {
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val (rate, channels, dataOff, n) = parsePcmWav(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val frameBytes = 2 * channels
+
+    // Per-window sum of squares in double; sequential order, reproducible.
+    val rms = new Array[Float](windows)
+    var w = 0
+    while (w < windows) {
+      val lo = (n.toLong * w / windows).toInt
+      val hi = (n.toLong * (w + 1) / windows).toInt
+      var ss = 0.0; var i = lo
+      while (i < hi) {
+        var c = 0; var acc = 0.0
+        while (c < channels) {
+          val s = le16(dataOff + i * frameBytes + 2 * c).toShort
+          acc += s / 32768.0; c += 1
+        }
+        val x = acc / channels
+        ss += x * x; i += 1
+      }
+      rms(w) = if (hi > lo) math.sqrt(ss / (hi - lo)).toFloat else 0f
+      w += 1
+    }
+    Some((rate, n.toLong, rms))
+  }
+
+  /** RIFF/WAVE header walk shared by the decoders: returns
+    * (sampleRate, channels, dataOffset, numFrames) for well-formed 16-bit
+    * PCM (mono/stereo), None otherwise.
+    */
+  private def parsePcmWav(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
       (u8(i + 3) << 24)
     def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-
     var fmtOk = false; var channels = 0; var rate = 0
     var dataOff = -1; var dataLen = 0
     var pos = 12
@@ -596,27 +630,65 @@ object Multimodal {
     if (!fmtOk || dataOff < 0) return None
     val frameBytes = 2 * channels
     val n = dataLen / frameBytes
-    if (n == 0) return None
+    if (n == 0) None else Some((rate, channels, dataOff, n))
+  }
 
-    // Per-window sum of squares in double; sequential order, reproducible.
-    val rms = new Array[Float](windows)
+  /** EXACT per-window energy: Σ (channel-summed amplitude)² over each of
+    * `windows` equal index ranges, as BIGINT — the integer counterpart of
+    * [[decodeWav]]'s float RMS, so an analytic oracle can hash-match the
+    * decode bit-for-bit (floats can't cross engines exactly; int64 can).
+    */
+  def decodeWavWindowEnergy(bytes: Array[Byte], windows: Int)
+      : Option[Array[Long]] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val (_, channels, dataOff, n) = parsePcmWav(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val frameBytes = 2 * channels
+    val out = new Array[Long](windows)
     var w = 0
     while (w < windows) {
       val lo = (n.toLong * w / windows).toInt
       val hi = (n.toLong * (w + 1) / windows).toInt
-      var ss = 0.0; var i = lo
+      var ss = 0L; var i = lo
       while (i < hi) {
-        var c = 0; var acc = 0.0
+        var c = 0; var amp = 0L
         while (c < channels) {
-          val s = le16(dataOff + i * frameBytes + 2 * c).toShort
-          acc += s / 32768.0; c += 1
+          amp += le16(dataOff + i * frameBytes + 2 * c).toShort
+          c += 1
         }
-        val x = acc / channels
-        ss += x * x; i += 1
+        ss += amp * amp; i += 1
       }
-      rms(w) = if (hi > lo) math.sqrt(ss / (hi - lo)).toFloat else 0f
-      w += 1
+      out(w) = ss; w += 1
     }
-    Some((rate, n.toLong, rms))
+    Some(out)
+  }
+
+  /** Batched exact windowed audio energy: one row per (id, window) with
+    * the BIGINT sum-of-squares energy. Same mapPartitions batching shape
+    * as the other decoders; undecodable payloads yield no rows (corrupt
+    * media is data, not an exception).
+    */
+  def audioWindowEnergy(df: DataFrame, idCol: String, windows: Int = 10)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("win", IntegerType),
+      StructField("energy", LongType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeWavWindowEnergy(r.getAs[Array[Byte]](1), windows) match {
+          case Some(es) => es.iterator.zipWithIndex.map {
+            case (e, w) => Row(id, w, e)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }(encoder)
   }
 }

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-style relevance scoring over a document corpus — the data-
+  * curation counterpart of d11's tf-idf pair scoring: score every doc
+  * against a fixed query-term set (BM25), e.g. to mine training data
+  * that matches a target domain description.
+  *
+  * Scale design: the per-doc pass is ONE scan with no explode — term
+  * frequencies come from `size(filter(tokens, _ === term))` per term, so
+  * the whole document side stays inside whole-stage codegen. The corpus
+  * statistics (N, avgdl, per-term document frequencies) are a single
+  * one-row aggregate broadcast back over the doc frame: two jobs total,
+  * no shuffle of the corpus itself, any number of docs.
+  *
+  * Determinism (oracle hash-exactness): tf/dl/df are exact integers;
+  * avgdl is an exact BIGINT sum divided once; the per-term score terms
+  * are summed in FIXED left-to-right term order (a row-wise expression,
+  * not a float agg), and the final score is rounded to 9 dp to absorb
+  * last-ulp libm `ln` divergence between engines (same convention as
+  * t13's entropy).
+  */
+object Ranking {
+
+  /** BM25 score of every document against `terms`.
+    * Output: (id, dl, bm25) — dl = token count of the doc.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("ts"))
+    val tfCols = terms.zipWithIndex.map { case (term, i) =>
+      size(filter(col("ts"), x => x === lit(term))).cast("long").as(s"tf$i")
+    }
+    val perDoc = toks.select(
+      col("id") +: size(col("ts")).cast("long").as("dl") +: tfCols: _*)
+
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    val n = col("n_docs").cast("double")
+    // Fixed-order sum of per-term contributions: tf = 0 contributes an
+    // exact 0.0 through the formula itself (0 numerator, >0 denominator),
+    // so no special-casing that would change the float path.
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfi = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dfi + lit(0.5)) / (dfi + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("id"), col("dl"), round(score, 9).as("bm25"))
+  }
+
+  /** The DuckDB replay of [[bm25]] for a given table/columns/terms —
+    * generated next to the implementation so the two can never drift.
+    */
+  def bm25OracleSql(table: String, textCol: String, idCol: String,
+                    terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : String = {
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ts, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfSel = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |      / (CAST(df$i AS DOUBLE) + 0.5))
+         |    * (CAST(tf$i AS DOUBLE) * ${k1 + 1.0})
+         |    / (CAST(tf$i AS DOUBLE) + $k1 * ((1.0 - $b)
+         |        + $b * CAST(dl AS DOUBLE) / avgdl))""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH pd AS (
+       |  SELECT $idCol, len(ts) AS dl,
+       |    $tfSel
+       |  FROM (SELECT $idCol,
+       |          list_filter(string_split_regex(trim(lower($textCol)),
+       |            '\\s+'), x -> strlen(x) > 0) AS ts
+       |        FROM $table)),
+       |st AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |    $dfSel
+       |  FROM pd)
+       |SELECT $idCol, CAST(dl AS BIGINT) AS dl,
+       |  round($scoreExpr, 9) AS bm25
+       |FROM pd, st ORDER BY $idCol""".stripMargin
+  }
+}

@@ -17,6 +17,14 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Intra-document repetition removal: drop every repeated occurrence of
+    * a token, keeping first-occurrence order (the cheap in-doc analogue
+    * of line-dedup in web-corpus cleaning). `array_distinct` keeps the
+    * first occurrence of each element, so this is a pure column
+    * expression — scan speed, no explode/groupBy, no shuffle.
+    */
+  def dedupTokens(text: Column): Column = array_distinct(tokens(text))
+
   /** BPE-ish token count: word / number / punctuation-run pattern — the
     * usual cheap proxy for subword tokenizers when the real tokenizer
     * can't ship with the engine.

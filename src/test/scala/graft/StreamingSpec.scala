@@ -701,6 +701,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("c1", None), ("c2", Some("p2"))), rows)
   }
 
+  test("state-store reader: MAP state (category totals) reads back flattened by entry") {
+    // The statestore source over a MapState variable: one row per map
+    // entry with flattenCollectionTypes — the audit/backfill shape for
+    // per-key categorical aggregates.
+    val dir = Files.createTempDirectory("graft-ssm").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = Seq((0L, "", 0.0)).toDF("user_id", "category", "value").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val q = graft.streaming.CategorySpend.totals(
+            spark.readStream.schema(schema).parquet(in))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.CategorySpend.CatTotal], _: Long) =>
+            batch.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      Seq((1L, "food", 1.25), (1L, "fuel", 2.00), (2L, "food", 0.50))
+        .toDF("user_id", "category", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      Seq((1L, "food", 0.75)).toDF("user_id", "category", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain() // user 1 food: 125 + 75 = 200; untouched categories persist
+      // last emitted row per (user, category) reflects the running total
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "category")
+        .orderBy(col("total_cents").desc)
+      val finals = spark.read.parquet(out)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "category", "total_cents")
+        .as[(Long, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(finals == Map((1L, "food") -> 200L, (1L, "fuel") -> 200L,
+          (2L, "food") -> 50L),
+        s"running category totals: $finals")
+      // offline audit: the checkpoint's map state, entry-flattened
+      val state = spark.read.format("statestore")
+        .option("path", cp)
+        .option("stateVarName", "totals")
+        .option("flattenCollectionTypes", "true")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("user_map_key.value").as("category"),
+          col("user_map_value.value").as("cents"))
+        .as[(Long, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(state == Map((1L, "food") -> 200L, (1L, "fuel") -> 200L,
+          (2L, "food") -> 50L),
+        s"map state must hold exactly the running totals: $state")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
