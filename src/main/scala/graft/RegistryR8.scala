@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Multimodal, Ranking, TextAnalysis}
-import Registry.t
+import Registry.{events, t}
 
 /** Round-8 widening: retrieval-style corpus scoring (BM25), scan-speed
   * intra-document repetition removal, exact group-wise OLS regression,
@@ -144,6 +144,166 @@ object RegistryR8 {
              |  FROM orders)
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // ---- N9: leave-one-out k-NN label evaluation — per-label accuracy
+    //      of 5-NN majority vote over the embedding table: the standard
+    //      "are these embeddings any good" audit before they gate a
+    //      dedup/curation run. Brute force is the point here (it is the
+    //      exact reference an ANN index is judged against, over a
+    //      bounded eval set); queries broadcast, corpus never shuffles.
+    //      Majority ties break to the smallest label; accuracy is one
+    //      exact-int division — deterministic, no rounding. -------------
+    Q("n09_knn_eval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val nn = graft.llm.Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 5)
+        val votes = nn
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nl")), "neighbor_id")
+          .groupBy("query_id", "nl").agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("nl").asc)
+        val pred = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id").as("vec_id"), col("nl").as("pred"))
+        emb.select("vec_id", "label").join(pred, "vec_id")
+          .groupBy("label").agg(count(lit(1)).as("n"),
+            sum((col("pred") === col("label")).cast("long")).as("correct"))
+          .withColumn("acc",
+            col("correct").cast("double") / col("n").cast("double"))
+          .orderBy("label")
+      },
+      Some("""WITH scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    c.label AS nl,
+             |    list_cosine_similarity(q.embedding::DOUBLE[],
+             |      c.embedding::DOUBLE[]) AS sim
+             |  FROM embeddings q JOIN embeddings c
+             |    ON c.vec_id <> q.vec_id),
+             |nn AS (
+             |  SELECT query_id, nl FROM (
+             |    SELECT query_id, nl,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY sim DESC, neighbor_id) AS rank
+             |    FROM scored) WHERE rank <= 5),
+             |votes AS (
+             |  SELECT query_id, nl, count(*) AS votes
+             |  FROM nn GROUP BY 1, 2),
+             |pred AS (
+             |  SELECT query_id AS vec_id, nl AS pred FROM (
+             |    SELECT query_id, nl,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY votes DESC, nl) AS rn
+             |    FROM votes) WHERE rn = 1)
+             |SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS correct,
+             |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+             |FROM embeddings e JOIN pred p ON p.vec_id = e.vec_id
+             |GROUP BY e.label ORDER BY e.label""".stripMargin)),
+
+    // ---- X31: gaps & islands — runs of consecutive active days per
+    //      user (the classic sessionization-on-dates SQL shape, absent
+    //      elsewhere in the registry). day − row_number(day) is constant
+    //      within an island: one distinct + one window + one groupBy,
+    //      all partitioned by user — scales by key. Dates out as ISO
+    //      strings per the oracle-parity convention. --------------------
+    Q("x31_gaps_islands",
+      (s, dir) => {
+        val days = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1970-01-01").cast("date")) -
+              row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(date_format(min(col("day")), "yyyy-MM-dd").as("island_start"),
+            date_format(max(col("day")), "yyyy-MM-dd").as("island_end"),
+            count(lit(1)).as("days"))
+          .select("user_id", "island_start", "island_end", "days")
+          .orderBy("user_id", "island_start")
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, day,
+             |    CAST(day - DATE '1970-01-01' AS BIGINT)
+             |      - row_number() OVER (PARTITION BY user_id
+             |                           ORDER BY day) AS grp
+             |  FROM days)
+             |SELECT user_id,
+             |  CAST(min(day) AS VARCHAR) AS island_start,
+             |  CAST(max(day) AS VARCHAR) AS island_end,
+             |  count(*) AS days
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, island_start""".stripMargin)),
+
+    // ---- T16: Zipf-law fit of the corpus vocabulary — OLS of ln(freq)
+    //      on ln(rank) over the top-100 words: the standard heavy-tail
+    //      sanity check on a training corpus (a natural corpus fits
+    //      slope ≈ −1). Determinism: each ln term is rounded to 9 dp and
+    //      summed as DECIMAL (order-independent exact sums), then the
+    //      closed form in fixed-order IEEE doubles. ---------------------
+    Q("t16_zipf_fit",
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        val ranked = freq
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("freq").desc, col("word").asc)))
+          .filter(col("rank") <= 100)
+        val terms = ranked.select(
+          round(log(col("rank").cast("double")), 9)
+            .cast("decimal(12,9)").as("x"),
+          round(log(col("freq").cast("double")), 9)
+            .cast("decimal(12,9)").as("y"))
+        val g = terms.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        val nd = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val slope = (nd * col("sxy").cast("double") - sx * sy) /
+          (nd * col("sx2").cast("double") - sx * sx)
+        g.select(col("n"), round(slope, 9).as("zipf_slope"),
+          round((sy - slope * sx) / nd, 9).as("zipf_intercept"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT w AS word, count(*) AS freq FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0)) AS w
+             |    FROM documents)
+             |  GROUP BY 1),
+             |ranked AS (
+             |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word)
+             |    AS rank
+             |  FROM freq QUALIFY rank <= 100),
+             |terms AS (
+             |  SELECT
+             |    CAST(round(ln(CAST(rank AS DOUBLE)), 9)
+             |      AS DECIMAL(12,9)) AS x,
+             |    CAST(round(ln(CAST(freq AS DOUBLE)), 9)
+             |      AS DECIMAL(12,9)) AS y
+             |  FROM ranked),
+             |g AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+             |    CAST(sum(x * x) AS DOUBLE) AS sx2
+             |  FROM terms)
+             |SELECT n,
+             |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9)
+             |    AS zipf_slope,
+             |  round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+             |    / n, 9) AS zipf_intercept
+             |FROM g""".stripMargin)),
 
     // ---- M10: EXACT windowed audio energy over the REAL WAV decode —
     //      synthesize deterministic PCM per doc, walk the RIFF container,

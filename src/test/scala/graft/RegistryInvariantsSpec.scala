@@ -25,6 +25,25 @@ class RegistryInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("round-8 float outputs are partition-order invariant (bit equality)") {
+    // t14/a41/t16/n09 all emit doubles built from exact integer/decimal
+    // aggregates through fixed-order row-wise arithmetic — so their bits
+    // must not move when the shuffle width (and thus partial-agg merge
+    // order) changes.
+    val names = Seq("t14_bm25", "a41_group_ols", "t16_zipf_fit",
+      "n09_knn_eval")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val base = names.map(n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().toSeq).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      names.foreach { n =>
+        val again = SparkEntry.queries(n)(spark, sf).collect().toSeq
+        assert(again == base(n), s"$n shifted under repartitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("d14_canonical_docs: one canonical per cluster, none beats it") {
     import graft.llm.{Dedup, TextAnalysis}
     import org.apache.spark.sql.functions._
