@@ -154,4 +154,23 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("SortMergeJoin"), plan.take(600))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
+
+  test("bm25: corpus never shuffles — stats come back via broadcast") {
+    val plan = graft.llm.Ranking.bm25(docs, "text", "doc_id",
+      Seq("w1", "w2"))
+    val s = plan.queryExecution.executedPlan.toString
+    // the only join is the one-row stats broadcast; the doc side carries
+    // no Exchange (tf/dl are computed in the scan projection)
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"), s.take(600))
+    // exactly the exchanges of the one-row aggregate + its broadcast —
+    // never a repartition of the corpus itself
+    assert(!s.toLowerCase.contains("rangepartitioning"), s.take(600))
+    assert(!s.contains("hashpartitioning(id"), s.take(600))
+  }
+
+  test("dedupTokens is a pure projection: zero shuffles") {
+    assert(exchanges(docs.select(
+      graft.llm.TextAnalysis.dedupTokens(col("text")))) == 0)
+  }
 }
