@@ -145,6 +145,54 @@ object RegistryR8 {
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // ---- T17: PII profile — per-type counts (emails / IPs / phones)
+    //      with the same sequential semantics as t05's redaction, so the
+    //      two surfaces can never disagree about what counts as PII.
+    //      Injects one of each per doc (t05's fixture) so counts are
+    //      non-trivial; pure regexp expressions, scan speed. -------------
+    Q("t17_pii_profile",
+      (s, dir) => {
+        val injected = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 555-01"),
+            lpad(col("doc_id").cast("string"), 4, "0"),
+            lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")).as("txt"))
+        val (emails, ips, phones) = TextAnalysis.piiCounts(col("txt"))
+        injected.select(col("doc_id"), emails.as("n_emails"),
+            ips.as("n_ips"), phones.as("n_phones"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or +1 555-01'
+             |      || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+             |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             |      AS txt
+             |  FROM documents),
+             |steps AS (
+             |  SELECT doc_id, txt,
+             |    regexp_replace(txt,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS after_email
+             |  FROM inj),
+             |steps2 AS (
+             |  SELECT doc_id, txt, after_email,
+             |    regexp_replace(after_email,
+             |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS after_ip
+             |  FROM steps)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(txt,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(after_email,
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  CAST(len(regexp_extract_all(after_ip,
+             |    '\+?\d(?:[\- ]?\d){8,}')) AS BIGINT) AS n_phones
+             |FROM steps2 ORDER BY doc_id""".stripMargin)),
+
     // ---- N9: leave-one-out k-NN label evaluation — per-label accuracy
     //      of 5-NN majority vote over the embedding table: the standard
     //      "are these embeddings any good" audit before they gate a

@@ -113,12 +113,28 @@ object TextAnalysis {
     * indistinguishable from a phone without lookarounds; corpus hygiene
     * errs on redaction for those.
     */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpPattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d(?:[\\- ]?\\d){8,}"
+
   def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d(?:[\\- ]?\\d){8,}", "<PHONE>")
+    val email = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val ip = regexp_replace(email, IpPattern, "<IP>")
+    regexp_replace(ip, PhonePattern, "<PHONE>")
+  }
+
+  /** Per-type PII counts with the SAME sequential semantics as
+    * [[redactPii]] (emails counted on raw text, IPs on email-redacted,
+    * phones on IP-redacted — so a digit run inside a redacted span never
+    * double-counts). Returns (n_emails, n_ips, n_phones) columns; pure
+    * expressions, scan speed.
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, IpPattern, "<IP>")
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+     size(regexp_extract_all(afterEmail, lit(IpPattern), lit(0))).cast("long"),
+     size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0))).cast("long"))
   }
 
   def fingerprint(text: Column): Column =

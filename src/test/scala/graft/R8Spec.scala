@@ -94,6 +94,28 @@ class R8Spec extends SparkSpec {
     }
   }
 
+  test("piiCounts agrees with redactPii marker counts") {
+    val samples = Seq(
+      "mail me at a.b@x.co or 10.1.2.3 then +1 555 123 4567 ok",
+      "no pii here at all",
+      "two mails a@b.io c@d.org one ip 8.8.8.8",
+      "")
+    val df = samples.toDF("text")
+    val (e, i, p) = TextAnalysis.piiCounts(col("text"))
+    val counted = df.select(e.as("e"), i.as("i"), p.as("p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // redaction markers are the ground truth for the same semantics
+    val viaRedact = df.select(TextAnalysis.redactPii(col("text")))
+      .collect().map(_.getString(0))
+      .map { s =>
+        def n(m: String) = m.r.findAllIn(s).size.toLong
+        (n("<EMAIL>"), n("<IP>"), n("<PHONE>"))
+      }
+    assert(counted.toSeq == viaRedact.toSeq)
+    assert(counted(0) == ((1L, 1L, 1L)) && counted(1) == ((0L, 0L, 0L)) &&
+      counted(2) == ((2L, 1L, 0L)) && counted(3) == ((0L, 0L, 0L)))
+  }
+
   test("audio window energy skips undecodable payloads") {
     val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
     assert(Multimodal.audioWindowEnergy(junk, "id").count() == 0)
