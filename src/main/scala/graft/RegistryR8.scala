@@ -197,15 +197,18 @@ object RegistryR8 {
     //      of 5-NN majority vote over the embedding table: the standard
     //      "are these embeddings any good" audit before they gate a
     //      dedup/curation run. Brute force is the point here (it is the
-    //      exact reference an ANN index is judged against, over a
-    //      bounded eval set); queries broadcast, corpus never shuffles.
-    //      Majority ties break to the smallest label; accuracy is one
-    //      exact-int division — deterministic, no rounding. -------------
+    //      exact reference an ANN index is judged against), but the
+    //      PROBE side is a bounded eval sample (first 500 ids) so the
+    //      cost is O(|probes|·N), never corpus-quadratic; probes
+    //      broadcast, corpus never shuffles. Majority ties break to the
+    //      smallest label; accuracy is one exact-int division —
+    //      deterministic, no rounding. -----------------------------------
     Q("n09_knn_eval",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 500)
         val nn = graft.llm.Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 5)
+          emb, probes, "vec_id", "embedding", 5)
         val votes = nn
           .join(emb.select(col("vec_id").as("neighbor_id"),
             col("label").as("nl")), "neighbor_id")
@@ -227,8 +230,8 @@ object RegistryR8 {
              |    c.label AS nl,
              |    list_cosine_similarity(q.embedding::DOUBLE[],
              |      c.embedding::DOUBLE[]) AS sim
-             |  FROM embeddings q JOIN embeddings c
-             |    ON c.vec_id <> q.vec_id),
+             |  FROM (SELECT * FROM embeddings WHERE vec_id < 500) q
+             |  JOIN embeddings c ON c.vec_id <> q.vec_id),
              |nn AS (
              |  SELECT query_id, nl FROM (
              |    SELECT query_id, nl,
