@@ -356,6 +356,39 @@ object RegistryR8 {
              |    / n, 9) AS zipf_intercept
              |FROM g""".stripMargin)),
 
+    // ---- W22: time-interval RANGE frame through the SQL parser —
+    //      trailing 1-hour count + exact-cents sum per user, ordered by
+    //      the raw timestamp with an INTERVAL frame bound (a01–a03 pin
+    //      rangeBetween over cast longs via the DataFrame API; nothing
+    //      else exercises calendar-interval frames in SQL). RANGE
+    //      includes ts peers identically in both engines; one sort
+    //      shuffle partitioned by user. ----------------------------------
+    Q("w22_interval_range_frame",
+      (s, dir) => {
+        events(s, dir).createOrReplaceTempView("g_events")
+        s.sql("""
+          SELECT user_id, event_id, unix_micros(ts) AS us,
+            count(*) OVER w AS n_1h,
+            sum(cents) OVER w AS cents_1h
+          FROM (SELECT user_id, event_id, ts,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS cents
+                FROM g_events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, us, event_id""")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS us,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+             |FROM (SELECT user_id, event_id, ts,
+             |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |          AS cents
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
     // ---- M10: EXACT windowed audio energy over the REAL WAV decode —
     //      synthesize deterministic PCM per doc, walk the RIFF container,
     //      and emit per-window Σ amplitude² as BIGINT. The oracle
