@@ -356,6 +356,37 @@ object RegistryR8 {
              |    / n, 9) AS zipf_intercept
              |FROM g""".stripMargin)),
 
+    // ---- A43: PERCENTILE_CONT … WITHIN GROUP — the interpolating
+    //      ordered-set aggregate (a40 pins the discrete one). Quartiles
+    //      of integer cents interpolate with frac ∈ {.25,.5,.75}: the
+    //      products scale by powers of two, so lo + frac·(hi−lo) is
+    //      EXACT in IEEE for either engine's algebraic form — bit-exact
+    //      with no rounding. -----------------------------------------------
+    Q("a43_percentile_cont",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+            percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS p25,
+            percentile_cont(0.5)  WITHIN GROUP (ORDER BY cents) AS p50,
+            percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) AS p75,
+            count(*) AS n
+          FROM (SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM g_orders)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(cents, 0.25) AS p25,
+             |  quantile_cont(cents, 0.5)  AS p50,
+             |  quantile_cont(cents, 0.75) AS p75,
+             |  count(*) AS n
+             |FROM (SELECT o_orderpriority,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- W22: time-interval RANGE frame through the SQL parser —
     //      trailing 1-hour count + exact-cents sum per user, ordered by
     //      the raw timestamp with an INTERVAL frame bound (a01–a03 pin
@@ -388,6 +419,84 @@ object RegistryR8 {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
              |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // ---- X33: linear interpolation of time-series gaps — per-user
+    //      daily spend on the full per-user calendar spine, missing
+    //      interior days filled as pv + (nv−pv)·(Δd/Δn) between the
+    //      nearest known neighbors (a22's forward-fill is the step-
+    //      function sibling). Spine endpoints always have values (the
+    //      span comes from the data), so neighbors never miss. Exact
+    //      integer inputs into one fixed-order IEEE expression →
+    //      bit-identical across engines. One sort shuffle per window
+    //      direction, spine bounded by the observed span. ----------------
+    Q("x33_linear_interpolate",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .groupBy("user_id", "day").agg(sum(col("cents")).as("cents"))
+        val spine = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val j = spine.join(daily, Seq("user_id", "day"), "left")
+        val wp = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val knownDay = when(col("cents").isNotNull, col("day"))
+        j.withColumn("pd", last(knownDay, ignoreNulls = true).over(wp))
+          .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wp))
+          .withColumn("nd", first(knownDay, ignoreNulls = true).over(wn))
+          .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wn))
+          .select(col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            when(col("cents").isNotNull, col("cents").cast("double"))
+              .otherwise(col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                  (datediff(col("day"), col("pd")).cast("double") /
+                    datediff(col("nd"), col("pd")).cast("double")))
+              .as("filled_cents"),
+            col("cents").isNull.cast("int").as("is_interpolated"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |span AS (
+             |  SELECT user_id, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT user_id,
+             |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+             |      AS DATE) AS day
+             |  FROM span),
+             |j AS (
+             |  SELECT s.user_id, s.day, d.cents
+             |  FROM spine s LEFT JOIN daily d USING (user_id, day)),
+             |f AS (
+             |  SELECT user_id, day, cents,
+             |    last_value(CASE WHEN cents IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER wp AS pd,
+             |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+             |    first_value(CASE WHEN cents IS NOT NULL THEN day END
+             |      IGNORE NULLS) OVER wn AS nd,
+             |    first_value(cents IGNORE NULLS) OVER wn AS nv
+             |  FROM j
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wn AS (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, CAST(day AS VARCHAR) AS day,
+             |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+             |    ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+             |      (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+             |  END AS filled_cents,
+             |  CAST(cents IS NULL AS INT) AS is_interpolated
+             |FROM f ORDER BY user_id, day""".stripMargin)),
 
     // ---- M10: EXACT windowed audio energy over the REAL WAV decode —
     //      synthesize deterministic PCM per doc, walk the RIFF container,
