@@ -31,7 +31,7 @@ class RegistryInvariantsSpec extends SparkSpec {
     // must not move when the shuffle width (and thus partial-agg merge
     // order) changes.
     val names = Seq("t14_bm25", "a41_group_ols", "t16_zipf_fit",
-      "n09_knn_eval")
+      "n09_knn_eval", "a43_percentile_cont", "x33_linear_interpolate")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>
