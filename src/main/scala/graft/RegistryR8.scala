@@ -420,6 +420,51 @@ object RegistryR8 {
              |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // ---- M11: scene-cut detection THROUGH the real video decode —
+    //      per-frame luminance sums from the actual AVI container walk +
+    //      ImageIO decode (m05's path), then consecutive-frame absolute
+    //      delta with a threshold: the standard cheap shot-boundary
+    //      signal. The synthetic frames advance 7 gray levels per frame
+    //      with mod-256 wraps, so deltas take several distinct values
+    //      and the cut label is non-trivial; all integers — the oracle
+    //      replays the decode analytically, bit-for-bit. -----------------
+    Q("m11_scene_cuts",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 150)
+        val frames = Multimodal.decodeVideoFrames(
+          Multimodal.withSyntheticVideos(ids, "id", frames = 6), "id")
+        val w = Window.partitionBy("id").orderBy("frame_idx")
+        frames
+          .withColumn("prev", lag(col("sum_gray"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            abs(col("sum_gray") - col("prev")).as("delta"),
+            (abs(col("sum_gray") - col("prev")) > 300)
+              .cast("int").as("is_cut"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH fr AS (
+             |  SELECT d.doc_id, f.frame_idx,
+             |    (SELECT CAST(sum((d.doc_id*31 + f.frame_idx*7 + i) % 256)
+             |       AS BIGINT) FROM range(64) t(i)) AS sum_gray
+             |  FROM documents d CROSS JOIN
+             |    (SELECT unnest(generate_series(0, 5)) AS frame_idx) f
+             |  WHERE d.doc_id < 150),
+             |d2 AS (
+             |  SELECT doc_id, frame_idx,
+             |    abs(sum_gray - lag(sum_gray) OVER (PARTITION BY doc_id
+             |      ORDER BY frame_idx)) AS delta
+             |  FROM fr)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  CAST(delta AS BIGINT) AS delta,
+             |  CAST(delta > 300 AS INT) AS is_cut
+             |FROM d2 WHERE delta IS NOT NULL
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // ---- X33: linear interpolation of time-series gaps — per-user
     //      daily spend on the full per-user calendar spine, missing
     //      interior days filled as pv + (nv−pv)·(Δd/Δn) between the
