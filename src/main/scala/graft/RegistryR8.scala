@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Multimodal, Ranking, TextAnalysis}
 import Registry.{events, t}
 
-/** Round-8 widening: retrieval-style corpus scoring (BM25), scan-speed
-  * intra-document repetition removal, exact group-wise OLS regression,
-  * deterministic hash-stratified sampling, and exact-integer audio
-  * window energy over the real WAV decode path. Every entry is
+/** Round-8 widening: retrieval-style corpus scoring (BM25, plus its
+  * incrementally-merged stats variant), scan-speed intra-document
+  * repetition removal, PII profiling, Zipf-law corpus fit, exact
+  * group-wise OLS regression, deterministic hash-stratified sampling,
+  * gaps-and-islands, linear time-series interpolation, calendar-interval
+  * RANGE frames and PERCENTILE_CONT through the SQL parser, k-NN label
+  * evaluation over embeddings, and exact-integer audio window energy +
+  * video scene-cut detection over the real decode paths. Every entry is
   * oracle-exact — including the float outputs, which follow the repo's
   * determinism rules (exact integer/decimal aggregates into fixed-order
   * row-wise double arithmetic; round(…, 9) only where libm `ln` can
@@ -32,6 +36,26 @@ object RegistryR8 {
       (s, dir) => Ranking.bm25(t(s, dir, "documents"), "text", "doc_id",
           Bm25Terms)
         .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+      Some(Ranking.bm25OracleSql("documents", "text", "doc_id", Bm25Terms))),
+
+    // ---- T18: INCREMENTAL BM25 — score with corpus stats MERGED from
+    //      per-batch stats rows instead of a full-corpus pass: integer
+    //      stats are additive over disjoint parts, so history is never
+    //      rescanned when a batch arrives (the retrieval-stats member of
+    //      the incremental family: a33 IVM, a36/a37 sketches, d12/d19
+    //      dedup). Oracle = the SAME full-corpus replay as t14 — passing
+    //      hash-exact PROVES the merge is lossless. ----------------------
+    Q("t18_bm25_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val b0 = docs.filter(col("doc_id") % 2 === 0)
+        val b1 = docs.filter(col("doc_id") % 2 =!= 0)
+        val merged = Ranking.mergeBm25Stats(
+          Ranking.bm25Stats(b0, "text", "doc_id", Bm25Terms),
+          Ranking.bm25Stats(b1, "text", "doc_id", Bm25Terms))
+        Ranking.bm25FromStats(docs, "text", "doc_id", Bm25Terms, merged)
+          .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+      },
       Some(Ranking.bm25OracleSql("documents", "text", "doc_id", Bm25Terms))),
 
     // ---- T15: intra-document repetition removal — drop repeated tokens,

@@ -24,26 +24,63 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** BM25 score of every document against `terms`.
-    * Output: (id, dl, bm25) — dl = token count of the doc.
-    */
-  def bm25(docs: DataFrame, textCol: String, idCol: String,
-           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
-    require(terms.nonEmpty, "bm25: need at least one query term")
+  /** Per-doc (id, dl, tf0..tfk) frame — one codegen scan, no explode. */
+  private def perDocFrame(docs: DataFrame, textCol: String, idCol: String,
+                          terms: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(lower(col(textCol))).as("ts"))
     val tfCols = terms.zipWithIndex.map { case (term, i) =>
       size(filter(col("ts"), x => x === lit(term))).cast("long").as(s"tf$i")
     }
-    val perDoc = toks.select(
+    toks.select(
       col("id") +: size(col("ts")).cast("long").as("dl") +: tfCols: _*)
+  }
 
+  /** Corpus statistics for BM25 as ONE persistable row:
+    * (n_docs, sum_dl, df0..dfk). All exact integers, so stats of corpus
+    * parts MERGE losslessly by element-wise addition ([[mergeBm25Stats]])
+    * — new batches never force a rescan of scored history, the same
+    * incremental contract as the sketch stores (a36/a37) and dedup
+    * digests (d12/d19).
+    */
+  def bm25Stats(docs: DataFrame, textCol: String, idCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val perDoc = perDocFrame(docs, textCol, idCol, terms)
     val statCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("sum_dl") +:
       terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
-    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    perDoc.agg(statCols.head, statCols.tail: _*)
+  }
 
+  /** Element-wise sum of two stats rows — the lossless merge law
+    * (integer counts are additive over disjoint corpus parts).
+    */
+  def mergeBm25Stats(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns
+    require(b.columns.sameElements(cols), "mergeBm25Stats: schema mismatch")
+    a.unionByName(b).agg(
+      sum(col(cols.head)).as(cols.head),
+      cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** BM25 score of every document against `terms`.
+    * Output: (id, dl, bm25) — dl = token count of the doc.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame =
+    bm25FromStats(docs, textCol, idCol, terms,
+      bm25Stats(docs, textCol, idCol, terms), k1, b)
+
+  /** Score `docs` against a PROVIDED stats row (e.g. maintained
+    * incrementally across batches) — identical arithmetic to [[bm25]].
+    */
+  def bm25FromStats(docs: DataFrame, textCol: String, idCol: String,
+                    terms: Seq[String], stats: DataFrame,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: need at least one query term")
+    val perDoc = perDocFrame(docs, textCol, idCol, terms)
     val scored = perDoc.crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast("double") / col("n_docs").cast("double"))

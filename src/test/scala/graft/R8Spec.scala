@@ -36,6 +36,32 @@ class R8Spec extends SparkSpec {
     assert(rare > common)
   }
 
+  test("bm25 stats merge losslessly: parts == whole, scores identical") {
+    val docs = Seq(
+      (0L, "spark runs here"), (1L, "spark spark again"),
+      (2L, "other words entirely"), (3L, "more spark text now")
+    ).toDF("doc_id", "text")
+    val whole = Ranking.bm25Stats(docs, "text", "doc_id", Seq("spark"))
+      .collect()(0)
+    val merged = Ranking.mergeBm25Stats(
+        Ranking.bm25Stats(docs.filter(col("doc_id") < 2),
+          "text", "doc_id", Seq("spark")),
+        Ranking.bm25Stats(docs.filter(col("doc_id") >= 2),
+          "text", "doc_id", Seq("spark")))
+      .collect()(0)
+    assert(merged == whole, s"merged $merged != whole $whole")
+    val direct = Ranking.bm25(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val viaMerged = Ranking.bm25FromStats(docs, "text", "doc_id",
+        Seq("spark"), Ranking.mergeBm25Stats(
+          Ranking.bm25Stats(docs.filter(col("doc_id") < 2),
+            "text", "doc_id", Seq("spark")),
+          Ranking.bm25Stats(docs.filter(col("doc_id") >= 2),
+            "text", "doc_id", Seq("spark"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaMerged == direct)
+  }
+
   test("dedupTokens keeps first-occurrence order, once each") {
     val out = Seq("b a b c a b").toDF("text")
       .select(concat_ws(" ", TextAnalysis.dedupTokens(col("text"))))
