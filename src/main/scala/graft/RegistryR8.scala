@@ -444,6 +444,59 @@ object RegistryR8 {
              |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, us, event_id""".stripMargin)),
 
+    // ---- W23: DYNAMIC-gap session windows — `session_window` with a
+    //      per-event gap expression (purchases hold a session open 30
+    //      minutes, everything else 10): the Spark session operator's
+    //      full form, which w07's fixed gap never exercises. The oracle
+    //      replays the interval-union semantics directly: an event opens
+    //      a new session iff its time ≥ the running max of prior
+    //      (event + its own gap) ends; session end = max(event+gap).
+    //      One sort shuffle per user — the same shape at any scale. ------
+    Q("w23_dynamic_session_window",
+      (s, dir) => {
+        // session_window's gap must be CalendarIntervalType: ANSI
+        // interval literals (DayTimeIntervalType) are rejected, so build
+        // the gaps with make_interval
+        val gap = when(col("event_type") === "purchase",
+          expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+          .otherwise(expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+        events(s, dir)
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy(col("user_id"), session_window(col("ts"), gap))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("s_us"),
+            unix_micros(col("session_window.end")).as("e_us"),
+            col("n_events"), col("cents"))
+          .orderBy("user_id", "s_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    CASE WHEN event_type = 'purchase' THEN 1800000000
+             |         ELSE 600000000 END AS gap_us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events),
+             |o AS (
+             |  SELECT *, max(us + gap_us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS max_end
+             |  FROM e),
+             |f AS (
+             |  SELECT *, CASE WHEN max_end IS NULL OR us >= max_end
+             |    THEN 1 ELSE 0 END AS new_s FROM o),
+             |s AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id, min(us) AS s_us,
+             |  CAST(max(us + gap_us) AS BIGINT) AS e_us,
+             |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, s_us""".stripMargin)),
+
     // ---- M11: scene-cut detection THROUGH the real video decode —
     //      per-frame luminance sums from the actual AVI container walk +
     //      ImageIO decode (m05's path), then consecutive-frame absolute
