@@ -141,6 +141,38 @@ object RegistryR8 {
              |    AS intercept
              |FROM g ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- A44: boolean/conditional aggregate surface — count_if,
+    //      bool_and/bool_or (SQL every/any), any_value made
+    //      deterministic via min (any_value's contract is
+    //      "implementation picks"; pin it for the oracle), plus
+    //      count(DISTINCT CASE …) — the reporting shorthand family no
+    //      other entry exercises. One hash-agg shuffle. ------------------
+    Q("a44_bool_aggregates",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+            count_if(o_totalprice > 100000) AS n_big,
+            bool_and(o_totalprice > 0) AS all_positive,
+            bool_or(o_orderstatus = 'F') AS any_filled,
+            min(o_orderstatus) AS first_status,
+            count(DISTINCT CASE WHEN o_orderstatus = 'F'
+              THEN o_custkey END) AS filled_custs
+          FROM g_orders
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(CASE WHEN o_totalprice > 100000 THEN 1 END)
+             |    AS BIGINT) AS n_big,
+             |  bool_and(o_totalprice > 0) AS all_positive,
+             |  bool_or(o_orderstatus = 'F') AS any_filled,
+             |  min(o_orderstatus) AS first_status,
+             |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F'
+             |    THEN o_custkey END) AS BIGINT) AS filled_custs
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- A42: deterministic hash-stratified sample — exactly k rows per
     //      stratum, chosen by smallest md5 of the key: reproducible
     //      across runs/engines (the property a19's random sample can't
