@@ -120,5 +120,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(CosineSim.descriptor)
     ext.injectOptimizerRule(_ => AliasLookupSimplification)
+    ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
   }
 }
