@@ -675,6 +675,170 @@ object RegistryR8 {
              |    AS BIGINT) AS energy
              |FROM documents d, range(1000) t(i)
              |WHERE d.doc_id < 200
-             |GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin)),
+
+    // ---- W24: top-3 orders per customer through the NATIVE TopKPerKey
+    //      physical operator (plans/TopKPerKey.scala — custom LogicalPlan
+    //      + injected SparkStrategy + partial/final SparkPlan pair). The
+    //      w01 Window formulation shuffles and sorts EVERY row; this
+    //      plan's partial stage prunes each map partition to <=3 rows per
+    //      customer BEFORE the exchange, so at 100 TB the shuffle carries
+    //      ~|customers|*k rows instead of the fact table. Total order
+    //      (price desc, orderkey asc) => deterministic, oracle-exact. ---
+    Q("w24_native_topk",
+      (s, dir) => graft.plans.TopKPerKey(
+          t(s, dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          keys = Seq(col("o_custkey")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3)
+        .orderBy("o_custkey", "o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- G1: integer-exact PageRank (graph/PageRank.scala), 5 rounds
+    //      over the user-transition graph (consecutive users within an
+    //      event_type stream). Scaled fixed-point => the DuckDB CTE
+    //      unroll replays every rank bit-for-bit — a float PageRank can
+    //      never hash-match across engines. Unlike CC there is no
+    //      driver sync per round; the edge relation is partitioned by
+    //      src once and only the small rank table re-shuffles. ---------
+    Q("g01_pagerank",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = events(s, dir)
+          .select(col("user_id").as("src"),
+            lead(col("user_id"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.graph.PageRank.ranksInt(edges, iters = 5).orderBy("id")
+      },
+      Some(graft.graph.PageRank.oracleSql(
+        """SELECT src, dst FROM (
+          |  SELECT user_id AS src,
+          |    lead(user_id) OVER (PARTITION BY event_type
+          |                        ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+        iters = 5)))) ++ Seq(
+
+    // ---- D21: per-domain document caps (RefinedWeb-style URL/domain
+    //      frequency policy): keep at most 10 docs per source, chosen by
+    //      portable md5 priority (an unbiased sample, not id-order bias).
+    //      Runs through the NATIVE TopKPerKey operator — at 100 TB the
+    //      partial stage prunes each map partition to <=10 rows per
+    //      domain before anything shuffles. ----------------------------
+    Q("d21_domain_cap",
+      (s, dir) => graft.plans.TopKPerKey(
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"),
+              md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("pri")),
+          keys = Seq(col("source")),
+          order = Seq(col("pri").asc, col("doc_id").asc),
+          k = 10)
+        .select("source", "doc_id").orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM documents)
+             |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin)),
+
+    // ---- D22: CCNet-style SUB-document dedup (llm/Dedup.segmentDedup):
+    //      every 10-word segment duplicated anywhere in the corpus is cut
+    //      from all but its first occurrence and documents are rebuilt —
+    //      the content-rewrite dedup the doc-level gates (d01/d02) and
+    //      pair finders (d04/d06) don't do. Segments shuffle as md5
+    //      digests, never text. Exact oracle replays the whole rewrite. -
+    Q("d22_segment_dedup",
+      (s, dir) => graft.llm.Dedup.segmentDedup(
+          t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+      Some("""WITH segs AS (
+             |  SELECT d.doc_id AS id, t.i AS seg_idx,
+             |    array_to_string(d.words[t.i*10+1:(t.i+1)*10], ' ') AS seg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+             |        FROM documents) d,
+             |    LATERAL (SELECT unnest(range((len(d.words) + 9) // 10)) AS i) t),
+             |kept AS (
+             |  SELECT id, seg_idx, seg FROM (
+             |    SELECT id, seg_idx, seg,
+             |      row_number() OVER (PARTITION BY md5(seg)
+             |                         ORDER BY id, seg_idx) AS rn
+             |    FROM segs) WHERE rn = 1),
+             |agg AS (
+             |  SELECT id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             |    count(*) AS n_kept
+             |  FROM kept GROUP BY id)
+             |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+             |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+             |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- N10: per-label centroid + cosine-to-centroid ranking, EXACT:
+    //      embeddings quantize to round(1e6·x) BIGINT, centroids are
+    //      integer mean (sum div n) per dimension, dot/norms are integer
+    //      sums — so the only floats are one row-wise sqrt/divide at the
+    //      end, identical on any engine. Top-5 per label through the
+    //      native TopKPerKey operator. (The float-mean version of this
+    //      can never hash-match: summation order.) ----------------------
+    Q("n10_centroid_cosine",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "e")))
+          .withColumn("qe",
+            expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+        val cent = q.groupBy("label", "pos")
+          .agg(sum("qe").as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"), expr("sq div n").as("cq"))
+        val scored = q.join(cent, Seq("label", "pos"))
+          .groupBy("vec_id", "label")
+          .agg(sum(expr("qe * cq")).as("dot"),
+            sum(expr("qe * qe")).as("n2v"),
+            sum(expr("cq * cq")).as("n2c"))
+          .withColumn("cos", expr(
+            "CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0 " +
+              "ELSE dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))) END"))
+        graft.plans.TopKPerKey(
+            scored.select(col("label").cast("int").as("label"),
+              col("vec_id"), col("cos")),
+            keys = Seq(col("label")),
+            order = Seq(col("cos").desc, col("vec_id").asc),
+            k = 5)
+          .orderBy("label", "vec_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT emb.vec_id, emb.label, t.i AS pos,
+             |    CAST(round(CAST(emb.embedding[t.i + 1] AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS qe
+             |  FROM embeddings emb,
+             |    LATERAL (SELECT unnest(range(len(emb.embedding))) AS i) t),
+             |cent AS (
+             |  SELECT label, pos, CAST(sum(qe) AS BIGINT) // count(*) AS cq
+             |  FROM q GROUP BY label, pos),
+             |sc AS (
+             |  SELECT q.vec_id, q.label,
+             |    CAST(sum(q.qe * c.cq) AS BIGINT) AS dot,
+             |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2v,
+             |    CAST(sum(c.cq * c.cq) AS BIGINT) AS n2c
+             |  FROM q JOIN cent c ON c.label = q.label AND c.pos = q.pos
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT label, vec_id,
+             |    CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0
+             |      ELSE dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+             |    END AS cos
+             |  FROM sc)
+             |SELECT CAST(label AS INT) AS label, vec_id, cos FROM (
+             |  SELECT label, vec_id, cos,
+             |    row_number() OVER (PARTITION BY label
+             |                       ORDER BY cos DESC, vec_id) AS rn
+             |  FROM r)
+             |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin))
   )
 }

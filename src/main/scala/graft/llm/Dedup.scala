@@ -599,4 +599,47 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** CCNet-style sub-document dedup (Wenzek et al., arXiv:1911.00359
+    * dedups paragraphs; here the unit is a fixed `segWords`-word segment
+    * since the corpus has no paragraph breaks): across the WHOLE corpus,
+    * each distinct segment is kept only at its first occurrence — the
+    * smallest (doc_id, seg_idx) — and every other occurrence is cut out
+    * of its document; surviving segments re-join in original order.
+    *
+    * This rewrites document CONTENT, unlike the doc-level dedups (which
+    * keep/drop whole docs) and the pair finders (which only score).
+    * Boilerplate that near-dup gates can't see (a footer pasted into
+    * millions of otherwise-distinct pages) disappears here.
+    *
+    * Scale: segments shuffle as md5 digests + (doc_id, seg_idx) longs —
+    * never the text; one min-aggregate per digest, one digest join, one
+    * per-doc reassembly groupBy. All exact, no iteration.
+    */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segWords: Int = 10): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+      .select(col("id"), posexplode_outer(
+        expr(s"transform(sequence(0, CAST((size(words) + ${segWords - 1}) div $segWords AS INT) - 1), " +
+          s"i -> array_join(slice(words, i * $segWords + 1, $segWords), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val firsts = segs.filter(col("seg").isNotNull)
+      .groupBy(md5(col("seg")).as("h"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("first"))
+      .select(col("h"), col("first.id").as("fid"),
+        col("first.seg_idx").as("fidx"))
+    val kept = segs.filter(col("seg").isNotNull)
+      .join(firsts, md5(col("seg")) === col("h"))
+      .filter(col("id") === col("fid") && col("seg_idx") === col("fidx"))
+      .select(col("id"), col("seg_idx"), col("seg"))
+    df.select(col(idCol).as("id"))
+      .join(kept.groupBy("id")
+          .agg(array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),
+            " ").as("clean_text"),
+            count(lit(1)).as("n_kept")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }
