@@ -109,4 +109,42 @@ object Ingest {
       raw.filter(col(corrupt).isNotNull)
         .withColumnRenamed(corrupt, "raw_line"))
   }
+
+  /** Raw media ingest via Spark's `binaryFile` source — the standard
+    * entry for image/audio/video corpora that arrive as FILES rather
+    * than parquet-embedded blobs. Emits the multimodal pipeline's
+    * payload contract (`id`, `payload`) so `Multimodal.decode*` composes
+    * directly: id is a stable 63-bit hash of the RELATIVE path (absolute
+    * prefixes differ across clusters; the content-bearing suffix does
+    * not). Files over `maxBytes` are dropped with the same
+    * corrupt-is-data policy as the decoders (a 4 GB stray MOV must not
+    * OOM an executor mid-scan — `binaryFile` materializes whole files).
+    * Listing scales: pathGlobFilter prunes at file-listing time, before
+    * any read.
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession,
+                    dir: String,
+                    glob: String = "*",
+                    maxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    // compare path COMPONENTS, not raw URIs — the source lists files as
+    // scheme-qualified (file:/…, hdfs://…) while callers pass bare dirs
+    val basePath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      .stripSuffix("/")
+    val rel = udf { p: String =>
+      val up = new java.net.URI(p).getPath
+      if (up.startsWith(basePath + "/")) up.substring(basePath.length + 1)
+      else up
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .withColumn("rel_path", rel(col("path")))
+      .select(
+        expr("CAST(conv(substring(md5(rel_path), 1, 15), 16, 10) AS BIGINT)")
+          .as("id"),
+        col("rel_path"), col("length"), col("modificationTime"),
+        col("content").as("payload"))
+  }
 }
