@@ -839,6 +839,31 @@ object RegistryR8 {
              |    row_number() OVER (PARTITION BY label
              |                       ORDER BY cos DESC, vec_id) AS rn
              |  FROM r)
-             |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin))
+             |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin)),
+
+    // ---- G2: PERSONALIZED PageRank — teleport mass restricted to a
+    //      seed set (even user ids): non-seeds earn rank only via
+    //      proximity to seeds, the standard recommendation/relatedness
+    //      ranking. Same integer-exact machinery and one-lazy-plan
+    //      shape as g01, so the oracle replays it bit-for-bit. ---------
+    Q("g02_personalized_pagerank",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = events(s, dir)
+          .select(col("user_id").as("src"),
+            lead(col("user_id"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.graph.PageRank.ranksInt(edges, iters = 5,
+            seeds = Some(col("id") % 2 === 0))
+          .orderBy("id")
+      },
+      Some(graft.graph.PageRank.oracleSql(
+        """SELECT src, dst FROM (
+          |  SELECT user_id AS src,
+          |    lead(user_id) OVER (PARTITION BY event_type
+          |                        ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+        iters = 5, seedPred = Some("id % 2 = 0"))))
   )
 }

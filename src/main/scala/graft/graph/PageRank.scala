@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -35,9 +35,15 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** @param edges DataFrame with long columns `src`, `dst`
+    * @param seeds  optional teleport predicate over `id` — None is
+    *               classic PageRank (every node receives the 15% base);
+    *               Some(pred) is PERSONALIZED PageRank: only seed nodes
+    *               get teleport mass (and the initial rank), everything
+    *               else earns rank purely by proximity to seeds
     * @return DataFrame (id: long, rank: long) — scaled fixed-point
     */
-  def ranksInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L): DataFrame = {
+  def ranksInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+               seeds: Option[Column] = None): DataFrame = {
     require(iters >= 1, "pagerank: iters must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
@@ -50,8 +56,16 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val base = scale * 15L / 100L
-    var ranks = nodes.withColumn("rank", lit(scale))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseTerm: Column =
+      seeds.map(p => when(p, lit(base)).otherwise(lit(0L))).getOrElse(lit(base))
+    val initTerm: Column =
+      seeds.map(p => when(p, lit(scale)).otherwise(lit(0L))).getOrElse(lit(scale))
+    // The whole k-round computation is ONE lazy plan: no action, no
+    // driver sync anywhere (the O(diameter)-rounds-with-a-count() trap
+    // CC had before large-star). Lineage is linear in iters — for very
+    // large iteration counts callers should checkpoint periodically, but
+    // PageRank converges geometrically (0.85^k), so useful k stays small.
+    var ranks = nodes.select(col("id"), initTerm.cast("long").as("rank"))
     var i = 0
     while (i < iters) {
       // rank side joins INTO the src-partitioned edges; contributions
@@ -61,46 +75,51 @@ object PageRank {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum("c").as("in_sum"))
-      val next = nodes
+      ranks = nodes
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           // `div`, not `/`: Spark's `/` on BIGINT yields DOUBLE — the
           // whole point is staying in exact integer arithmetic
-          expr(s"CAST($base + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
-            .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous snapshot
-      ranks.unpersist(blocking = false)
-      ranks = next
+          (baseTerm +
+            expr("(85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100"))
+            .cast("long").as("rank"))
       i += 1
     }
     ranks
   }
 
   /** DuckDB replay of [[ranksInt]]: unrolled CTE chain, one `r{i}` per
-    * iteration, same integer expressions (`//` = `div` on positives).
-    * `edgeSql` must yield columns (src, dst).
+    * iteration, same integer expressions (`//` = `div`: both truncate
+    * toward zero). `edgeSql` must yield columns (src, dst); `seedPred`
+    * (over `id`/`n.id`) mirrors the personalized variant.
     */
-  def oracleSql(edgeSql: String, iters: Int, scale: Long = 1000000000L): String = {
+  def oracleSql(edgeSql: String, iters: Int, scale: Long = 1000000000L,
+                seedPred: Option[String] = None): String = {
     val base = scale * 15L / 100L
+    val baseSql = seedPred
+      .map(p => s"CASE WHEN $p THEN $base ELSE 0 END")
+      .getOrElse(base.toString)
+    val initSql = seedPred
+      .map(p => s"CASE WHEN $p THEN $scale ELSE 0 END")
+      .getOrElse(scale.toString)
     val sb = new StringBuilder
     sb.append(s"""WITH edges AS ($edgeSql),
                  |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
                  |nodes AS (SELECT DISTINCT src AS id FROM edges
                  |          UNION SELECT DISTINCT dst FROM edges),
-                 |r0 AS (SELECT id, CAST($scale AS BIGINT) AS rank FROM nodes)""".stripMargin)
+                 |r0 AS (SELECT id, CAST($initSql AS BIGINT) AS rank FROM nodes)""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(s""",
                    |r$i AS (
-                   |  SELECT n.id, CAST($base + 85 * COALESCE(s.in_sum, 0) // 100
+                   |  SELECT n.id, CAST(($baseSql) + 85 * COALESCE(s.in_sum, 0) // 100
                    |               AS BIGINT) AS rank
                    |  FROM nodes n LEFT JOIN (
-                   |    SELECT e.dst AS id,
+                   |    SELECT e.dst AS sid,
                    |      CAST(sum(r.rank // o.deg) AS BIGINT) AS in_sum
                    |    FROM edges e
                    |    JOIN outd o ON o.src = e.src
                    |    JOIN r${i - 1} r ON r.id = e.src
-                   |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin)
+                   |    GROUP BY e.dst) s ON s.sid = n.id)""".stripMargin)
     }
     sb.append(s"\nSELECT id, rank FROM r$iters ORDER BY id")
     sb.toString

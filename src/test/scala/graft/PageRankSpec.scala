@@ -46,6 +46,30 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("personalized variant: teleport and init mass only on seeds") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val seeds = Set(1L)
+    val base = Scale * 15L / 100L
+    // reference with seed-restricted base/init
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val deg = g.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(n => n -> (if (seeds(n)) Scale else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = g.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = nodes.map(n => n ->
+        ((if (seeds(n)) base else 0L) + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = graft.graph.PageRank.ranksInt(
+        g.toDF("src", "dst").repartition(3), 4,
+        seeds = Some(col("id") === 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == rank)
+    assert(got(1L) > got(2L)) // the seed outranks everything downstream
+    assert(got(2L) == got(4L)) // both exactly one hop from the seed
+  }
+
   test("chain leaks dangling mass (total mass decreases)") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
     val r = run(chain, 5)
