@@ -864,6 +864,48 @@ object RegistryR8 {
           |    lead(user_id) OVER (PARTITION BY event_type
           |                        ORDER BY ts, event_id) AS dst
           |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
-        iters = 5, seedPred = Some("id % 2 = 0"))))
+        iters = 5, seedPred = Some("id % 2 = 0")))),
+
+    // ---- T19: bigram-LM quality scoring (llm/TextAnalysis
+    //      .bigramLmScores) — a REAL conditional language model with
+    //      add-one smoothing, trained and applied in the same plan, and
+    //      hash-exact: integer counts, one exact division per bigram,
+    //      ln rounded to 9 digits, DECIMAL sum. The perplexity-style
+    //      filter LLM pipelines threshold on (gibberish scores low). --
+    Q("t19_bigram_lm",
+      (s, dir) => graft.llm.TextAnalysis.bigramLmScores(
+          t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> strlen(x) > 0) AS ws
+             |  FROM documents),
+             |bg AS (
+             |  SELECT id, ws[t.i + 1] AS w1, ws[t.i + 2] AS w2
+             |  FROM toks,
+             |    LATERAL (SELECT unnest(range(len(ws) - 1)) AS i) t),
+             |stats AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             |firsts AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+             |vocab AS (
+             |  SELECT count(DISTINCT w) AS v FROM (
+             |    SELECT unnest(ws) AS w FROM toks)),
+             |sc AS (
+             |  SELECT bg.id, CAST(round(ln(
+             |      CAST(st.cb + 1 AS DOUBLE) / CAST(f.cu + vocab.v AS DOUBLE)),
+             |      9) AS DECIMAL(12,9)) AS lp
+             |  FROM bg
+             |  JOIN stats st ON st.w1 = bg.w1 AND st.w2 = bg.w2
+             |  JOIN firsts f ON f.w1 = bg.w1
+             |  CROSS JOIN vocab),
+             |agg AS (
+             |  SELECT id, count(*) AS n_bigrams,
+             |    round(CAST(sum(lp) AS DOUBLE) / count(*), 9) AS avg_logp
+             |  FROM sc GROUP BY id)
+             |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT)
+             |    AS n_bigrams,
+             |  a.avg_logp
+             |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

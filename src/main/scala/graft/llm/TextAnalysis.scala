@@ -288,4 +288,51 @@ object TextAnalysis {
       .agg(avg(log(col("occ").cast("double") / col("tot")))
         .as("mean_logprob"))
   }
+
+  /** Bigram-LM document scoring with add-one smoothing — the CONDITIONAL
+    * upgrade of [[unigramLogProb]], and unlike it hash-exact across
+    * engines: P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), where c(w1·) is the
+    * bigram-first count and V the unigram vocabulary size, so every
+    * probability is a single exact-int/exact-int division; the one libm
+    * `ln` per bigram is rounded to 9 digits and summed as DECIMAL
+    * (order-independent), giving a bit-reproducible
+    * `avg_logp = Σ round(ln P, 9) / n`.
+    *
+    * Scale: train = one groupBy over exploded bigrams producing a
+    * (w1, w2, cb, cu) stats table (counts only — corpus text never
+    * shuffles twice); score = one join of the exploded corpus against
+    * that table + a per-doc aggregate. Docs with <2 tokens surface with
+    * n_bigrams = 0 and NULL score rather than disappearing.
+    */
+  def bigramLmScores(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("ws"))
+    val bg = toks.filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))"))
+        .as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val stats = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val firsts = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg
+      .join(stats, Seq("w1", "w2"))
+      .join(firsts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")), 9)
+          .cast("decimal(12,9)").as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 9)
+          .as("avg_logp"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
 }
