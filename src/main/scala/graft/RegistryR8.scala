@@ -906,6 +906,39 @@ object RegistryR8 {
              |    AS n_bigrams,
              |  a.avg_logp
              |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L11: curriculum ordering — the training-order policy between
+    //      l08 (epoch repeat) and o08 (flat shuffle): docs grouped into
+    //      quality phases (integer gate count, no float thresholds),
+    //      highest-quality phase first, portable-hash shuffle WITHIN each
+    //      phase. Emitting (phase, pri) sort keys and range-sorting makes
+    //      this a file-layout operation at 100 TB — no global window,
+    //      no single-node sort. ----------------------------------------
+    Q("l11_curriculum",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.qualityPhase(col("text")).as("phase"),
+          expr("(doc_id * 2654435761) % 100000").as("pri"))
+        .orderBy(col("phase").desc, col("pri"), col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT) AS n,
+             |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             |      AS BIGINT) AS npunct,
+             |    CAST(strlen(text) AS BIGINT) AS nchars,
+             |    CAST(len(list_filter(
+             |      string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> x IN ('the','a','an','and','or','of','to','in',
+             |                 'is','it'))) AS BIGINT) AS nsw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(CAST(n BETWEEN 10 AND 100000 AS INT)
+             |    + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
+             |    + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT) AS INT)
+             |    AS phase,
+             |  (doc_id * 2654435761) % 100000 AS pri
+             |FROM r ORDER BY phase DESC, pri, doc_id""".stripMargin))
   )
 }

@@ -71,6 +71,15 @@ object TextAnalysis {
     (lengthOk + swOk + punctOk) / 3
   }
 
+  /** [[qualityScore]]'s integer numerator (0..3 gates passed) — the
+    * exact form for bucketing (curriculum phases, stratified reports)
+    * where a float score would invite epsilon trouble.
+    */
+  def qualityPhase(text: Column): Column =
+    (tokenCount(text).between(10, 100000)).cast("int") +
+      (stopwordRatio(text) >= 0.01).cast("int") +
+      (punctRatio(text) <= 0.2).cast("int")
+
   /** Language ID via stopword-hit scoring: argmax over per-language marker
     * sets. A cheap n-gram/stopword heuristic (fastText-style without the
     * model); ties broken by language code for determinism.
