@@ -173,4 +173,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(docs.select(
       graft.llm.TextAnalysis.dedupTokens(col("text")))) == 0)
   }
+
+  test("segmentDedup shuffles digests + longs, never raw text") {
+    val plan = graft.llm.Dedup.segmentDedup(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // the digest aggregate and the digest join hash-partition on md5
+    // output, never range-shuffle, never nested-loop
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("pagerank is one lazy plan: edges shuffle once, ranks per round") {
+    val edges = (0L until 50L).map(i => (i, (i * 7) % 50))
+      .toDF("src", "dst")
+    val ranked = graft.graph.PageRank.ranksInt(edges, iters = 3)
+    val plan = ranked.queryExecution.executedPlan.toString
+    // the src-hash partitioning of the edge relation appears ONCE
+    // (persisted InMemoryRelation) however many rounds run
+    assert("hashpartitioning\\(src".r.findAllIn(plan).size >= 1, plan.take(600))
+    assert(plan.contains("InMemoryTableScan"), plan.take(600))
+    ranked.collect() // sanity: the 3-round DAG actually executes
+  }
+
+  test("bigramLmScores: stats join back by token pair, no cartesian") {
+    val plan = graft.llm.TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the only nested-loop is the one-row vocab broadcast
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 1, plan.take(600))
+  }
 }
