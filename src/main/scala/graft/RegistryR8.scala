@@ -939,6 +939,29 @@ object RegistryR8 {
              |    + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT) AS INT)
              |    AS phase,
              |  (doc_id * 2654435761) % 100000 AS pri
-             |FROM r ORDER BY phase DESC, pri, doc_id""".stripMargin))
+             |FROM r ORDER BY phase DESC, pri, doc_id""".stripMargin)),
+
+    // ---- G3: exact triangle counting with DEGREE ORIENTATION over the
+    //      user co-occurrence graph — the wedge join's intermediate is
+    //      bounded O(m^1.5) total regardless of degree skew (edges
+    //      orient low→high (deg, id), so a celebrity node's d² wedges
+    //      never materialize). All integer counts; the oracle replays
+    //      the same orientation with SQL row-value comparisons. --------
+    Q("g03_triangles",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = events(s, dir)
+          .select(col("user_id").as("src"),
+            lead(col("user_id"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.graph.Triangles.count(edges)
+      },
+      Some(graft.graph.Triangles.oracleSql(
+        """SELECT src, dst FROM (
+          |  SELECT user_id AS src,
+          |    lead(user_id) OVER (PARTITION BY event_type
+          |                        ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin)))
   )
 }
