@@ -962,6 +962,31 @@ object RegistryR8 {
           |  SELECT user_id AS src,
           |    lead(user_id) OVER (PARTITION BY event_type
           |                        ORDER BY ts, event_id) AS dst
-          |  FROM events) WHERE dst IS NOT NULL""".stripMargin)))
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin))),
+
+    // ---- G4: deterministic synchronous label propagation (community
+    //      detection) — 3 rounds, most-frequent neighbor label, ties to
+    //      the smallest label, so the result is a pure function of the
+    //      graph (async LPA's run-order dependence would be useless in a
+    //      reproducible pipeline). Message relation partitioned once;
+    //      each round is count + argmax-by-struct-min, no window, no
+    //      driver action. ----------------------------------------------
+    Q("g04_label_propagation",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = events(s, dir)
+          .select(col("user_id").as("src"),
+            lead(col("user_id"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.graph.LabelPropagation.labels(edges, iters = 3).orderBy("id")
+      },
+      Some(graft.graph.LabelPropagation.oracleSql(
+        """SELECT src, dst FROM (
+          |  SELECT user_id AS src,
+          |    lead(user_id) OVER (PARTITION BY event_type
+          |                        ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+        iters = 3)))
   )
 }
