@@ -987,6 +987,42 @@ object RegistryR8 {
           |    lead(user_id) OVER (PARTITION BY event_type
           |                        ORDER BY ts, event_id) AS dst
           |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
-        iters = 3)))
+        iters = 3))),
+
+    // ---- W25: CHAINED window aggregation — `window(window_time(w))`
+    //      (Spark 3.4+ surface): hourly counts roll up into 6-hour
+    //      buckets from the hourly AGGREGATES, never rescanning raw
+    //      events — the batch shape of multi-resolution streaming
+    //      rollups. n_hours pins that the outer agg really consumed
+    //      hourly rows; the lossless-rollup property is proven by the
+    //      oracle computing the 6h totals DIRECTLY from raw events. ----
+    Q("w25_chained_windows",
+      (s, dir) => {
+        val hourly = events(s, dir)
+          .groupBy(col("event_type"),
+            window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("c1"))
+        hourly
+          .groupBy(col("event_type"),
+            window(window_time(col("w")), "6 hours").as("w6"))
+          .agg(sum(col("c1")).as("n_events"),
+            count(lit(1)).as("n_hours"))
+          .select(col("event_type"),
+            date_format(col("w6.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("n_events"), col("n_hours"))
+          .orderBy("event_type", "bucket")
+      },
+      // NB DuckDB `//` is floor division only for INTEGER operands —
+      // epoch() returns DOUBLE, so cast first or `//` silently becomes
+      // plain division
+      Some("""SELECT event_type,
+             |  strftime(to_timestamp(
+             |    (CAST(epoch(ts) AS BIGINT) // 21600) * 21600),
+             |    '%Y-%m-%d %H:%M:%S') AS bucket,
+             |  count(*) AS n_events,
+             |  CAST(count(DISTINCT CAST(epoch(ts) AS BIGINT) // 3600)
+             |    AS BIGINT) AS n_hours
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin))
   )
 }
