@@ -1023,6 +1023,51 @@ object RegistryR8 {
              |  CAST(count(DISTINCT CAST(epoch(ts) AS BIGINT) // 3600)
              |    AS BIGINT) AS n_hours
              |FROM events
-             |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin)),
+
+    // ---- N11: per-label embedding COVARIANCE (upper triangle) — the
+    //      distribution-statistics layer above n10's centroids (drift
+    //      detection, whitening prep, PCA input). Vectors quantize to
+    //      round(1e3·x) BIGINT; each contributes its d(d+1)/2 outer-
+    //      product terms once via a pos_a<=pos_b self-join co-located on
+    //      vec_id (no shuffle between the two sides), and the covariance
+    //      NUMERATOR n·Σxy − Σx·Σy stays in exact integers end to end —
+    //      zero float anywhere, so the oracle hash-matches trivially.
+    //      Cost is bounded d²·|vecs|, the dense-covariance lower bound
+    //      (for d in the thousands you'd block or sketch instead). -----
+    Q("n11_embed_covariance",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("int").as("label"),
+            posexplode(col("embedding")).as(Seq("pos", "e")))
+          .select(col("vec_id"), col("label"), col("pos"),
+            expr("CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)").as("qe"))
+        val a = q.as("a"); val b = q.as("b")
+        a.join(b, col("a.vec_id") === col("b.vec_id") &&
+            col("a.pos") <= col("b.pos"))
+          .groupBy(col("a.label").as("label"), col("a.pos").as("pos_a"),
+            col("b.pos").as("pos_b"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("a.qe * b.qe")).as("sxy"),
+            sum(col("a.qe")).as("sx"), sum(col("b.qe")).as("sy"))
+          .select(col("label"), col("pos_a"), col("pos_b"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+          .orderBy("label", "pos_a", "pos_b")
+      },
+      Some("""WITH q AS (
+             |  SELECT emb.vec_id, CAST(emb.label AS INT) AS label,
+             |    CAST(t.i AS INT) AS pos,
+             |    CAST(round(CAST(emb.embedding[t.i + 1] AS DOUBLE) * 1000)
+             |      AS BIGINT) AS qe
+             |  FROM embeddings emb,
+             |    LATERAL (SELECT unnest(range(len(emb.embedding))) AS i) t)
+             |SELECT a.label, a.pos AS pos_a, b.pos AS pos_b,
+             |  count(*) AS n,
+             |  CAST(count(*) * CAST(sum(a.qe * b.qe) AS BIGINT)
+             |    - CAST(sum(a.qe) AS BIGINT) * CAST(sum(b.qe) AS BIGINT)
+             |    AS BIGINT) AS cov_num
+             |FROM q a JOIN q b
+             |  ON a.vec_id = b.vec_id AND a.pos <= b.pos
+             |GROUP BY 1, 2, 3 ORDER BY a.label, pos_a, pos_b""".stripMargin))
   )
 }
