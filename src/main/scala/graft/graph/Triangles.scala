@@ -29,11 +29,15 @@ object Triangles {
     * @return single row (n_edges, n_wedges, n_triangles) — BIGINTs
     */
   def count(edges: DataFrame): DataFrame = {
+    // und feeds deg + orientation + the edge count; ori feeds the wedge
+    // join twice and the closing join — plan-lifetime caches (released
+    // by the harness clearCache), not recomputation per reference
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(F.count(F.lit(1)).as("d"))
@@ -47,6 +51,7 @@ object Triangles {
           col("b")).otherwise(col("a")).as("v"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("db")).otherwise(col("da")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e1 = ori.as("e1"); val e2 = ori.as("e2")
     val wedges = e1.join(e2, col("e1.u") === col("e2.u") &&
         struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
@@ -54,8 +59,13 @@ object Triangles {
     val tri = wedges
       .join(ori.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
       .agg(F.count(F.lit(1)).as("n_triangles"))
+    // wedge COUNT comes analytically from out-degrees (Σ C(outdeg, 2)),
+    // so the wedge join itself materializes exactly once, for the
+    // triangle-closing join — never a second pass just to count it
+    val nWedges = ori.groupBy("u").agg(F.count(F.lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_wedges"))
     und.agg(F.count(F.lit(1)).as("n_edges"))
-      .crossJoin(broadcast(wedges.agg(F.count(F.lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(nWedges))
       .crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
@@ -86,9 +96,12 @@ object Triangles {
        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
        |tri AS (
        |  SELECT count(*) AS n FROM wedge w
-       |  JOIN ori e ON e.u = w.y AND e.v = w.z)
+       |  JOIN ori e ON e.u = w.y AND e.v = w.z),
+       |nw AS (
+       |  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n FROM (
+       |    SELECT u, count(*) AS c FROM ori GROUP BY u))
        |SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
-       |  CAST((SELECT count(*) FROM wedge) AS BIGINT) AS n_wedges,
+       |  nw.n AS n_wedges,
        |  CAST(tri.n AS BIGINT) AS n_triangles
-       |FROM tri""".stripMargin
+       |FROM tri, nw""".stripMargin
 }
