@@ -92,6 +92,32 @@ class TopKSpec extends SparkSpec {
     assert(native == win)
   }
 
+  test("randomized parity with the Window formulation (nulls, dup scores)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400).map { i =>
+        val score: Option[Double] =
+          if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(25).toDouble) // heavy ties on purpose
+        (s"k${rnd.nextInt(15)}", i.toLong, score)
+      }
+      val df = rows.toDF("key", "id", "score")
+        .repartition(1 + rnd.nextInt(8))
+      for (k <- Seq(1, 2, 5)) {
+        val native = TopKPerKey(df, Seq(col("key")),
+          Seq(col("score").desc, col("id").asc), k,
+          maxPartialKeys = 1 + rnd.nextInt(4))
+          .orderBy("key", "id").collect().toSeq
+        val w = Window.partitionBy("key")
+          .orderBy(col("score").desc, col("id").asc)
+        val win = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn")
+          .orderBy("key", "id").collect().toSeq
+        assert(native == win, s"trial=$trial k=$k")
+      }
+    }
+  }
+
   test("floating-point grouping keys are rejected") {
     val e = intercept[IllegalArgumentException] {
       TopKPerKey(sample, Seq(col("score")), Seq(col("id").asc), 1)
