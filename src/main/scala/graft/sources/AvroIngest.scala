@@ -1,0 +1,98 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro Object-Container-File ingest — the row-oriented second format
+  * beside ORC's columnar slot (SURVEY §2.1). This environment ships the
+  * Avro CORE libraries but not the `spark-avro` connector module, so
+  * `spark.read.format("avro")` is unavailable; the reader here goes
+  * through [[Ingest.readBinaryDir]] (listing-time glob pruning, size
+  * cap) and decodes each container file with `DataFileReader` +
+  * `GenericDatumReader` inside `mapPartitions` — files decode fully
+  * parallel, one task per file batch, schema projected by NAME into the
+  * caller's declared StructType (missing fields → null, the usual
+  * reader-schema evolution posture).
+  *
+  * Corrupt-is-data: a payload that fails header validation or mid-file
+  * decode contributes the rows decoded so far and is COUNTED in the
+  * `_corrupt` column of [[readAvroDir]]'s second return — never an
+  * executor exception (a 100 TB ingest must not die on one truncated
+  * file).
+  *
+  * Supported field types: BOOLEAN, INT/LONG → LongType, FLOAT/DOUBLE →
+  * DoubleType, STRING (Utf8), BYTES, and nullable unions of those — the
+  * flat-record shape container logs actually use.
+  */
+object AvroIngest {
+
+  /** Decode one container file; returns (rows, sawCorruption). */
+  private def decodeFile(bytes: Array[Byte],
+                         schema: StructType): (Seq[Row], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val reader = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        while (reader.hasNext) {
+          val rec = reader.next()
+          out += Row.fromSeq(schema.fields.toSeq.map { f =>
+            val has = rec.getSchema.getField(f.name) != null
+            val v = if (has) rec.get(f.name) else null
+            (v, f.dataType) match {
+              case (null, _) => null
+              case (x: java.lang.Boolean, BooleanType) => x.booleanValue()
+              case (x: java.lang.Integer, LongType) => x.longValue()
+              case (x: java.lang.Long, LongType) => x.longValue()
+              case (x: java.lang.Float, DoubleType) => x.doubleValue()
+              case (x: java.lang.Double, DoubleType) => x.doubleValue()
+              case (x: Utf8, StringType) => x.toString
+              case (x: String, StringType) => x
+              case (x: java.nio.ByteBuffer, BinaryType) =>
+                val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
+              case _ => null // type mismatch reads as null, not a crash
+            }
+          })
+        }
+        (out.toSeq, false)
+      } finally reader.close()
+    } catch {
+      case _: Throwable => (out.toSeq, true) // keep rows decoded pre-corruption
+    }
+  }
+
+  /** Read every `*.avro` under `dir` into `schema`-shaped rows, plus a
+    * per-file audit frame (rel_path, n_rows, corrupt).
+    */
+  def readAvroDir(spark: SparkSession, dir: String,
+                  schema: StructType): (DataFrame, DataFrame) = {
+    val files = Ingest.readBinaryDir(spark, dir, glob = "*.avro")
+      .select(col("rel_path"), col("payload"))
+    val auditSchema = StructType(Seq(
+      StructField("rel_path", StringType),
+      StructField("n_rows", LongType),
+      StructField("corrupt", BooleanType)))
+    val rowsEnc = RowEncoder.encoderFor(schema)
+    val auditEnc = RowEncoder.encoderFor(auditSchema)
+    val rows = files.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeFile(r.getAs[Array[Byte]]("payload"), schema)._1
+      }
+    }(rowsEnc)
+    val audit = files.mapPartitions { it =>
+      it.map { r =>
+        val (rs, bad) = decodeFile(r.getAs[Array[Byte]]("payload"), schema)
+        Row(r.getAs[String]("rel_path"), rs.size.toLong, bad)
+      }
+    }(auditEnc)
+    (rows, audit)
+  }
+}
