@@ -117,6 +117,13 @@ case class TopKPerKeyExec(
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext,
+        "partial heap flushes (key-cap overflows)"))
+
   override def output: Seq[Attribute] = child.output
 
   override def outputPartitioning = child.outputPartitioning
@@ -146,9 +153,12 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val kk = k
     val cap = maxPartialKeys
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     if (partial) {
       child.execute().mapPartitions { iter =>
-        new PartialTopKIterator(iter, keyExprs, sortOrder, childOutput, kk, cap)
+        new PartialTopKIterator(iter, keyExprs, sortOrder, childOutput, kk,
+          cap, outRows, flushes)
       }
     } else {
       // Input sorted by (keys, order): emit the first k rows of each key
@@ -181,7 +191,7 @@ case class TopKPerKeyExec(
           }
           override def next(): InternalRow = {
             if (nextRow == null) advance()
-            val r = nextRow; nextRow = null; r
+            val r = nextRow; nextRow = null; outRows += 1; r
           }
         }
       }
@@ -203,7 +213,10 @@ private final class PartialTopKIterator(
     order: Seq[SortOrder],
     childOutput: Seq[Attribute],
     k: Int,
-    cap: Int) extends Iterator[InternalRow] {
+    cap: Int,
+    outRows: org.apache.spark.sql.execution.metric.SQLMetric,
+    flushes: org.apache.spark.sql.execution.metric.SQLMetric)
+  extends Iterator[InternalRow] {
 
   private val keyProj = UnsafeProjection.create(keys, childOutput)
   private val rowOrd: BaseOrdering = RowOrdering.create(order, childOutput)
@@ -229,7 +242,7 @@ private final class PartialTopKIterator(
             heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
           }
         case None =>
-          if (heaps.size >= cap) flush()
+          if (heaps.size >= cap) { flushes += 1; flush() }
           val heap = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
           heaps.put(key.copy(), heap)
@@ -251,6 +264,7 @@ private final class PartialTopKIterator(
 
   override def next(): InternalRow = {
     if (emit.isEmpty) consume()
+    outRows += 1
     emit.next()
   }
 }
