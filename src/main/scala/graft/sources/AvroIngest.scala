@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.util.Utf8
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -94,5 +94,82 @@ object AvroIngest {
       }
     }(auditEnc)
     (rows, audit)
+  }
+
+  /** Avro record schema derived from a (flat) Spark schema; nullable
+    * fields become `[null, T]` unions with a null default.
+    */
+  def avroSchema(schema: StructType, recordName: String): org.apache.avro.Schema = {
+    val b = org.apache.avro.SchemaBuilder.record(recordName).fields()
+    val done = schema.fields.foldLeft(b) { (fb, f) =>
+      val base = f.dataType match {
+        case BooleanType => org.apache.avro.Schema.Type.BOOLEAN
+        case LongType | IntegerType => org.apache.avro.Schema.Type.LONG
+        case DoubleType | FloatType => org.apache.avro.Schema.Type.DOUBLE
+        case StringType => org.apache.avro.Schema.Type.STRING
+        case BinaryType => org.apache.avro.Schema.Type.BYTES
+        case dt => throw new IllegalArgumentException(
+          s"writeAvroDir: unsupported field type $dt for '${f.name}' " +
+            "(flat records only — flatten structs/arrays first)")
+      }
+      val s = org.apache.avro.Schema.create(base)
+      if (f.nullable)
+        fb.name(f.name).`type`(org.apache.avro.Schema.createUnion(
+          java.util.Arrays.asList(
+            org.apache.avro.Schema.create(org.apache.avro.Schema.Type.NULL),
+            s))).withDefault(null)
+      else fb.name(f.name).`type`(s).noDefault()
+    }
+    done.endRecord()
+  }
+
+  /** K-sink twin of [[readAvroDir]]: one deflate-compressed container
+    * file per non-empty partition (`part-NNNNN.avro`), written through
+    * the Hadoop FileSystem API so the same code lands on file://, HDFS
+    * or an object store. Executors write in parallel — no driver
+    * collect; returns rows written.
+    */
+  def writeAvroDir(df: DataFrame, dir: String,
+                   recordName: String = "GraftRow"): Long = {
+    val schema = df.schema
+    val avroJson = avroSchema(schema, recordName).toString // serializable
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (!rows.hasNext) Iterator.single(0L)
+      else {
+        val avro = new org.apache.avro.Schema.Parser().parse(avroJson)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$idx%05d.avro")
+        val fs = path.getFileSystem(conf)
+        val out = fs.create(path, true)
+        val w = new DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        w.create(avro, out)
+        var n = 0L
+        try {
+          rows.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(avro)
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              val v: AnyRef =
+                if (r.isNullAt(i)) null
+                else f.dataType match {
+                  case LongType => java.lang.Long.valueOf(r.getLong(i))
+                  case IntegerType => java.lang.Long.valueOf(r.getInt(i).toLong)
+                  case DoubleType => java.lang.Double.valueOf(r.getDouble(i))
+                  case FloatType => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+                  case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(i))
+                  case StringType => r.getString(i)
+                  case BinaryType =>
+                    java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                  case _ => null
+                }
+              rec.put(f.name, v)
+            }
+            w.append(rec); n += 1
+          }
+        } finally w.close()
+        Iterator.single(n)
+      }
+    }.sum().toLong
   }
 }

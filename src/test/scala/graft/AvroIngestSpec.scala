@@ -70,4 +70,27 @@ class AvroIngestSpec extends SparkSpec {
     assert(a("broken.avro")._2) // flagged corrupt, no exception
     assert(!a.contains("notavro.txt")) // glob-pruned at listing time
   }
+
+  test("engine-side writer round-trips through the reader, one file per partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-avro-w").toFile.getAbsolutePath
+    val df = Seq(
+      (1L, Some("a"), Some(0.5), true),
+      (2L, None, None, false),
+      (3L, Some("c"), Some(2.25), true)
+    ).toDF("id", "name", "score", "flag").repartition(2)
+    val n = AvroIngest.writeAvroDir(df, dir)
+    assert(n == 3L)
+    assert(new File(dir).listFiles().count(_.getName.endsWith(".avro")) == 2)
+
+    val back = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("flag", BooleanType)))
+    val (rows, audit) = AvroIngest.readAvroDir(spark, dir, back)
+    val got = rows.orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getDouble(2) == 2.25 && got(2).getBoolean(3))
+    assert(audit.collect().forall(!_.getBoolean(2))) // nothing corrupt
+  }
 }
