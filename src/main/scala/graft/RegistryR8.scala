@@ -1068,6 +1068,43 @@ object RegistryR8 {
              |    AS BIGINT) AS cov_num
              |FROM q a JOIN q b
              |  ON a.vec_id = b.vec_id AND a.pos <= b.pos
-             |GROUP BY 1, 2, 3 ORDER BY a.label, pos_a, pos_b""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY a.label, pos_a, pos_b""".stripMargin)),
+
+    // ---- X32: SQL UNPIVOT clause (x30's inverse — p05 pins only the
+    //      DataFrame melt): four lineitem measures fold into
+    //      (measure, value) rows THROUGH THE PARSER, then aggregate to
+    //      exact integer cents per measure. Wide→long without 4 scans:
+    //      one pass, the UNPIVOT generator fans out in the scan
+    //      projection. --------------------------------------------------
+    Q("x32_sql_unpivot",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT measure,
+            CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS cents,
+            count(*) AS n
+          FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                FROM g_lineitem)
+          UNPIVOT (val FOR measure IN
+            (l_quantity, l_extendedprice, l_discount, l_tax))
+          GROUP BY measure ORDER BY measure""")
+      },
+      Some("""SELECT measure, cents, n FROM (
+             |  SELECT 'l_quantity' AS measure,
+             |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+             |      AS BIGINT) AS cents, count(*) AS n FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice',
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT), count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount',
+             |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+             |      AS BIGINT), count(*) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax',
+             |    CAST(sum(CAST(round(l_tax * 100) AS BIGINT))
+             |      AS BIGINT), count(*) FROM lineitem)
+             |ORDER BY measure""".stripMargin))
   )
 }
