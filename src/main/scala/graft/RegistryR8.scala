@@ -1105,6 +1105,56 @@ object RegistryR8 {
              |  SELECT 'l_tax',
              |    CAST(sum(CAST(round(l_tax * 100) AS BIGINT))
              |      AS BIGINT), count(*) FROM lineitem)
-             |ORDER BY measure""".stripMargin))
+             |ORDER BY measure""".stripMargin)),
+
+    // ---- D23: PORTABLE fuzzy decontamination — the hash-verified twin
+    //      of d13 (which keeps the fast native MinHashSig path and is
+    //      rows-only by necessity): train docs sharing an LSH band with
+    //      any eval doc, verified by exact word-trigram Jaccard >= 0.5.
+    //      Every stage — signatures, banding, candidate join, verify —
+    //      replays in the oracle, so the WHOLE cross-set decontamination
+    //      pipeline is hash-matched, not just row-counted. One signature
+    //      pass over the union; eval membership is a filter, not a
+    //      second scan. -----------------------------------------------
+    Q("d23_decontaminate_portable",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bands = graft.llm.Dedup.portableMinhashBands(
+            docs, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = bands.filter(col("id") % 10 =!= 0)
+          .join(bands.filter(col("id") % 10 === 0)
+              .select(col("id").as("eval_id"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select(col("id").as("train_id"), col("eval_id")).distinct()
+        cand
+          .join(docs.select(col("doc_id").as("train_id"),
+            col("text").as("ttxt")), "train_id")
+          .join(docs.select(col("doc_id").as("eval_id"),
+            col("text").as("etxt")), "eval_id")
+          .select(col("train_id"), col("eval_id"),
+            graft.llm.Dedup.ngramJaccard(col("ttxt"), col("etxt"), 3)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH ${graft.llm.Dedup.portableBandsOracleSql(
+                 "documents", "doc_id", "text")},
+              |cand AS (
+              |  SELECT DISTINCT tb.id AS train_id, eb.id AS eval_id
+              |  FROM pm_bands tb JOIN pm_bands eb
+              |    ON tb.band = eb.band AND tb.sig = eb.sig
+              |  WHERE tb.id % 10 <> 0 AND eb.id % 10 = 0),
+              |j AS (
+              |  SELECT c.train_id, c.eval_id,
+              |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              |      greatest(len(list_distinct(
+              |        list_concat(a.grams, b.grams))), 1) AS jaccard
+              |  FROM cand c
+              |  JOIN pm_t a ON a.id = c.train_id
+              |  JOIN pm_t b ON b.id = c.eval_id)
+              |SELECT train_id, eval_id, jaccard FROM j
+              |WHERE jaccard >= 0.5
+              |ORDER BY train_id, eval_id""".stripMargin))
   )
 }

@@ -616,6 +616,69 @@ object Dedup {
     * never the text; one min-aggregate per digest, one digest join, one
     * per-doc reassembly groupBy. All exact, no iteration.
     */
+  /** PORTABLE banded MinHash signatures — the SQL-replayable scheme d20
+    * proves out (one md5 per distinct word-trigram, 32 universal-family
+    * seed hashes in pure BIGINT arithmetic, 8 string-keyed bands),
+    * factored as a reusable (id, band, sig) frame so OTHER LSH
+    * pipelines (cross-set decontamination, incremental probes) can be
+    * hash-verified end to end instead of rows-only. The native
+    * `MinHashSig` kernel remains the fast path (d02); this is the
+    * auditable twin.
+    */
+  def portableMinhashBands(df: DataFrame, textCol: String, idCol: String,
+                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val p = 2147483647L
+    val gramRows = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), 3)).as("gram"))
+    val sig = gramRows
+      .select(col("id"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % p).as("g"))
+      .select(col("id"), col("g"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("id"), col("seed"),
+        (((lit(2654435761L) * (col("seed") + 1) % p) * col("g")
+          + lit(40503L) * (col("seed") + 1) % p) % p).as("h"))
+      .groupBy("id", "seed").agg(min(col("h")).as("mh"))
+    sig
+      .groupBy(col("id"),
+        (col("seed") / (numHashes / bands)).cast("int").as("band"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh").cast("string")), "-").as("sig"))
+  }
+
+  /** DuckDB CTE chain replaying [[portableMinhashBands]] over `table`:
+    * defines pm_t (id, grams), pm_gs, pm_h, pm_bands (id, band, sig).
+    * Splice into `WITH ...` of an oracle query.
+    */
+  def portableBandsOracleSql(table: String, idCol: String,
+                             textCol: String): String =
+    s"""pm_t AS (
+       |  SELECT $idCol AS id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS grams
+       |  FROM (SELECT $idCol,
+       |      list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+       |        x -> strlen(x) > 0) AS toks
+       |    FROM $table)),
+       |pm_gs AS (
+       |  SELECT id, CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+       |    % 2147483647 AS g
+       |  FROM (SELECT id, unnest(grams) AS gram FROM pm_t)),
+       |pm_h AS (
+       |  SELECT id, s.seed,
+       |    min(((2654435761 * (s.seed + 1) % 2147483647) * g
+       |      + 40503 * (s.seed + 1) % 2147483647) % 2147483647) AS mh
+       |  FROM pm_gs CROSS JOIN (SELECT unnest(range(32)) AS seed) s
+       |  GROUP BY id, s.seed),
+       |pm_bands AS (
+       |  SELECT id, seed // 4 AS band,
+       |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS sig
+       |  FROM pm_h GROUP BY id, seed // 4)""".stripMargin
+
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segWords: Int = 10): DataFrame = {
     val segs = df
