@@ -1118,7 +1118,10 @@ object RegistryR8 {
     //      second scan. -----------------------------------------------
     Q("d23_decontaminate_portable",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // same bounded universe as d20: the portable-hash pipeline costs
+        // ~32x the digest work of the native kernel by construction —
+        // it's the AUDIT path, priced for verification, not the hot path
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
         val bands = graft.llm.Dedup.portableMinhashBands(
             docs, "text", "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1139,7 +1142,8 @@ object RegistryR8 {
           .orderBy("train_id", "eval_id")
       },
       Some(s"""WITH ${graft.llm.Dedup.portableBandsOracleSql(
-                 "documents", "doc_id", "text")},
+                 "(SELECT * FROM documents WHERE doc_id < 2000)",
+                 "doc_id", "text")},
               |cand AS (
               |  SELECT DISTINCT tb.id AS train_id, eb.id AS eval_id
               |  FROM pm_bands tb JOIN pm_bands eb
