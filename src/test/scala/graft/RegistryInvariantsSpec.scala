@@ -31,7 +31,13 @@ class RegistryInvariantsSpec extends SparkSpec {
     // must not move when the shuffle width (and thus partial-agg merge
     // order) changes.
     val names = Seq("t14_bm25", "a41_group_ols", "t16_zipf_fit",
-      "n09_knn_eval", "a43_percentile_cont", "x33_linear_interpolate")
+      "n09_knn_eval", "a43_percentile_cont", "x33_linear_interpolate",
+      // this round's determinism claims: integer graph fixpoints, the
+      // native TopK operator's total order, quantized-integer cosine,
+      // round-9 bigram logprobs, and the portable LSH pipeline
+      "g01_pagerank", "g03_triangles", "g04_label_propagation",
+      "w24_native_topk", "n10_centroid_cosine", "t19_bigram_lm",
+      "d22_segment_dedup", "d23_decontaminate_portable")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>
