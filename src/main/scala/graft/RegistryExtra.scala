@@ -283,16 +283,36 @@ object RegistryExtra {
              |GROUP BY ROLLUP (yr, prio)
              |ORDER BY yr, prio""".stripMargin)),
 
-    // ---- W4: ntile quartiles (deterministic total order). An EXACT
-    //      global ntile is inherently a total-order op (single-partition
-    //      window); at 100 TB use a16's approx percentile boundaries +
-    //      width_bucket instead, or ntile within partitions. --------------
+    // ---- W4: ntile quartiles (deterministic total order) WITHOUT the
+    //      single-partition window a global ntile naively needs: the
+    //      exact global rank comes from `Ids.denseIds` (range partition
+    //      → per-partition counts → broadcast offsets — every heavy step
+    //      distributed), the row count from a one-row broadcast agg, and
+    //      ntile's bucket boundaries are then pure arithmetic on
+    //      (rank, N): with base = N div 4 and rem = N % 4 the first
+    //      `rem` buckets hold base+1 rows (the SQL-standard fill order
+    //      DuckDB implements too). Exactly the u07 machinery, as scale-
+    //      safe as a global sort. -----------------------------------------
     Q("w04_ntile",
-      (s, dir) => t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(Window.orderBy(col("o_totalprice"),
-            col("o_orderkey"))).as("price_quartile"))
-        .orderBy("o_orderkey"),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val ranked = graft.etl.Ids.denseIds(o,
+          Seq(col("o_totalprice"), col("o_orderkey")), "__rid")
+        val n = ranked.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("price_quartile", expr(
+            """CAST(CASE
+              |  WHEN __base = 0 OR __rid <= __rem * (__base + 1)
+              |    THEN (__rid - 1) div (__base + 1) + 1
+              |  ELSE __rem + (__rid - __rem * (__base + 1) - 1) div __base + 1
+              |END AS INT)""".stripMargin
+              .replace("__base", "(__n div 4)")
+              .replace("__rem", "(__n % 4)")))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("price_quartile"))
+          .orderBy("o_orderkey")
+      },
       Some("""SELECT o_orderkey, o_totalprice,
              |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
              |    AS price_quartile

@@ -1008,15 +1008,37 @@ object RegistryLlm {
              |  substr(hex(encode(text)), 1, 4) AS format_tag
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- M2: batched decode/feature-extract plumbing (stub decoder) -----------------
+    // ---- M2: batched decode/feature-extract over binary payloads with
+    //      the DEFAULT (real, ImageIO) decoder — synthesize the m03
+    //      gradient PNG per doc, run the generic decodeFeatures pass,
+    //      and hash-match provenance + dim + an exact integer replay of
+    //      the pooled features: each of the 16 features is a 2×2-cell
+    //      luminance mean/255, so round(f·4·255) recovers the exact
+    //      integer cell sum (float32 error ≪ 0.5) and their total is the
+    //      analytic gradient sum Σ(id·31+i mod 256). The plumbing AND
+    //      the feature values are oracle-gated. ------------------------
     Q("m02_decode_features",
-      (s, dir) => Multimodal.decodeFeatures(
-          Multimodal.withBinaryMetadata(t(s, dir, "documents"), "text"),
-          "doc_id")
-        .select(col("id"), col("byte_len"), col("decoder"),
-          size(col("features")).cast("long").as("feature_dim"))
-        .orderBy("id"),
-      None),
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 500)
+        Multimodal.decodeFeatures(
+            Multimodal.withSyntheticImages(ids, "id"), "id")
+          .select(col("id").as("doc_id"), col("decoder"),
+            size(col("features")).cast("long").as("feature_dim"),
+            expr("""CAST(aggregate(transform(features,
+                   |  f -> CAST(round(CAST(f AS DOUBLE) * 1020D) AS BIGINT)),
+                   |  0L, (acc, x) -> acc + x) AS BIGINT)""".stripMargin)
+              .as("pooled_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  'imageio:gray-pool16' AS decoder,
+             |  CAST(16 AS BIGINT) AS feature_dim,
+             |  (SELECT CAST(sum((doc_id*31 + i) % 256) AS BIGINT)
+             |   FROM range(64) t(i)) AS pooled_sum
+             |FROM documents WHERE doc_id < 500
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- M3: REAL image decode (JDK ImageIO), oracle-exact round trip —
     //      synthesize a deterministic gradient PNG per doc, decode it

@@ -361,10 +361,14 @@ object RegistryR8 {
           .select(explode(TextAnalysis.tokens(lower(col("text"))))
             .as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))
+        // orderBy+limit compiles to TakeOrderedAndProject (distributed
+        // per-partition top-k, no single-task sort of the whole
+        // vocabulary — 10⁷–10⁸ rows at 100 TB); the rank window then
+        // runs over just the 100 survivors. Same o01 pattern.
         val ranked = freq
+          .orderBy(col("freq").desc, col("word").asc).limit(100)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("freq").desc, col("word").asc)))
-          .filter(col("rank") <= 100)
         val terms = ranked.select(
           round(log(col("rank").cast("double")), 9)
             .cast("decimal(12,9)").as("x"),
@@ -1075,7 +1079,12 @@ object RegistryR8 {
     //      (measure, value) rows THROUGH THE PARSER, then aggregate to
     //      exact integer cents per measure. Wide→long without 4 scans:
     //      one pass, the UNPIVOT generator fans out in the scan
-    //      projection. --------------------------------------------------
+    //      projection. INCLUDE NULLS pins the oracle equivalence: the
+    //      UNION-ALL oracle counts every source row per measure, and
+    //      UNPIVOT's default EXCLUDE NULLS would silently drop
+    //      null-measure rows (diverging in n) if a measure were ever
+    //      nullable — with INCLUDE NULLS both engines emit one row per
+    //      (row, measure) and both sums skip nulls. ---------------------
     Q("x32_sql_unpivot",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
@@ -1085,7 +1094,7 @@ object RegistryR8 {
             count(*) AS n
           FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax
                 FROM g_lineitem)
-          UNPIVOT (val FOR measure IN
+          UNPIVOT INCLUDE NULLS (val FOR measure IN
             (l_quantity, l_extendedprice, l_discount, l_tax))
           GROUP BY measure ORDER BY measure""")
       },

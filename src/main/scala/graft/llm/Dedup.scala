@@ -687,15 +687,19 @@ object Dedup {
         expr(s"transform(sequence(0, CAST((size(words) + ${segWords - 1}) div $segWords AS INT) - 1), " +
           s"i -> array_join(slice(words, i * $segWords + 1, $segWords), ' '))"))
         .as(Seq("seg_idx", "seg")))
-    val firsts = segs.filter(col("seg").isNotNull)
-      .groupBy(md5(col("seg")).as("h"))
-      .agg(min(struct(col("id"), col("seg_idx"))).as("first"))
-      .select(col("h"), col("first.id").as("fid"),
-        col("first.seg_idx").as("fidx"))
+    // Winner selection AND its text in ONE map-side-combined aggregate:
+    // min(struct(id, seg_idx, seg)) picks the globally-first occurrence
+    // per digest ((id, seg_idx) is unique, so `seg` never decides the
+    // order), carrying the winning text along. Per-OCCURRENCE segment
+    // text never shuffles — the partial combine reduces each map
+    // partition to at most one string per distinct digest before the
+    // exchange, and the old candidate join (which re-shuffled every
+    // segment string) is gone entirely.
     val kept = segs.filter(col("seg").isNotNull)
-      .join(firsts, md5(col("seg")) === col("h"))
-      .filter(col("id") === col("fid") && col("seg_idx") === col("fidx"))
-      .select(col("id"), col("seg_idx"), col("seg"))
+      .groupBy(md5(col("seg")).as("h"))
+      .agg(min(struct(col("id"), col("seg_idx"), col("seg"))).as("first"))
+      .select(col("first.id").as("id"), col("first.seg_idx").as("seg_idx"),
+        col("first.seg").as("seg"))
     df.select(col(idCol).as("id"))
       .join(kept.groupBy("id")
           .agg(array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"),

@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract plumbing.
   *
-  * Two modalities decode for REAL with zero external dependencies:
-  * IMAGE via the JDK's ImageIO (PNG/JPEG/BMP/GIF — `decodeImage`) and
-  * AUDIO via pure byte arithmetic over RIFF/PCM (`decodeWav`). Only the
-  * VIDEO/generic decode step is STUBBED (no codec library in this
-  * environment) with a deterministic fake — and even there the
-  * Spark-side contract is real: schema, batched per-partition execution
-  * (the Scala analog of `mapInPandas`: one iterator pass per partition,
-  * no per-row task overhead, no driver collect), partition sizing.
+  * Every default decode path is REAL with zero external dependencies:
+  * IMAGE via the JDK's ImageIO (PNG/JPEG/BMP/GIF — `decodeImage`,
+  * also `decodeFeatures`' default), AUDIO via pure byte arithmetic
+  * over RIFF/PCM (`decodeWav`), VIDEO via the RIFF/AVI walker +
+  * per-frame ImageIO (`decodeVideoFrames`). A deterministic stub
+  * decoder survives only as an explicit TEST SEAM (`stubDecode`, never
+  * a default) for formats with no in-JVM codec; its `stub:*`
+  * provenance marks its rows. The Spark-side contract everywhere:
+  * schema, batched per-partition execution (the Scala analog of
+  * `mapInPandas`: one iterator pass per partition, no per-row task
+  * overhead, no driver collect), partition sizing.
   */
 object Multimodal {
 
@@ -35,18 +38,21 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Batched "decode + feature extract" over binary payloads — the
-    * mapInPandas-shaped pass, with a PLUGGABLE decoder. The default
-    * decoder is a stub (deterministic hash-seeded pseudo-features; the
-    * JVM ships no generic/H.264 codec), so tests exercise the plumbing
-    * (schema, batching, partitioning) with stable outputs. The
-    * decoder's NAME travels in every output row's `decoder` column:
-    * a 100 TB run downstream can always tell — and filter on — whether
-    * features came from `stub:*` or a real codec, instead of stub
-    * features silently impersonating real ones.
+    * mapInPandas-shaped pass, with a PLUGGABLE decoder. The DEFAULT
+    * decoder is the REAL JDK ImageIO path ([[imageIoDecode]]:
+    * PNG/JPEG/BMP/GIF → 4×4 mean-pooled luminance, the same proven
+    * kernel as `decodeImageFeatures`); payloads ImageIO cannot decode
+    * yield null features (corrupt-is-data). A stub decoder
+    * ([[stubDecode]]) remains available as an explicit test seam for
+    * formats with no in-JVM codec. The decoder's NAME travels in every
+    * output row's `decoder` column: a 100 TB run downstream can always
+    * tell — and filter on — whether features came from `imageio:*` or
+    * `stub:*`, instead of stub features silently impersonating real
+    * ones.
     */
   def decodeFeatures(df: DataFrame, idCol: String,
-                     decoderName: String = StubDecoderName,
-                     decoder: Array[Byte] => Array[Float] = fakeDecode)
+                     decoderName: String = ImageIoDecoderName,
+                     decoder: Array[Byte] => Array[Float] = imageIoDecode)
       : DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType),
@@ -66,15 +72,27 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Name carried by [[decodeFeatures]]' default stub decoder — the
+  /** Name carried by [[decodeFeatures]]' default (real) decoder. */
+  val ImageIoDecoderName = "imageio:gray-pool16"
+
+  /** REAL default decoder for [[decodeFeatures]]: JDK ImageIO decode +
+    * 4×4 mean-pooled luminance (16 floats, [[decodeImage]]'s kernel).
+    * Null on undecodable payloads — corrupt blobs are data, not
+    * exceptions.
+    */
+  def imageIoDecode(payload: Array[Byte]): Array[Float] =
+    decodeImage(payload, 4).map(_._4).orNull
+
+  /** Name carried by the [[stubDecode]] test-seam decoder — the
     * `stub:` prefix is the downstream contract for "not real features".
     */
   val StubDecoderName = "stub:pseudo-hash"
 
-  /** STUB decoder: deterministic pseudo-features from payload bytes.
-    * Replace with a real image/audio decode in production.
+  /** STUB decoder (TEST SEAM ONLY — never a default): deterministic
+    * pseudo-features from payload bytes, for exercising the plumbing
+    * with formats that have no in-JVM codec.
     */
-  private def fakeDecode(payload: Array[Byte]): Array[Float] = {
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var h = 1125899906842597L
     var i = 0

@@ -82,6 +82,9 @@ object TopKPerKey {
             maxPartialKeys: Int = 1 << 16): DataFrame = {
     require(k > 0, s"topKPerKey: k must be positive, got $k")
     require(maxPartialKeys >= 1, "topKPerKey: maxPartialKeys must be >= 1")
+    require(keys.nonEmpty,
+      "topKPerKey: at least one grouping key is required " +
+        "(for a global top-k use orderBy(...).limit(k))")
     // The session converter turns Column sort nodes into catalyst
     // SortOrder eagerly — ColumnBridge.expression would hand back a lazy
     // ColumnNodeExpression wrapper that never serializes to executors.

@@ -65,34 +65,44 @@ object AvroIngest {
         (out.toSeq, false)
       } finally reader.close()
     } catch {
-      case _: Throwable => (out.toSeq, true) // keep rows decoded pre-corruption
+      // NonFatal only: a truncated/garbled container is data (keep the
+      // rows decoded pre-corruption), but OutOfMemoryError or task
+      // interruption must still fail the task — swallowing those would
+      // mask real executor problems as per-file "corrupt" flags.
+      case scala.util.control.NonFatal(_) => (out.toSeq, true)
     }
   }
 
   /** Read every `*.avro` under `dir` into `schema`-shaped rows, plus a
     * per-file audit frame (rel_path, n_rows, corrupt).
+    *
+    * Each container decodes ONCE: a single `mapPartitions` emits one
+    * (rel_path, corrupt, rows[]) record per file, persisted
+    * MEMORY_AND_DISK, and both returned frames project from it — so
+    * consuming rows AND audit costs one decompress+decode per file, not
+    * two. The cached form is the decoded rows (smaller than the raw
+    * payloads); lifecycle is session-managed (LRU/exit), same
+    * convention as `Ids.denseIds`.
     */
   def readAvroDir(spark: SparkSession, dir: String,
                   schema: StructType): (DataFrame, DataFrame) = {
     val files = Ingest.readBinaryDir(spark, dir, glob = "*.avro")
       .select(col("rel_path"), col("payload"))
-    val auditSchema = StructType(Seq(
+    val combinedSchema = StructType(Seq(
       StructField("rel_path", StringType),
-      StructField("n_rows", LongType),
-      StructField("corrupt", BooleanType)))
-    val rowsEnc = RowEncoder.encoderFor(schema)
-    val auditEnc = RowEncoder.encoderFor(auditSchema)
-    val rows = files.mapPartitions { it =>
-      it.flatMap { r =>
-        decodeFile(r.getAs[Array[Byte]]("payload"), schema)._1
-      }
-    }(rowsEnc)
-    val audit = files.mapPartitions { it =>
+      StructField("corrupt", BooleanType),
+      StructField("rows", ArrayType(schema))))
+    val combEnc = RowEncoder.encoderFor(combinedSchema)
+    val decoded = files.mapPartitions { it =>
       it.map { r =>
         val (rs, bad) = decodeFile(r.getAs[Array[Byte]]("payload"), schema)
-        Row(r.getAs[String]("rel_path"), rs.size.toLong, bad)
+        Row(r.getAs[String]("rel_path"), bad, rs)
       }
-    }(auditEnc)
+    }(combEnc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = decoded
+      .select(explode(col("rows")).as("__r")).select(col("__r.*"))
+    val audit = decoded.select(col("rel_path"),
+      size(col("rows")).cast("long").as("n_rows"), col("corrupt"))
     (rows, audit)
   }
 

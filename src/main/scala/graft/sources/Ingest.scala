@@ -131,7 +131,13 @@ object Ingest {
     val basePath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
       .stripSuffix("/")
     val rel = udf { p: String =>
-      val up = new java.net.URI(p).getPath
+      // URI.create throws on odd-but-legal filenames (literal '%',
+      // brackets); fall back to stripping the scheme://authority prefix
+      // textually — one strange filename must not kill the whole scan
+      // (the module's corrupt-is-data policy applies to paths too).
+      val up = (try Option(new java.net.URI(p).getPath) catch {
+        case _: java.net.URISyntaxException => None
+      }).getOrElse(p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", ""))
       if (up.startsWith(basePath + "/")) up.substring(basePath.length + 1)
       else up
     }

@@ -22,12 +22,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[String]("format_tag") == "6865") // "he"
   }
 
-  test("decodeFeatures: stable schema, deterministic stub features, stub provenance") {
-    val out = Multimodal.decodeFeatures(
-      Multimodal.withBinaryMetadata(docs, "text"), "doc_id")
+  test("decodeFeatures default is the REAL ImageIO decoder; corrupt payloads yield null features") {
+    // real PNG payloads decode through the default path with imageio
+    // provenance and the proven pooled-luminance features
+    val pngs = Multimodal.withSyntheticImages(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeFeatures(pngs, "id")
     assert(out.schema.fieldNames.toSeq ==
       Seq("id", "byte_len", "decoder", "features"))
     val rows = out.orderBy("id").collect()
+    assert(rows.forall(_.getAs[String]("decoder") ==
+      Multimodal.ImageIoDecoderName))
+    val f1 = rows(0).getSeq[Float](3)
+    assert(f1.length == Multimodal.FeatureDim)
+    // features replay decodeImageFeatures' kernel exactly
+    val direct = Multimodal.decodeImageFeatures(pngs, "id")
+      .orderBy("id").collect()(0).getSeq[Float](4)
+    assert(f1 == direct)
+    // non-image payloads are data, not exceptions: null features, same
+    // provenance column
+    val bad = Multimodal.decodeFeatures(
+      Multimodal.withBinaryMetadata(docs, "text"), "doc_id")
+      .orderBy("id").collect()
+    assert(bad.forall(_.isNullAt(3)))
+  }
+
+  test("decodeFeatures stub seam: deterministic pseudo-features, stub provenance") {
+    val stubbed = Multimodal.decodeFeatures(
+      Multimodal.withBinaryMetadata(docs, "text"), "doc_id",
+      Multimodal.StubDecoderName, Multimodal.stubDecode)
+    val rows = stubbed.orderBy("id").collect()
     assert(rows.length == 2)
     // the stub can never impersonate a real codec: every row is marked
     assert(rows.forall(_.getAs[String]("decoder").startsWith("stub:")))
@@ -35,10 +59,11 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length == Multimodal.FeatureDim)
     // deterministic: second run yields identical features
     val again = Multimodal.decodeFeatures(
-      Multimodal.withBinaryMetadata(docs, "text"), "doc_id")
+      Multimodal.withBinaryMetadata(docs, "text"), "doc_id",
+      Multimodal.StubDecoderName, Multimodal.stubDecode)
       .orderBy("id").collect()(0).getSeq[Float](3)
     assert(f1 == again)
-    // pluggable: a real decoder plugs in with its own name
+    // pluggable: any decoder plugs in with its own name
     val real = Multimodal.decodeFeatures(
       Multimodal.withBinaryMetadata(docs, "text"), "doc_id",
       "len-probe", b => Array(b.length.toFloat))

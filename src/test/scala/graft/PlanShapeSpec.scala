@@ -174,13 +174,49 @@ class PlanShapeSpec extends SparkSpec {
       graft.llm.TextAnalysis.dedupTokens(col("text")))) == 0)
   }
 
-  test("segmentDedup shuffles digests + longs, never raw text") {
+  test("segmentDedup: per-occurrence text never shuffles (no candidate join)") {
     val plan = graft.llm.Dedup.segmentDedup(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
-    // the digest aggregate and the digest join hash-partition on md5
-    // output, never range-shuffle, never nested-loop
+    // winner selection is ONE map-side-combined aggregate on the md5
+    // digest; never range-shuffle, never nested-loop, and no exchange
+    // hash-partitions on a raw segment column
     assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("hashpartitioning(seg"), plan.take(600))
+    // the old shape joined every (seg-string) occurrence row against the
+    // winner set — one extra join and a full-text shuffle. The only join
+    // left is the output-sized reassembly join back to the id universe.
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, s"expected only the reassembly join, got $joins:\n" +
+      plan.take(800))
+  }
+
+  test("t16 zipf: vocabulary top-100 is a distributed TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("t16_zipf_fit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the full word-frequency table must flow through per-partition
+    // top-k (TakeOrderedAndProject), never a total-order range shuffle
+    // or a whole-vocabulary single-partition sort; the rank window then
+    // touches only the 100 survivors (the o01 pattern)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(800))
+  }
+
+  test("w04 ntile: exact global quartiles with every heavy step distributed") {
+    val df = SparkEntry.queries("w04_ntile")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the global rank comes from the denseIds range partitioning; every
+    // Window in the plan is partitioned (no single-partition window over
+    // the data), and the row count joins back via broadcast
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(800))
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("__part")),
+      "every window must be partitioned by __part:\n" + plan.take(800))
+    // the only SinglePartition exchange feeds the one-row global count,
+    // never the data path
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"unexpected single-partition exchanges ($singles):\n" +
+      plan.take(800))
   }
 
   test("pagerank is one lazy plan: edges shuffle once, ranks per round") {
