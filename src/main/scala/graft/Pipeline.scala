@@ -24,7 +24,11 @@ object Pipeline {
       today: String,
       windowDays: Int = 90,
       lookbackMatches: Int = 7,
-      aliases: Map[String, String] = Normalize.defaultAliases)
+      aliases: Map[String, String] = Normalize.defaultAliases,
+      // webhook notification target (`pipeline.py:123-139` parity);
+      // callers wire sys.env.get("SLACK_WEBHOOK_URL") through for the
+      // reference's env contract
+      webhookUrl: Option[String] = None)
 
   case class Stats(
       fixturesCount: Long,
@@ -47,7 +51,24 @@ object Pipeline {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
-  def run(spark: SparkSession, cfg: Config): Stats = {
+  /** Full pipeline + the reference's webhook notifications: success
+    * message after the stats land, error message if any stage throws
+    * (`pipeline.py:123-139`). Both sends are driver-side, after all
+    * Spark actions, and can never fail the run.
+    */
+  def run(spark: SparkSession, cfg: Config): Stats =
+    try {
+      val stats = runStages(spark, cfg)
+      cfg.webhookUrl.foreach(u =>
+        Notify.send(Notify.successMessage(stats), u))
+      stats
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        cfg.webhookUrl.foreach(u => Notify.send(Notify.errorMessage(e), u))
+        throw e
+    }
+
+  private def runStages(spark: SparkSession, cfg: Config): Stats = {
     val today = lit(cfg.today).cast("date")
 
     // Stage 2 — process fixtures (extract stage 1 is the captured file).

@@ -993,6 +993,33 @@ object RegistryR8 {
           |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
         iters = 3))),
 
+    // ---- G5: seeded BFS / shortest-hop distances (graph/Bfs.scala) —
+    //      "within k hops of a trusted seed set" curation, the graph
+    //      analog of d10's decontamination. 4 rounds of integer
+    //      Bellman-Ford relaxation over the user-transition graph from
+    //      seeds user_id % 37 = 0; pure hop-count arithmetic with an
+    //      unreached sentinel => the CTE unroll replays it bit-exactly.
+    //      Edges partition once; each round shuffles only the reached
+    //      distance rows. ----------------------------------------------
+    Q("g05_bfs_distances",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = events(s, dir)
+          .select(col("user_id").as("src"),
+            lead(col("user_id"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        graft.graph.Bfs.distances(edges, col("id") % 37 === 0, maxHops = 4)
+          .orderBy("id")
+      },
+      Some(graft.graph.Bfs.oracleSql(
+        """SELECT src, dst FROM (
+          |  SELECT user_id AS src,
+          |    lead(user_id) OVER (PARTITION BY event_type
+          |                        ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+        seedPred = "id % 37 = 0", maxHops = 4))),
+
     // ---- W25: CHAINED window aggregation — `window(window_time(w))`
     //      (Spark 3.4+ surface): hourly counts roll up into 6-hour
     //      buckets from the hourly AGGREGATES, never rescanning raw
@@ -1168,6 +1195,22 @@ object RegistryR8 {
               |  JOIN pm_t b ON b.id = c.eval_id)
               |SELECT train_id, eval_id, jaccard FROM j
               |WHERE jaccard >= 0.5
-              |ORDER BY train_id, eval_id""".stripMargin))
+              |ORDER BY train_id, eval_id""".stripMargin)),
+
+    // ---- D24: PORTABLE SemDeDup twin (llm/Similarity.scala
+    //      semanticDedupPortable) — the hash-verified audit twin of the
+    //      rows-only d16, d23's pattern applied to embedding dedup:
+    //      Forgy cells (first-n-by-id centroids, SQL-expressible where
+    //      seeded k-means++ is not) + n10's BIGINT-quantized cosines,
+    //      same capped within-cell candidate topology. DuckDB re-derives
+    //      every cell assignment and keep/drop verdict bit-for-bit. ----
+    Q("d24_semantic_dedup_portable",
+      (s, dir) => graft.llm.Similarity.semanticDedupPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 8, threshold = 0.92, cap = 16)
+        .orderBy("id"),
+      Some(graft.llm.Similarity.semanticDedupPortableOracleSql(
+        "embeddings", "vec_id", "embedding",
+        nCells = 8, threshold = 0.92, cap = 16)))
   )
 }

@@ -38,9 +38,16 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: deg feeds BOTH degree-attach joins (da and db) — without
+    // the cache the union+groupBy (and its exchange) runs twice. The two
+    // joins themselves are inherent: attaching per-node degrees to both
+    // endpoints of every edge is two equi-joins on different keys (at
+    // this scale AQE broadcasts deg; at 100 TB they become SMJs, which is
+    // the right plan — deg is |nodes| rows, far smaller than edges).
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(F.count(F.lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ori = und
       .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
       .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")

@@ -334,6 +334,148 @@ object Similarity {
     * a degenerate all-duplicates cell still collapses to one survivor.
     * Returns (id, cell, kept) for every input row.
     */
+  /** Hash-verified PORTABLE twin of [[semanticDedup]] (the d23 pattern:
+    * the fast native path stays rows-only-audited, this exact replay is
+    * the one DuckDB re-derives bit-for-bit). Differences, each for
+    * replayability only:
+    *
+    *  - cells come from a FORGY fit — the centroids are the first
+    *    `nCells` corpus vectors by id (k-means with 0 Lloyd rounds on
+    *    the ordered sample), expressible as `ORDER BY id LIMIT n` in
+    *    SQL where a seeded k-means++ is not;
+    *  - all cosines run in n10's BIGINT-quantized space
+    *    (round(x·10⁶)): integer dots/norms are order-independent exact,
+    *    and the final `dot / (sqrt(n2a)·sqrt(n2b))` is one fixed shape
+    *    of correctly-rounded IEEE ops — bit-identical on any engine.
+    *
+    * Same candidate topology as [[semanticDedup]]: within-cell head
+    * all-pairs capped at `cap`, tail rows star-paired against the
+    * cell's min-id representative — O(cap² + N) per cell, never O(N²).
+    * The centroid frame is `orderBy(id).limit(n)` (distributed
+    * TakeOrdered, then a window over the n surviving rows) and joins
+    * back via broadcast; nothing here collects the corpus.
+    */
+  def semanticDedupPortable(emb: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int = 8, threshold: Double = 0.95,
+                            cap: Int = 16): DataFrame = {
+    val sumSq = (c: String) =>
+      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+    val dot = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val cosSql = (d: String, na: String, nb: String) =>
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val q = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+    val cent = q.orderBy("id").limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cv"))
+    val scored = q.crossJoin(broadcast(cent))
+      .withColumn("cos", expr(cosSql(dot("qv", "cv"), sumSq("qv"),
+        sumSq("cv"))))
+    val best = scored.groupBy("id")
+      .agg(max(struct(col("cos").as("cos"),
+        (-col("cell")).cast("long").as("negcell"))).as("b"))
+      .select(col("id"), (-col("b.negcell")).cast("int").as("cell"))
+    val assigned = q.join(best, "id")
+    val wC = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val ranked = assigned.withColumn("rn", row_number().over(wC))
+    val a = ranked.as("a"); val b = ranked.as("b")
+    val headPairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          col("a.rn") <= cap && col("b.rn") <= cap)
+      .select(col("a.qv").as("va"), col("b.id").as("id_b"),
+        col("b.qv").as("vb"))
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("cell"), col("qv").as("rep_v"))
+    val tailPairs = ranked.filter(col("rn") > cap).as("t")
+      .join(reps, Seq("cell"))
+      .select(col("rep_v").as("va"), col("t.id").as("id_b"),
+        col("t.qv").as("vb"))
+    val dropped = headPairs.unionByName(tailPairs)
+      .filter(expr(cosSql(dot("va", "vb"), sumSq("va"), sumSq("vb"))) >=
+        threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
+  /** DuckDB replay of [[semanticDedupPortable]] over `table` with long
+    * id `idCol` and float-array `vecCol`: Forgy cells, quantized
+    * cosines, capped candidate topology, keep/drop verdicts — the whole
+    * rewrite, exactly.
+    */
+  def semanticDedupPortableOracleSql(table: String, idCol: String,
+                                     vecCol: String, nCells: Int = 8,
+                                     threshold: Double = 0.95,
+                                     cap: Int = 16): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT)
+       |            AS cell
+       |        FROM $table ORDER BY $idCol LIMIT $nCells),
+       |cent AS (SELECT c.cell, q.pos, q.qe AS cq
+       |         FROM cid c JOIN qe q ON q.id = c.id),
+       |sc AS (
+       |  SELECT q.id, c.cell,
+       |    CAST(sum(q.qe * c.cq) AS BIGINT) AS dot,
+       |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2v,
+       |    CAST(sum(c.cq * c.cq) AS BIGINT) AS n2c
+       |  FROM qe q JOIN cent c ON c.pos = q.pos
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT id, cell,
+       |    CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+       |    END AS cos
+       |  FROM sc),
+       |best AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell)
+       |        AS rn
+       |    FROM cosv) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY id) AS rn
+       |  FROM best),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.cell = b.cell AND a.id < b.id
+       |   AND a.rn <= $cap AND b.rn <= $cap
+       |  UNION ALL
+       |  SELECT r1.id AS id_a, t.id AS id_b
+       |  FROM ranked t JOIN ranked r1
+       |    ON r1.cell = t.cell AND r1.rn = 1
+       |  WHERE t.rn > $cap),
+       |ps AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(qa.qe * qb.qe) AS BIGINT) AS dot,
+       |    CAST(sum(qa.qe * qa.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.qe * qb.qe) AS BIGINT) AS n2b
+       |  FROM cand c
+       |  JOIN qe qa ON qa.id = c.id_a
+       |  JOIN qe qb ON qb.id = c.id_b AND qb.pos = qa.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT id_b AS id FROM ps
+       |  WHERE (CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |    ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |    END) >= $threshold)
+       |SELECT b.id, b.cell, (d.id IS NULL) AS kept
+       |FROM best b LEFT JOIN dropped d ON d.id = b.id
+       |ORDER BY b.id""".stripMargin
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.95,
                     cap: Int = 64): DataFrame = {

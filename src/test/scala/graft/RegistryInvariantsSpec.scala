@@ -37,7 +37,11 @@ class RegistryInvariantsSpec extends SparkSpec {
       // round-9 bigram logprobs, and the portable LSH pipeline
       "g01_pagerank", "g03_triangles", "g04_label_propagation",
       "w24_native_topk", "n10_centroid_cosine", "t19_bigram_lm",
-      "d22_segment_dedup", "d23_decontaminate_portable")
+      "d22_segment_dedup", "d23_decontaminate_portable",
+      // round-9 determinism claims: integer BFS distances, the portable
+      // SemDeDup twin's quantized cosines, real-decode pooled features
+      "g05_bfs_distances", "d24_semantic_dedup_portable",
+      "m02_decode_features")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>

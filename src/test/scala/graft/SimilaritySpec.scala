@@ -306,4 +306,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(0L), s"expected only id 0 kept, got $kept")
   }
+
+  test("semanticDedupPortable: planted dups collapse; bit-stable under repartitioning") {
+    def vec(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 30).map(i => (i.toLong, vec(i)))
+    val dups = Seq(100L, 101L, 102L).map(id => (id, vec(5)))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupPortable(emb, "vec_id", "embedding",
+        nCells = 4, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(5L) && !out(100L) && !out(101L) && !out(102L))
+    assert(out.size == 33 && out.values.count(identity) == 30)
+    // the portability claim: quantized-integer cosines + Forgy cells
+    // must give BIT-identical rows however the input is partitioned
+    val r1 = Similarity.semanticDedupPortable(emb.repartition(1),
+      "vec_id", "embedding", nCells = 4, threshold = 0.99)
+      .orderBy("id").collect().toSeq
+    val r8 = Similarity.semanticDedupPortable(emb.repartition(8),
+      "vec_id", "embedding", nCells = 4, threshold = 0.99)
+      .orderBy("id").collect().toSeq
+    assert(r1 == r8)
+  }
+
+  test("semanticDedupPortable: degenerate all-duplicate corpus stays sub-quadratic") {
+    val v = Array.fill(8)(0.5f)
+    val emb = (0 until 300).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupPortable(emb, "vec_id", "embedding",
+      nCells = 2, threshold = 0.99, cap = 16)
+    val kept = out.filter(col("kept")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L), s"expected only id 0 kept, got $kept")
+    // no cartesian in the plan (the capped topology is structural)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
 }
