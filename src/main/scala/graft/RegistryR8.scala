@@ -1211,6 +1211,112 @@ object RegistryR8 {
         .orderBy("id"),
       Some(graft.llm.Similarity.semanticDedupPortableOracleSql(
         "embeddings", "vec_id", "embedding",
-        nCells = 8, threshold = 0.92, cap = 16)))
+        nCells = 8, threshold = 0.92, cap = 16))),
+
+    // ---- D25: PORTABLE incremental near-dup twin — the audit twin of
+    //      the rows-only d19, closing the same gap d23 closed for
+    //      decontamination: the steady-state daily shape (batch probes
+    //      prior buckets; candidates only new×prior and new×new, never
+    //      prior×prior) replayed end-to-end through the hash-verified
+    //      `portableMinhashBands` + exact trigram verify. Bounded to the
+    //      audit universe like d23; the native xxhash64 path (d19)
+    //      remains the hot path. ----------------------------------------
+    Q("d25_incremental_portable",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        val bands = graft.llm.Dedup.portableMinhashBands(
+            docs, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pb = bands.filter(col("id") < 300)
+          .select(col("id").as("other_id"), col("band"), col("sig"))
+        val bb = bands.filter(col("id") >= 300)
+        val vsPrior = bb.join(pb, Seq("band", "sig"))
+          .select(col("id").as("batch_id"), col("other_id"),
+            lit("prior").as("vs")).distinct()
+        val vsBatch = bb.join(bands.filter(col("id") >= 300)
+              .select(col("id").as("other_id"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("id") < col("other_id"))
+          .select(col("id").as("batch_id"), col("other_id"),
+            lit("batch").as("vs")).distinct()
+        vsPrior.unionByName(vsBatch)
+          .join(docs.select(col("doc_id").as("batch_id"),
+            col("text").as("btxt")), "batch_id")
+          .join(docs.select(col("doc_id").as("other_id"),
+            col("text").as("otxt")), "other_id")
+          .select(col("batch_id"), col("other_id"), col("vs"),
+            graft.llm.Dedup.ngramJaccard(col("btxt"), col("otxt"), 3)
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("batch_id", "other_id", "vs")
+      },
+      Some(s"""WITH ${graft.llm.Dedup.portableBandsOracleSql(
+                 "(SELECT * FROM documents WHERE doc_id < 500)",
+                 "doc_id", "text")},
+              |vp AS (
+              |  SELECT DISTINCT nb.id AS batch_id, pb.id AS other_id,
+              |    'prior' AS vs
+              |  FROM pm_bands nb JOIN pm_bands pb
+              |    ON nb.band = pb.band AND nb.sig = pb.sig
+              |  WHERE nb.id >= 300 AND pb.id < 300),
+              |vb AS (
+              |  SELECT DISTINCT x.id AS batch_id, y.id AS other_id,
+              |    'batch' AS vs
+              |  FROM pm_bands x JOIN pm_bands y
+              |    ON x.band = y.band AND x.sig = y.sig
+              |  WHERE x.id >= 300 AND y.id >= 300 AND x.id < y.id),
+              |cand AS (SELECT * FROM vp UNION ALL SELECT * FROM vb),
+              |j AS (
+              |  SELECT c.batch_id, c.other_id, c.vs,
+              |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              |      greatest(len(list_distinct(
+              |        list_concat(a.grams, b.grams))), 1) AS jaccard
+              |  FROM cand c
+              |  JOIN pm_t a ON a.id = c.batch_id
+              |  JOIN pm_t b ON b.id = c.other_id)
+              |SELECT batch_id, other_id, vs, jaccard FROM j
+              |WHERE jaccard >= 0.5
+              |ORDER BY batch_id, other_id, vs""".stripMargin)),
+
+    // ---- N12: PORTABLE sign-LSH ANN twin — the audit twin of the
+    //      rows-only recall-gated n02/n05: integer-lattice hyperplanes
+    //      (pure hash arithmetic, no seeded Gaussian) + BIGINT bucket
+    //      sums + quantized-cosine ranking, so DuckDB re-derives every
+    //      bucket, candidate and ranked neighbor bit-for-bit. Candidates
+    //      exist only within (table, bucket) equi-joins — queries never
+    //      scan the corpus. -------------------------------------------
+    Q("n12_ann_lsh_portable",
+      (s, dir) => graft.llm.Similarity.lshTopKPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryMaxId = 5L, k = 3)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.lshTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3))),
+
+    // ---- D26: overlapping duplicate-SPAN detection (ExactSubstr-lite,
+    //      llm/Dedup.dupSpans): every 8-token window at EVERY offset is
+    //      fingerprinted and globally counted — the suffix-array-style
+    //      "find duplicated passages at any alignment" primitive that
+    //      d22's disjoint segments cannot express. Span text never
+    //      shuffles or reaches the output (digest-only joins); exact
+    //      oracle replays every window and count. ----------------------
+    Q("d26_dup_spans",
+      (s, dir) => graft.llm.Dedup.dupSpans(
+          t(s, dir, "documents"), "text", "doc_id", w = 8, stride = 1)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_idx"),
+      Some("""WITH segs AS (
+             |  SELECT d.doc_id AS id, t.i AS span_idx,
+             |    md5(array_to_string(d.words[t.i+1:t.i+8], ' ')) AS h
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+             |        FROM documents) d,
+             |    LATERAL (SELECT unnest(range(len(d.words))) AS i) t),
+             |c AS (
+             |  SELECT h, count(*) AS n_occurrences FROM segs
+             |  GROUP BY h HAVING count(*) > 1)
+             |SELECT s.id AS doc_id, CAST(s.span_idx AS BIGINT) AS span_idx,
+             |  CAST(c.n_occurrences AS BIGINT) AS n_occurrences
+             |FROM segs s JOIN c ON c.h = s.h
+             |ORDER BY doc_id, span_idx""".stripMargin))
   )
 }

@@ -679,6 +679,43 @@ object Dedup {
        |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS sig
        |  FROM pm_h GROUP BY id, seed // 4)""".stripMargin
 
+  /** Overlapping duplicate-SPAN detection — ExactSubstr-lite, the
+    * token-window form of suffix-array training-data dedup ("find every
+    * passage duplicated anywhere in the corpus"): each `w`-token window
+    * starting at every `stride`-th token is fingerprinted, and windows
+    * whose fingerprint occurs more than once ANYWHERE are reported with
+    * their global occurrence count. Unlike [[segmentDedup]]'s DISJOINT
+    * segments, windows OVERLAP — with stride=1 (the default) a
+    * duplicated `w`-token run is caught at EVERY alignment, which is
+    * exactly what disjoint segmentation cannot do; stride>1 is the
+    * sampled variant (cost ÷ stride, catches only alignment-congruent
+    * copies).
+    *
+    * Scale shape: span TEXT never shuffles and never reaches the
+    * output — windows project to (id, span_idx, md5) in the scan, the
+    * occurrence count is one map-side-combinable digest groupBy, and
+    * the report join carries digests + two longs only. Cost is the
+    * scan-side md5 CPU (~w× the corpus bytes at stride=1), the price
+    * ExactSubstr pays in any engine.
+    */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               w: Int = 8, stride: Int = 1): DataFrame = {
+    require(w >= 1, s"dupSpans: w must be >= 1, got $w")
+    require(stride >= 1, s"dupSpans: stride must be >= 1, got $stride")
+    val segs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, CAST((size(words) + ${stride - 1}) div $stride AS INT) - 1), " +
+          s"i -> md5(array_join(slice(words, i * $stride + 1, $w), ' ')))"))
+        .as(Seq("span_idx", "h")))
+    val counts = segs.groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 1)
+    segs.join(counts, "h")
+      .select(col("id"), col("span_idx").cast("long").as("span_idx"),
+        col("n_occurrences"))
+  }
+
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segWords: Int = 10): DataFrame = {
     val segs = df

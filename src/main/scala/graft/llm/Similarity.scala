@@ -476,6 +476,130 @@ object Similarity {
        |FROM best b LEFT JOIN dropped d ON d.id = b.id
        |ORDER BY b.id""".stripMargin
 
+  /** Hash-verified PORTABLE sign-LSH ANN twin (the audit twin of the
+    * rows-only recall-gated [[lshTopK]], completing the d23/d24/d25
+    * family for similarity search): hyperplanes come from pure integer
+    * HASH ARITHMETIC instead of a seeded Gaussian RNG —
+    * `w(t,p,d) = (2654435761·(t·1000 + p·100 + d + 1)) mod 1000003 −
+    * 501001` — so both the bucketing and the within-bucket quantized-
+    * cosine ranking replay bit-for-bit in DuckDB SQL. (Integer-lattice
+    * hyperplanes are a legitimate sign-LSH family: directions are
+    * deterministic pseudo-uniform, and the sign test only needs the
+    * direction.) Buckets per (table, vector) are exact BIGINT sums;
+    * ranking reuses n10's quantized-cosine shape.
+    *
+    * Scale shape = [[lshTopK]]: candidates exist only within a
+    * (table, bucket) equi-join — queries never scan the corpus.
+    *
+    * @param queryMaxId rows with id < queryMaxId are the query set (a
+    *                   SQL-replayable predicate, mirroring n02's shape)
+    */
+  def lshTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryMaxId: Long, k: Int, nTables: Int = 2,
+                      nPlanes: Int = 6): DataFrame = {
+    val s = emb.sparkSession
+    val qe = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qe",
+        expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select(col("id"), col("pos"), col("qe"))
+    val planes = s.sql(
+      s"""SELECT t, p, pos,
+         |  (2654435761L * (t * 1000 + p * 100 + pos + 1)) % 1000003
+         |    - 501001 AS w
+         |FROM (SELECT explode(sequence(0, ${nTables - 1})) AS t)
+         |LATERAL VIEW explode(sequence(0, ${nPlanes - 1})) vp AS p
+         |LATERAL VIEW explode(sequence(0, 63)) vd AS pos""".stripMargin)
+    val buckets = qe.join(broadcast(planes), "pos")
+      .groupBy("id", "t", "p")
+      .agg(sum(expr("qe * w")).as("sdot"))
+      .groupBy("id", "t")
+      .agg(sum(expr("CASE WHEN sdot >= 0 THEN " +
+        "CAST(round(pow(2, p)) AS BIGINT) ELSE 0L END")).as("bucket"))
+    val cand = buckets
+      .join(buckets.filter(col("id") < queryMaxId)
+          .select(col("id").as("qid"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    val scored = cand
+      .join(qe.select(col("id").as("qid"), col("pos"),
+        col("qe").as("qa")), Seq("qid"))
+      .join(qe.select(col("id"), col("pos"), col("qe").as("qb")),
+        Seq("id", "pos"))
+      .groupBy("qid", "id")
+      .agg(sum(expr("qa * qb")).as("dot"),
+        sum(expr("qa * qa")).as("n2a"),
+        sum(expr("qb * qb")).as("n2b"))
+      .withColumn("cos", expr(
+        "CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0 " +
+          "ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), col("cos"))
+  }
+
+  /** DuckDB replay of [[lshTopKPortable]] over `table`. */
+  def lshTopKPortableOracleSql(table: String, idCol: String,
+                               vecCol: String, queryMaxId: Long, k: Int,
+                               nTables: Int = 2,
+                               nPlanes: Int = 6): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |pl AS (
+       |  SELECT t.t, p.p, d.pos,
+       |    (2654435761 * (t.t * 1000 + p.p * 100 + d.pos + 1)) % 1000003
+       |      - 501001 AS w
+       |  FROM (SELECT unnest(range($nTables)) AS t) t,
+       |       (SELECT unnest(range($nPlanes)) AS p) p,
+       |       (SELECT unnest(range(64)) AS pos) d),
+       |bits AS (
+       |  SELECT q.id, pl.t, pl.p,
+       |    CAST(sum(q.qe * pl.w) AS BIGINT) AS sdot
+       |  FROM qe q JOIN pl ON pl.pos = q.pos
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT id, t,
+       |    CAST(sum(CASE WHEN sdot >= 0
+       |      THEN CAST(round(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.id AS qid, cb.id
+       |  FROM bk cb JOIN bk qb ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |  WHERE qb.id < $queryMaxId AND cb.id <> qb.id),
+       |sc AS (
+       |  SELECT c.qid, c.id,
+       |    CAST(sum(qa.qe * qb.qe) AS BIGINT) AS dot,
+       |    CAST(sum(qa.qe * qa.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.qe * qb.qe) AS BIGINT) AS n2b
+       |  FROM cand c
+       |  JOIN qe qa ON qa.id = c.qid
+       |  JOIN qe qb ON qb.id = c.id AND qb.pos = qa.pos
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id,
+       |    CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |    END AS cos
+       |  FROM sc)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  id AS neighbor_id, cos
+       |FROM (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+       |      AS rn
+       |  FROM r)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.95,
                     cap: Int = 64): DataFrame = {

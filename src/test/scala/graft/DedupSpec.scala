@@ -338,4 +338,61 @@ class DedupSpec extends SparkSpec {
     val expected = if (h < "cd") "train" else if (h < "e6") "val" else "test"
     assert(split(100L) == expected)
   }
+
+  test("d25 portable incremental twin: candidates are new-vs-prior and new-vs-new only") {
+    val rows = SparkEntry.queries("d25_incremental_portable")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "the sf0.001 corpus must surface some near-dups")
+    rows.foreach { case (batchId, otherId, vs, j) =>
+      assert(batchId >= 300L, s"pair anchored on a prior doc: $batchId")
+      assert(j >= 0.5 && j <= 1.0)
+      vs match {
+        case "prior" => assert(otherId < 300L,
+          s"vs=prior but other in batch: $otherId")
+        case "batch" => assert(otherId >= 300L && batchId < otherId,
+          s"vs=batch violates ordering: ($batchId, $otherId)")
+        case x => fail(s"unknown vs tag $x")
+      }
+    }
+  }
+
+  test("dupSpans catches a duplicated passage at ANY alignment (d22 cannot)") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    // doc 1 embeds the passage at token offset 3, doc 2 at offset 6 —
+    // misaligned for any disjoint segmentation, caught by stride-1 spans
+    val df = Seq(
+      (1L, s"${filler("a", 3)} $passage ${filler("b", 4)}"),
+      (2L, s"${filler("c", 6)} $passage ${filler("d", 2)}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "text", "doc_id", w = 8, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the full-passage window sits at span_idx 3 in doc 1 and 6 in doc 2
+    assert(out.contains((1L, 3L, 2L)), s"doc1 passage window missing: ${out.toSeq}")
+    assert(out.contains((2L, 6L, 2L)), s"doc2 passage window missing: ${out.toSeq}")
+    // no spurious full-width dup windows: every reported pair involves
+    // the shared passage region (offsets within its 8-token windows) or
+    // clamped suffix windows that end inside it
+    assert(out.forall(_._3 == 2L))
+    // and the DISJOINT segmenter indeed cannot see it at these offsets
+    val segOut = Dedup.segmentDedup(df, "text", "doc_id", segWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(segOut(2L) == ((6 + 8 + 2 + 7) / 8).toLong,
+      "disjoint segments should all survive (no aligned duplicate)")
+  }
+
+  test("dupSpans: span text never shuffles (digest-only exchanges)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, (1 to 20).map(j => s"w${(i * j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.dupSpans(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+    assert(!plan.contains("hashpartitioning(span"), plan.take(600))
+    assert(!plan.contains("hashpartitioning(text"), plan.take(600))
+    assert(!plan.contains("hashpartitioning(words"), plan.take(600))
+  }
 }

@@ -41,7 +41,8 @@ class RegistryInvariantsSpec extends SparkSpec {
       // round-9 determinism claims: integer BFS distances, the portable
       // SemDeDup twin's quantized cosines, real-decode pooled features
       "g05_bfs_distances", "d24_semantic_dedup_portable",
-      "m02_decode_features")
+      "m02_decode_features", "d25_incremental_portable",
+      "n12_ann_lsh_portable")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>

@@ -343,4 +343,33 @@ class SimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("lshTopKPortable: finds planted near-neighbors, bit-stable, bucket-joined") {
+    val r = new scala.util.Random(7)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    // queries 0..2; id 100+q = a tiny perturbation of query q (cosine
+    // ~0.9999 — same sign-bucket in every table with overwhelming odds)
+    val base = (0 until 3).map(i => (i.toLong, vec()))
+    val near = base.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.001f)) }
+    val noise = (10 until 60).map(i => (i.toLong, vec()))
+    val emb = (base ++ near ++ noise).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKPortable(emb, "vec_id", "embedding",
+      queryMaxId = 3L, k = 3)
+    val top1 = out.filter(col("rank") === 1).collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(2)).toMap
+    (0 until 3).foreach { q =>
+      assert(top1.get(q.toLong).contains(100L + q),
+        s"query $q should rank its planted twin first, got $top1")
+    }
+    // portability: bit-identical rows under repartitioning
+    val a = Similarity.lshTopKPortable(emb.repartition(1), "vec_id",
+      "embedding", 3L, 3).orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.lshTopKPortable(emb.repartition(8), "vec_id",
+      "embedding", 3L, 3).orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+    // structural: candidates come from (table, bucket) equi-joins only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
 }
