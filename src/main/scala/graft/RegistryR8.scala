@@ -1317,6 +1317,19 @@ object RegistryR8 {
              |SELECT s.id AS doc_id, CAST(s.span_idx AS BIGINT) AS span_idx,
              |  CAST(c.n_occurrences AS BIGINT) AS n_occurrences
              |FROM segs s JOIN c ON c.h = s.h
-             |ORDER BY doc_id, span_idx""".stripMargin))
+             |ORDER BY doc_id, span_idx""".stripMargin)),
+
+    // ---- N13: PORTABLE IVF ANN twin — completes the audit family
+    //      (brute force n01 exact, LSH n12 exact): Forgy cells +
+    //      quantized-cosine assignment, queries probe their 2 nearest
+    //      cells and rank only within them. Every cell assignment,
+    //      probe choice and ranked neighbor replays bit-for-bit. -------
+    Q("n13_ann_ivf_portable",
+      (s, dir) => graft.llm.Similarity.ivfTopKPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryMaxId = 5L, k = 3)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.ivfTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3)))
   )
 }

@@ -600,6 +600,137 @@ object Similarity {
        |WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hash-verified PORTABLE IVF ANN twin — completes the ANN audit
+    * family (n01 brute force is exact by construction, [[lshTopKPortable]]
+    * covers LSH): Forgy cells (first-`nCells`-by-id centroids, the same
+    * SQL-expressible 0-round fit as [[semanticDedupPortable]]), corpus
+    * vectors assigned to their quantized-cosine-nearest cell, queries
+    * probing their `nProbe` nearest cells and ranking ONLY within those
+    * cells' members by quantized cosine. Every cell assignment, probe
+    * choice and ranked neighbor replays bit-for-bit in DuckDB.
+    *
+    * Scale shape = [[ivfTopK]]: the probe is a cell equi-join — touched
+    * candidates are bounded by the probed cells' populations, never the
+    * corpus.
+    */
+  def ivfTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryMaxId: Long, k: Int, nCells: Int = 8,
+                      nProbe: Int = 2): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+    val cent = q.orderBy("id").limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cv"))
+    val sumSq = (c: String) =>
+      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+    val dotE = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val cosSql = (d: String, na: String, nb: String) =>
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val scored = q.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        expr(cosSql(dotE("qv", "cv"), sumSq("qv"), sumSq("cv"))))
+      .select(col("id"), col("cell"), col("cos"))
+    // corpus: nearest cell; queries: nProbe nearest cells
+    val assigned = scored.groupBy("id")
+      .agg(max(struct(col("cos").as("cos"),
+        (-col("cell")).cast("long").as("negcell"))).as("b"))
+      .select(col("id"), (-col("b.negcell")).cast("int").as("cell"))
+    val probes = scored.filter(col("id") < queryMaxId)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id")).distinct()
+    val ranked = cand
+      .join(q.select(col("id").as("qid"), col("qv").as("va")), Seq("qid"))
+      .join(q.select(col("id"), col("qv").as("vb")), Seq("id"))
+      .withColumn("cos",
+        expr(cosSql(dotE("va", "vb"), sumSq("va"), sumSq("vb"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("qid").as("query_id"),
+      col("rank").cast("long").as("rank"), col("id").as("neighbor_id"),
+      col("cos"))
+  }
+
+  /** DuckDB replay of [[ivfTopKPortable]] over `table`. */
+  def ivfTopKPortableOracleSql(table: String, idCol: String,
+                               vecCol: String, queryMaxId: Long, k: Int,
+                               nCells: Int = 8,
+                               nProbe: Int = 2): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT)
+       |            AS cell
+       |        FROM $table ORDER BY $idCol LIMIT $nCells),
+       |cent AS (SELECT c.cell, q.pos, q.qe AS cq
+       |         FROM cid c JOIN qe q ON q.id = c.id),
+       |sc AS (
+       |  SELECT q.id, c.cell,
+       |    CAST(sum(q.qe * c.cq) AS BIGINT) AS dot,
+       |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2v,
+       |    CAST(sum(c.cq * c.cq) AS BIGINT) AS n2c
+       |  FROM qe q JOIN cent c ON c.pos = q.pos
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT id, cell,
+       |    CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+       |    END AS cos
+       |  FROM sc),
+       |assigned AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell)
+       |        AS rn
+       |    FROM cosv) WHERE rn = 1),
+       |probes AS (
+       |  SELECT id AS qid, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell)
+       |        AS pr
+       |    FROM cosv WHERE id < $queryMaxId) WHERE pr <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.id
+       |  FROM assigned a JOIN probes p ON p.cell = a.cell
+       |  WHERE a.id <> p.qid),
+       |ps AS (
+       |  SELECT c.qid, c.id,
+       |    CAST(sum(qa.qe * qb.qe) AS BIGINT) AS dot,
+       |    CAST(sum(qa.qe * qa.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.qe * qb.qe) AS BIGINT) AS n2b
+       |  FROM cand c
+       |  JOIN qe qa ON qa.id = c.qid
+       |  JOIN qe qb ON qb.id = c.id AND qb.pos = qa.pos
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id,
+       |    CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |    END AS cos
+       |  FROM ps)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  id AS neighbor_id, cos
+       |FROM (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+       |      AS rn
+       |  FROM r)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.95,
                     cap: Int = 64): DataFrame = {

@@ -42,7 +42,7 @@ class RegistryInvariantsSpec extends SparkSpec {
       // SemDeDup twin's quantized cosines, real-decode pooled features
       "g05_bfs_distances", "d24_semantic_dedup_portable",
       "m02_decode_features", "d25_incremental_portable",
-      "n12_ann_lsh_portable")
+      "n12_ann_lsh_portable", "n13_ann_ivf_portable", "d26_dup_spans")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>

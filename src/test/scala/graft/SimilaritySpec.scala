@@ -372,4 +372,31 @@ class SimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("ivfTopKPortable: planted twin ranks first, bit-stable, cell-joined") {
+    val r = new scala.util.Random(11)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    val base = (0 until 3).map(i => (i.toLong, vec()))
+    val near = base.map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.001f)) }
+    val noise = (10 until 60).map(i => (i.toLong, vec()))
+    val emb = (base ++ near ++ noise).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKPortable(emb, "vec_id", "embedding",
+      queryMaxId = 3L, k = 3, nCells = 4, nProbe = 2)
+    val top1 = out.filter(col("rank") === 1).collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(2)).toMap
+    // a near-identical twin lands in the same nearest cell as its query
+    // (argmax cosine is continuous), so a 2-probe always sees it
+    (0 until 3).foreach { q =>
+      assert(top1.get(q.toLong).contains(100L + q),
+        s"query $q should rank its planted twin first, got $top1")
+    }
+    val a = Similarity.ivfTopKPortable(emb.repartition(1), "vec_id",
+      "embedding", 3L, 3, 4, 2).orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.ivfTopKPortable(emb.repartition(8), "vec_id",
+      "embedding", 3L, 3, 4, 2).orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
 }
