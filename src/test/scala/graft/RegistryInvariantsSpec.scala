@@ -42,7 +42,9 @@ class RegistryInvariantsSpec extends SparkSpec {
       // SemDeDup twin's quantized cosines, real-decode pooled features
       "g05_bfs_distances", "d24_semantic_dedup_portable",
       "m02_decode_features", "d25_incremental_portable",
-      "n12_ann_lsh_portable", "n13_ann_ivf_portable", "d26_dup_spans")
+      "n12_ann_lsh_portable", "n13_ann_ivf_portable", "d26_dup_spans",
+      "d27_contamination_report", "t20_perplexity_buckets",
+      "t21_script_mix")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>

@@ -106,4 +106,16 @@ class TextAnalysisSpec extends SparkSpec {
     val exp0 = (4 * math.log(0.4) + math.log(0.1)) / 5
     assert(math.abs(m(0L) - exp0) < 1e-9, s"${m(0L)} vs $exp0")
   }
+
+  test("charClassProfile: exact per-class counts") {
+    import spark.implicits._
+    val out = Seq((1L, "Ab1 c,d\t2!")).toDF("id", "text")
+      .select(TextAnalysis.charClassProfile(col("text")).as("p"))
+      .select("p.n_chars", "p.n_latin", "p.n_digit", "p.n_space")
+      .collect().head
+    // "Ab1 c,d\t2!": 10 chars, letters A b c d = 4, digits 1 2 = 2,
+    // spaces ' ' and tab = 2 (leaving , and ! as other)
+    assert(out.getLong(0) == 10 && out.getLong(1) == 4 &&
+      out.getLong(2) == 2 && out.getLong(3) == 2, out.toString)
+  }
 }
