@@ -1501,6 +1501,80 @@ object RegistryR8 {
              |    WHEN s.avg_logp >= th.t2 THEN 'middle'
              |    ELSE 'tail' END AS bucket
              |FROM scored s LEFT JOIN th ON th.source = s.source
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- A45: PORTABLE HyperLogLog — the audit twin of the rows-only
+    //      a36 sketch store (the d23 pattern applied to sketches):
+    //      md5-derived hashes, bin()-length rho, EXACT-integer harmonic
+    //      sum, one fixed-shape final division — every register, the
+    //      Z-sum, and the estimate replay bit-for-bit in DuckDB, next
+    //      to the exact distinct count for the accuracy story. --------
+    Q("a45_hll_portable",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"), col("user_id"))
+        val est = graft.functions.SketchStore.portableHllDistinct(
+          ev, Seq("event_type"), "user_id")
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, "event_type")
+          .select(col("event_type"), col("buckets_used"), col("zsum"),
+            col("approx_distinct"), col("exact_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ${graft.functions.SketchStore.portableHllOracleSql(
+                 "SELECT event_type, user_id FROM events",
+                 Seq("event_type"), "user_id")},
+              |ex AS (SELECT event_type,
+              |         count(DISTINCT user_id) AS exact_users
+              |       FROM events GROUP BY 1)
+              |SELECT e.event_type, e.buckets_used, e.zsum,
+              |  e.approx_distinct, x.exact_users
+              |FROM ph_est e JOIN ex x ON x.event_type = e.event_type
+              |ORDER BY e.event_type""".stripMargin)),
+
+    // ---- A46: PORTABLE Count-Min — the audit twin of the rows-only
+    //      a37: d=4 x w=271 counters from md5 row hashes, point
+    //      estimates = min over addressed counters. All-integer; the
+    //      one-sided never-undercount guarantee is re-derived per probe
+    //      by the oracle itself. ---------------------------------------
+    Q("a46_cm_portable",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val sketch = graft.functions.SketchStore.portableCmSketch(
+          ev, "event_type")
+        val exact = ev.groupBy(col("event_type").cast("string").as("item"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        graft.functions.SketchStore.portableCmProbe(
+            exact.select("item"), sketch)
+          .join(exact, "item")
+          .withColumn("overestimate_ok", col("est_cnt") >= col("exact_cnt"))
+          .orderBy("item")
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS item FROM events),
+             |cells AS (
+             |  SELECT item, r.rw,
+             |    CAST(concat('0x', substr(md5(concat('cm',
+             |      CAST(r.rw AS VARCHAR), ':', item)), 1, 15)) AS BIGINT)
+             |      % 271 AS cc
+             |  FROM src, (SELECT unnest(range(4)) AS rw) r),
+             |sk AS (
+             |  SELECT rw, cc, count(*) AS cnt FROM cells GROUP BY 1, 2),
+             |exact AS (
+             |  SELECT item, count(*) AS exact_cnt FROM src GROUP BY 1),
+             |probe AS (
+             |  SELECT e.item, r.rw,
+             |    CAST(concat('0x', substr(md5(concat('cm',
+             |      CAST(r.rw AS VARCHAR), ':', e.item)), 1, 15)) AS BIGINT)
+             |      % 271 AS cc
+             |  FROM exact e, (SELECT unnest(range(4)) AS rw) r),
+             |est AS (
+             |  SELECT p.item, CAST(min(sk.cnt) AS BIGINT) AS est_cnt
+             |  FROM probe p JOIN sk ON sk.rw = p.rw AND sk.cc = p.cc
+             |  GROUP BY 1)
+             |SELECT e.item, e.est_cnt, x.exact_cnt,
+             |  e.est_cnt >= x.exact_cnt AS overestimate_ok
+             |FROM est e JOIN exact x ON x.item = e.item
+             |ORDER BY e.item""".stripMargin))
   )
 }

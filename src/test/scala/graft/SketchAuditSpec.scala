@@ -41,4 +41,42 @@ class SketchAuditSpec extends SparkSpec {
         s"$prio: frac-below $frac (n=$n, approx=$approx)")
     }
   }
+
+  test("portable HLL: useful accuracy AND bit-stable under repartitioning") {
+    import spark.implicits._
+    // 8000 distinct keys in one group, 100 in another
+    val df = ((1 to 8000).map(i => ("big", s"u$i")) ++
+      (1 to 100).map(i => ("small", s"v$i"))).toDF("g", "k")
+    def run(parts: Int) = graft.functions.SketchStore
+      .portableHllDistinct(df.repartition(parts), Seq("g"), "k")
+      .orderBy("g").collect().toSeq
+    val a = run(1); val b = run(8)
+    // registers are per-bucket maxima: partitioning can never move a bit
+    assert(a == b)
+    val est = a.map(r => r.getString(0) -> r.getAs[Double]("approx_distinct")).toMap
+    // p=9 standard error is 1.04/sqrt(512) ~ 4.6%; allow 4 sigma
+    assert(math.abs(est("big") - 8000) / 8000.0 < 0.20, est.toString)
+    // small-range correction keeps tiny groups accurate too
+    assert(math.abs(est("small") - 100) / 100.0 < 0.15, est.toString)
+  }
+
+  test("portable Count-Min never undercounts and bounds overshoot on skew") {
+    import spark.implicits._
+    // heavy hitter (5000x) among 200 light items (10x each)
+    val rows = Seq.fill(5000)("hot") ++
+      (1 to 200).flatMap(i => Seq.fill(10)(s"item$i"))
+    val df = rows.toDF("event_type")
+    val sketch = graft.functions.SketchStore.portableCmSketch(df, "event_type")
+    val exact = df.groupBy(col("event_type").as("item"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("exact_cnt"))
+    val probed = graft.functions.SketchStore
+      .portableCmProbe(exact.select("item"), sketch)
+      .join(exact, "item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(probed.forall { case (_, est, ex) => est >= ex },
+      "CM must never undercount")
+    val (_, hotEst, hotEx) = probed.find(_._1 == "hot").get
+    // the heavy hitter's row counters collide with at most the light mass
+    assert(hotEst - hotEx <= 2000, s"hot overshoot ${hotEst - hotEx}")
+  }
 }
