@@ -1575,6 +1575,24 @@ object RegistryR8 {
              |SELECT e.item, e.est_cnt, x.exact_cnt,
              |  e.est_cnt >= x.exact_cnt AS overestimate_ok
              |FROM est e JOIN exact x ON x.item = e.item
-             |ORDER BY e.item""".stripMargin))
+             |ORDER BY e.item""".stripMargin)),
+
+    // ---- N14: PORTABLE cosine near-dup pairs — the audit twin of the
+    //      rows-only n03: the same integer-lattice sign-LSH banding as
+    //      n12, the same head/star candidate cap as the native path,
+    //      quantized-integer cosine verify. Every candidate pair and
+    //      verdict replays bit-for-bit. The n-family audit twins are
+    //      now complete: brute(n01)/LSH(n12)/IVF(n13)/pairs(n14). -----
+    Q("n14_cosine_neardup_portable",
+      // threshold 0.3: the synthetic embeddings are near-orthogonal, so
+      // a production-style 0.8+ gate returns an empty (weak) result set;
+      // 0.3 exercises candidate generation, cap topology AND non-trivial
+      // verify verdicts at every SF
+      (s, dir) => graft.llm.Similarity.cosineNearDupsPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(graft.llm.Similarity.cosineNearDupsPortableOracleSql(
+        "embeddings", "vec_id", "embedding", threshold = 0.3)))
   )
 }

@@ -600,6 +600,132 @@ object Similarity {
        |WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Hash-verified PORTABLE cosine near-dup twin — the audit twin of
+    * the rows-only [[cosineNearDups]] (n03), built from the same
+    * integer-lattice sign-LSH as [[lshTopKPortable]]: candidates
+    * collide in any of `nTables` hash-arithmetic bucket tables, pair
+    * generation uses the identical head/star cap, and the verify is the
+    * quantized-integer cosine — so every candidate pair and every
+    * verdict replays bit-for-bit in DuckDB. Returns distinct
+    * (id_a < id_b, cos) pairs with cos >= threshold.
+    */
+  def cosineNearDupsPortable(emb: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double = 0.95,
+                             nTables: Int = 2, nPlanes: Int = 6,
+                             cap: Int = 16): DataFrame = {
+    val s = emb.sparkSession
+    val qe = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qe",
+        expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select(col("id"), col("pos"), col("qe"))
+    val planes = s.sql(
+      s"""SELECT t, p, pos,
+         |  (2654435761L * (t * 1000 + p * 100 + pos + 1)) % 1000003
+         |    - 501001 AS w
+         |FROM (SELECT explode(sequence(0, ${nTables - 1})) AS t)
+         |LATERAL VIEW explode(sequence(0, ${nPlanes - 1})) vp AS p
+         |LATERAL VIEW explode(sequence(0, 63)) vd AS pos""".stripMargin)
+    val buckets = qe.join(broadcast(planes), "pos")
+      .groupBy("id", "t", "p")
+      .agg(sum(expr("qe * w")).as("sdot"))
+      .groupBy("id", "t")
+      .agg(sum(expr("CASE WHEN sdot >= 0 THEN " +
+        "CAST(round(pow(2, p)) AS BIGINT) ELSE 0L END")).as("bucket"))
+    val ranked = buckets.withColumn("rn", row_number().over(
+      Window.partitionBy(col("t"), col("bucket")).orderBy(col("id"))))
+    val a = ranked.as("a"); val b = ranked.as("b")
+    val headPairs = a.join(b,
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") &&
+          col("a.rn") <= cap && col("b.rn") <= cap)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val reps = ranked.filter(col("rn") === 1)
+      .select(col("t"), col("bucket"), col("id").as("rep_id"))
+    val tailPairs = ranked.filter(col("rn") > cap).as("x")
+      .join(reps, Seq("t", "bucket"))
+      .select(col("rep_id").as("id_a"), col("x.id").as("id_b"))
+    val cand = headPairs.unionByName(tailPairs).distinct()
+    cand
+      .join(qe.select(col("id").as("id_a"), col("pos"),
+        col("qe").as("qa")), Seq("id_a"))
+      .join(qe.select(col("id").as("id_b"), col("pos"),
+        col("qe").as("qb")), Seq("id_b", "pos"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(expr("qa * qb")).as("dot"),
+        sum(expr("qa * qa")).as("n2a"),
+        sum(expr("qb * qb")).as("n2b"))
+      .withColumn("cos", expr(
+        "CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0 " +
+          "ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** DuckDB replay of [[cosineNearDupsPortable]] over `table`. */
+  def cosineNearDupsPortableOracleSql(table: String, idCol: String,
+                                      vecCol: String,
+                                      threshold: Double = 0.95,
+                                      nTables: Int = 2, nPlanes: Int = 6,
+                                      cap: Int = 16): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |pl AS (
+       |  SELECT t.t, p.p, d.pos,
+       |    (2654435761 * (t.t * 1000 + p.p * 100 + d.pos + 1)) % 1000003
+       |      - 501001 AS w
+       |  FROM (SELECT unnest(range($nTables)) AS t) t,
+       |       (SELECT unnest(range($nPlanes)) AS p) p,
+       |       (SELECT unnest(range(64)) AS pos) d),
+       |bits AS (
+       |  SELECT q.id, pl.t, pl.p,
+       |    CAST(sum(q.qe * pl.w) AS BIGINT) AS sdot
+       |  FROM qe q JOIN pl ON pl.pos = q.pos
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT id, t,
+       |    CAST(sum(CASE WHEN sdot >= 0
+       |      THEN CAST(round(pow(2, p)) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM bits GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT id, t, bucket,
+       |    row_number() OVER (PARTITION BY t, bucket ORDER BY id) AS rn
+       |  FROM bk),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b
+       |    FROM rk a JOIN rk b
+       |      ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id
+       |     AND a.rn <= $cap AND b.rn <= $cap
+       |    UNION ALL
+       |    SELECT r1.id AS id_a, x.id AS id_b
+       |    FROM rk x JOIN rk r1
+       |      ON r1.t = x.t AND r1.bucket = x.bucket AND r1.rn = 1
+       |    WHERE x.rn > $cap)),
+       |ps AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(qa.qe * qb.qe) AS BIGINT) AS dot,
+       |    CAST(sum(qa.qe * qa.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.qe * qb.qe) AS BIGINT) AS n2b
+       |  FROM cand c
+       |  JOIN qe qa ON qa.id = c.id_a
+       |  JOIN qe qb ON qb.id = c.id_b AND qb.pos = qa.pos
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |    ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |  END AS cos
+       |FROM ps
+       |WHERE (CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |    ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |  END) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Hash-verified PORTABLE IVF ANN twin — completes the ANN audit
     * family (n01 brute force is exact by construction, [[lshTopKPortable]]
     * covers LSH): Forgy cells (first-`nCells`-by-id centroids, the same

@@ -44,7 +44,8 @@ class RegistryInvariantsSpec extends SparkSpec {
       "m02_decode_features", "d25_incremental_portable",
       "n12_ann_lsh_portable", "n13_ann_ivf_portable", "d26_dup_spans",
       "d27_contamination_report", "t20_perplexity_buckets",
-      "t21_script_mix", "a45_hll_portable", "a46_cm_portable")
+      "t21_script_mix", "a45_hll_portable", "a46_cm_portable",
+      "n14_cosine_neardup_portable")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val base = names.map(n =>

@@ -399,4 +399,27 @@ class SimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("cosineNearDupsPortable: planted pairs found, ordered, bit-stable") {
+    val r = new scala.util.Random(23)
+    def vec() = Array.fill(64)(r.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    // two planted near-identical pairs
+    val twins = Seq((100L, base(3)._2.map(_ + 0.001f)),
+      (101L, base(7)._2.map(_ + 0.001f)))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupsPortable(emb, "vec_id", "embedding",
+      threshold = 0.95)
+    val pairs = out.collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)) && pairs.contains((7L, 101L)),
+      s"planted pairs missing: $pairs")
+    assert(pairs.forall { case (x, y) => x < y }, "pairs must be ordered")
+    val a = Similarity.cosineNearDupsPortable(emb.repartition(1),
+      "vec_id", "embedding", 0.95).orderBy("id_a", "id_b").collect().toSeq
+    val b = Similarity.cosineNearDupsPortable(emb.repartition(8),
+      "vec_id", "embedding", 0.95).orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b)
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+  }
 }
