@@ -523,33 +523,36 @@ object RegistryWide {
     //      catalog ingests. Values surface as strings with per-type
     //      canonical formatting so one long table carries all columns ----
     Q("a31_table_stats",
+      // Per-column single-distinct aggregates UNIONed, not one
+      // multi-distinct agg: Spark rewrites 4 count_distincts into a 5x
+      // Expand whose non-distinct aggs ride along as first() FILTER
+      // (gid = 0) — which forces a SortAggregate, i.e. a full SORT of
+      // the 5x-expanded relation. At 100 TB that sorts five times the
+      // table just for stats. Four separate aggregates each scan ONE
+      // parquet column (columnar pruning: total bytes read equal the
+      // single full-width scan), each plans as a two-phase
+      // HashAggregate with map-side partial distinct, and the union
+      // stacks 4 one-row frames.
       (s, dir) => {
         val o = t(s, dir, "orders")
-        val agg = o.agg(
-          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_k"),
-          count_distinct(col("o_orderkey")).as("nd_k"),
-          min(col("o_orderkey")).cast("string").as("mn_k"),
-          max(col("o_orderkey")).cast("string").as("mx_k"),
-          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_s"),
-          count_distinct(col("o_orderstatus")).as("nd_s"),
-          min(col("o_orderstatus")).as("mn_s"),
-          max(col("o_orderstatus")).as("mx_s"),
-          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_p"),
-          count_distinct(col("o_totalprice")).as("nd_p"),
-          min(col("o_totalprice")).cast("decimal(18,2)").cast("string")
-            .as("mn_p"),
-          max(col("o_totalprice")).cast("decimal(18,2)").cast("string")
-            .as("mx_p"),
-          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("nn_d"),
-          count_distinct(col("o_orderdate")).as("nd_d"),
-          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn_d"),
-          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx_d"))
-        agg.select(expr("stack(4, " +
-            "'o_orderdate', nn_d, nd_d, mn_d, mx_d, " +
-            "'o_orderkey', nn_k, nd_k, mn_k, mx_k, " +
-            "'o_orderstatus', nn_s, nd_s, mn_s, mx_s, " +
-            "'o_totalprice', nn_p, nd_p, mn_p, mx_p) " +
-            "AS (col_name, n_nulls, n_distinct, min_value, max_value)"))
+        def stats(cname: String, mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
+          o.agg(
+              sum(when(col(cname).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              count_distinct(col(cname)).as("n_distinct"),
+              mn.as("min_value"), mx.as("max_value"))
+            .select(lit(cname).as("col_name"), col("n_nulls"),
+              col("n_distinct"), col("min_value"), col("max_value"))
+        stats("o_orderdate",
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd"))
+          .unionByName(stats("o_orderkey",
+            min(col("o_orderkey")).cast("string"),
+            max(col("o_orderkey")).cast("string")))
+          .unionByName(stats("o_orderstatus",
+            min(col("o_orderstatus")), max(col("o_orderstatus"))))
+          .unionByName(stats("o_totalprice",
+            min(col("o_totalprice")).cast("decimal(18,2)").cast("string"),
+            max(col("o_totalprice")).cast("decimal(18,2)").cast("string")))
           .orderBy("col_name")
       },
       Some("""WITH a AS (
