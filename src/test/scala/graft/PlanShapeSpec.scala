@@ -191,6 +191,20 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("a31 table stats: no multi-distinct Expand (per-column hash aggregates)") {
+    val plan = SparkEntry.queries("a31_table_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the old shape rewrote 4 count_distincts into a 5x Expand whose
+    // non-distinct aggs became first() FILTER — forcing a full sort of
+    // five times the table; the per-column union must never regress to it
+    assert(!plan.contains("Expand"), plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    // the single string column (min/max over UTF8) may SortAggregate —
+    // one narrow column with map-side combine, up to 4 phase nodes in
+    // its one branch — but the other three branches must stay hash
+    assert("SortAggregate".r.findAllIn(plan).size <= 4, plan.take(800))
+  }
+
   test("t16 zipf: vocabulary top-100 is a distributed TakeOrdered, not a global sort") {
     val plan = SparkEntry.queries("t16_zipf_fit")(spark, sf)
       .queryExecution.executedPlan.toString
