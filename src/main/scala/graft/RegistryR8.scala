@@ -1310,7 +1310,8 @@ object RegistryR8 {
              |    md5(array_to_string(d.words[t.i+1:t.i+8], ' ')) AS h
              |  FROM (SELECT doc_id, string_split(text, ' ') AS words
              |        FROM documents) d,
-             |    LATERAL (SELECT unnest(range(len(d.words))) AS i) t),
+             |    LATERAL (SELECT unnest(range(greatest(
+             |      len(d.words) - 7, 0))) AS i) t),
              |c AS (
              |  SELECT h, count(*) AS n_occurrences FROM segs
              |  GROUP BY h HAVING count(*) > 1)
@@ -1539,14 +1540,19 @@ object RegistryR8 {
     //      by the oracle itself. ---------------------------------------
     Q("a46_cm_portable",
       (s, dir) => {
+        import s.implicits._
         val ev = events(s, dir)
         val sketch = graft.functions.SketchStore.portableCmSketch(
           ev, "event_type")
         val exact = ev.groupBy(col("event_type").cast("string").as("item"))
           .agg(count(lit(1)).as("exact_cnt"))
-        graft.functions.SketchStore.portableCmProbe(
-            exact.select("item"), sketch)
-          .join(exact, "item")
+        // one deliberately-absent probe exercises the empty-counter →
+        // est_cnt=0 path of portableCmProbe alongside the present items
+        val probes = exact.select("item")
+          .unionAll(Seq("__absent_probe__").toDF("item"))
+        graft.functions.SketchStore.portableCmProbe(probes, sketch)
+          .join(exact, Seq("item"), "left")
+          .withColumn("exact_cnt", coalesce(col("exact_cnt"), lit(0L)))
           .withColumn("overestimate_ok", col("est_cnt") >= col("exact_cnt"))
           .orderBy("item")
       },
@@ -1562,19 +1568,24 @@ object RegistryR8 {
              |  SELECT rw, cc, count(*) AS cnt FROM cells GROUP BY 1, 2),
              |exact AS (
              |  SELECT item, count(*) AS exact_cnt FROM src GROUP BY 1),
+             |probes AS (
+             |  SELECT item FROM exact
+             |  UNION ALL SELECT '__absent_probe__'),
              |probe AS (
              |  SELECT e.item, r.rw,
              |    CAST(concat('0x', substr(md5(concat('cm',
              |      CAST(r.rw AS VARCHAR), ':', e.item)), 1, 15)) AS BIGINT)
              |      % 271 AS cc
-             |  FROM exact e, (SELECT unnest(range(4)) AS rw) r),
+             |  FROM probes e, (SELECT unnest(range(4)) AS rw) r),
              |est AS (
-             |  SELECT p.item, CAST(min(sk.cnt) AS BIGINT) AS est_cnt
-             |  FROM probe p JOIN sk ON sk.rw = p.rw AND sk.cc = p.cc
+             |  SELECT p.item,
+             |    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+             |  FROM probe p LEFT JOIN sk ON sk.rw = p.rw AND sk.cc = p.cc
              |  GROUP BY 1)
-             |SELECT e.item, e.est_cnt, x.exact_cnt,
-             |  e.est_cnt >= x.exact_cnt AS overestimate_ok
-             |FROM est e JOIN exact x ON x.item = e.item
+             |SELECT e.item, e.est_cnt,
+             |  coalesce(x.exact_cnt, 0) AS exact_cnt,
+             |  e.est_cnt >= coalesce(x.exact_cnt, 0) AS overestimate_ok
+             |FROM est e LEFT JOIN exact x ON x.item = e.item
              |ORDER BY e.item""".stripMargin)),
 
     // ---- N14: PORTABLE cosine near-dup pairs — the audit twin of the

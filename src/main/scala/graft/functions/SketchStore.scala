@@ -210,7 +210,10 @@ object SketchStore {
 
   /** Point estimates for `probes` (a frame with an `item` column)
     * against a [[portableCmSketch]] table: min over the d addressed
-    * counters.
+    * counters. An addressed counter absent from the sketch holds 0, so
+    * the left join + coalesce keeps it in the min — a probe of an item
+    * never seen by the sketch yields est_cnt=0 (matching [[cmProbe]])
+    * instead of an inflated min over only its non-empty counters.
     */
   def portableCmProbe(probes: DataFrame, sketch: DataFrame,
                       d: Int = 4, w: Int = 271): DataFrame =
@@ -219,8 +222,8 @@ object SketchStore {
         explode(sequence(lit(0), lit(d - 1))).as("row"))
       .withColumn("cc", expr(
         s"CAST(conv(substring(md5(concat('cm', CAST(row AS STRING), ':', item)), 1, 15), 16, 10) AS BIGINT) % $w"))
-      .join(sketch, Seq("row", "cc"))
+      .join(sketch, Seq("row", "cc"), "left")
       .groupBy("item")
-      .agg(min(col("cnt")).as("est_cnt"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 }
 

@@ -702,10 +702,18 @@ object Dedup {
                w: Int = 8, stride: Int = 1): DataFrame = {
     require(w >= 1, s"dupSpans: w must be >= 1, got $w")
     require(stride >= 1, s"dupSpans: stride must be >= 1, got $stride")
+    // FULL w-token windows only (start offsets 0..size-w, stride-
+    // adjusted) — ExactSubstr matches are fixed-length-w. Tail windows
+    // shorter than w would fingerprint shared short suffixes (at
+    // stride=1, even one common final word) as duplicate spans. The
+    // filtered start-index set is a prefix of the candidate sequence, so
+    // posexplode's position stays the window index; docs shorter than w
+    // emit no windows at all.
     val segs = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
       .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, CAST((size(words) + ${stride - 1}) div $stride AS INT) - 1), " +
+        s"transform(filter(sequence(0, greatest(CAST((size(words) + ${stride - 1}) div $stride AS INT) - 1, 0)), " +
+          s"i -> i * $stride + $w <= size(words)), " +
           s"i -> md5(array_join(slice(words, i * $stride + 1, $w), ' ')))"))
         .as(Seq("span_idx", "h")))
     val counts = segs.groupBy("h")

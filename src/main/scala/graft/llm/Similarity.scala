@@ -493,10 +493,15 @@ object Similarity {
     *
     * @param queryMaxId rows with id < queryMaxId are the query set (a
     *                   SQL-replayable predicate, mirroring n02's shape)
+    * @param dim hyperplane lattice width: bucketing hashes components
+    *            0 until dim ONLY (the pos equi-join drops positions the
+    *            lattice doesn't cover); the verify cosine is always
+    *            full-dimension. Set dim >= the embedding width — a
+    *            smaller dim silently degrades recall, never correctness.
     */
   def lshTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
                       queryMaxId: Long, k: Int, nTables: Int = 2,
-                      nPlanes: Int = 6): DataFrame = {
+                      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val s = emb.sparkSession
     val qe = emb.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("pos", "e")))
@@ -509,7 +514,7 @@ object Similarity {
          |    - 501001 AS w
          |FROM (SELECT explode(sequence(0, ${nTables - 1})) AS t)
          |LATERAL VIEW explode(sequence(0, ${nPlanes - 1})) vp AS p
-         |LATERAL VIEW explode(sequence(0, 63)) vd AS pos""".stripMargin)
+         |LATERAL VIEW explode(sequence(0, ${dim - 1})) vd AS pos""".stripMargin)
     val buckets = qe.join(broadcast(planes), "pos")
       .groupBy("id", "t", "p")
       .agg(sum(expr("qe * w")).as("sdot"))
@@ -542,11 +547,13 @@ object Similarity {
         col("id").as("neighbor_id"), col("cos"))
   }
 
-  /** DuckDB replay of [[lshTopKPortable]] over `table`. */
+  /** DuckDB replay of [[lshTopKPortable]] over `table`. `dim` must match
+    * the Spark call — it bounds the hyperplane lattice, not the verify.
+    */
   def lshTopKPortableOracleSql(table: String, idCol: String,
                                vecCol: String, queryMaxId: Long, k: Int,
                                nTables: Int = 2,
-                               nPlanes: Int = 6): String =
+                               nPlanes: Int = 6, dim: Int = 64): String =
     s"""WITH qe AS (
        |  SELECT emb.$idCol AS id, t.i AS pos,
        |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
@@ -559,7 +566,7 @@ object Similarity {
        |      - 501001 AS w
        |  FROM (SELECT unnest(range($nTables)) AS t) t,
        |       (SELECT unnest(range($nPlanes)) AS p) p,
-       |       (SELECT unnest(range(64)) AS pos) d),
+       |       (SELECT unnest(range($dim)) AS pos) d),
        |bits AS (
        |  SELECT q.id, pl.t, pl.p,
        |    CAST(sum(q.qe * pl.w) AS BIGINT) AS sdot
@@ -608,11 +615,17 @@ object Similarity {
     * quantized-integer cosine — so every candidate pair and every
     * verdict replays bit-for-bit in DuckDB. Returns distinct
     * (id_a < id_b, cos) pairs with cos >= threshold.
+    *
+    * @param dim hyperplane lattice width: bucketing hashes components
+    *            0 until dim ONLY (positions beyond it are dropped by the
+    *            pos equi-join); the verify cosine is full-dimension. Set
+    *            dim >= the embedding width — a smaller dim degrades
+    *            recall silently, never correctness.
     */
   def cosineNearDupsPortable(emb: DataFrame, idCol: String,
                              vecCol: String, threshold: Double = 0.95,
                              nTables: Int = 2, nPlanes: Int = 6,
-                             cap: Int = 16): DataFrame = {
+                             cap: Int = 16, dim: Int = 64): DataFrame = {
     val s = emb.sparkSession
     val qe = emb.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("pos", "e")))
@@ -625,7 +638,7 @@ object Similarity {
          |    - 501001 AS w
          |FROM (SELECT explode(sequence(0, ${nTables - 1})) AS t)
          |LATERAL VIEW explode(sequence(0, ${nPlanes - 1})) vp AS p
-         |LATERAL VIEW explode(sequence(0, 63)) vd AS pos""".stripMargin)
+         |LATERAL VIEW explode(sequence(0, ${dim - 1})) vd AS pos""".stripMargin)
     val buckets = qe.join(broadcast(planes), "pos")
       .groupBy("id", "t", "p")
       .agg(sum(expr("qe * w")).as("sdot"))
@@ -662,12 +675,14 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** DuckDB replay of [[cosineNearDupsPortable]] over `table`. */
+  /** DuckDB replay of [[cosineNearDupsPortable]] over `table`. `dim`
+    * must match the Spark call — it bounds the hyperplane lattice only.
+    */
   def cosineNearDupsPortableOracleSql(table: String, idCol: String,
                                       vecCol: String,
                                       threshold: Double = 0.95,
                                       nTables: Int = 2, nPlanes: Int = 6,
-                                      cap: Int = 16): String =
+                                      cap: Int = 16, dim: Int = 64): String =
     s"""WITH qe AS (
        |  SELECT emb.$idCol AS id, t.i AS pos,
        |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
@@ -680,7 +695,7 @@ object Similarity {
        |      - 501001 AS w
        |  FROM (SELECT unnest(range($nTables)) AS t) t,
        |       (SELECT unnest(range($nPlanes)) AS p) p,
-       |       (SELECT unnest(range(64)) AS pos) d),
+       |       (SELECT unnest(range($dim)) AS pos) d),
        |bits AS (
        |  SELECT q.id, pl.t, pl.p,
        |    CAST(sum(q.qe * pl.w) AS BIGINT) AS sdot

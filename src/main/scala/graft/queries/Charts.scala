@@ -142,9 +142,11 @@ object Charts {
 
   /** Labeled bubble scatter with y=x diagonal — the goals
     * scored-vs-conceded analysis shape (`team_goals_analysis`).
+    * `legend` is caller-supplied (empty = no caption) — the renderer is
+    * generic; the football caption lives in [[goalsScatterSvg]].
     */
   def scatterChart(title: String, xLabel: String, yLabel: String,
-                   pts: Seq[ScatterPoint]): String = {
+                   pts: Seq[ScatterPoint], legend: String = ""): String = {
     val xMax = math.max(pts.map(_.x).foldLeft(0.0)(math.max), 1e-9) + 0.5
     val yMax = math.max(pts.map(_.y).foldLeft(0.0)(math.max), 1e-9) + 0.5
     val m = math.max(xMax, yMax)
@@ -169,8 +171,9 @@ object Charts {
         .append(s"""<text x="${f1(px(p.x))}" y="${f1(py(p.y) - r - 3)}" font-size="9" text-anchor="middle">${esc(p.label)}</text>""")
         .append('\n')
     }
-    sb.append(s"""<text x="${ML + 8}" y="${H - MB - 8}" font-size="10">Bubble size: win ratio; color: shot accuracy; below diagonal: positive goal difference</text>""")
-      .append('\n')
+    if (legend.nonEmpty)
+      sb.append(s"""<text x="${ML + 8}" y="${H - MB - 8}" font-size="10">${esc(legend)}</text>""")
+        .append('\n')
     sb.append("</svg>\n").toString
   }
 
@@ -269,7 +272,9 @@ object Charts {
     scatterChart("Team Performance: Goals Scored vs. Goals Conceded",
       "Average Goals Scored per Match", "Average Goals Conceded per Match",
       collected(teamMetrics).map(r => ScatterPoint(str(r, 0),
-        num(r, 1), num(r, 2), num(r, 3), num(r, 4))))
+        num(r, 1), num(r, 2), num(r, 3), num(r, 4))),
+      legend = "Bubble size: win ratio; color: shot accuracy; " +
+        "below diagonal: positive goal difference")
 
   /** `match_quality_heatmap`: input (home_team, away_team, quality). */
   def qualityHeatmapSvg(quality: DataFrame): String = {
