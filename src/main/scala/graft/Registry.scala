@@ -71,7 +71,8 @@ object Registry {
   def all: Seq[Q] =
     RegistryCore.entries ++ RegistryScalars.entries ++
       RegistryLlm.entries ++ RegistryExtra.entries ++
-      RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries
+      RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries ++
+      RegistryR10.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -499,12 +499,16 @@ object RegistryCore {
     // ---- O7/U3: keep-first dedup under a total order ------------------------
     Q("o08_shuffle_order",
       // deterministic training-order shuffle: global sort by a portable
-      // multiplicative id hash — a RANGE partitioning at scale, so the
-      // output files come out pre-shuffled with no single-node sort
+      // 60-bit md5 id hash (full key range — no coarse modulus that
+      // would leave id-clustered runs inside buckets at web scale) — a
+      // RANGE partitioning, so output files come out pre-shuffled with
+      // no single-node sort
       (s, dir) => graft.llm.CorpusPipeline.shuffleOrder(
           t(s, dir, "documents"))
         .select(col("doc_id"), col("shuffle_key")),
-      Some("""SELECT doc_id, (doc_id * 2654435761) % 100000 AS shuffle_key
+      Some("""SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+             |    1, 15)) AS BIGINT) AS shuffle_key
              |FROM documents
              |ORDER BY shuffle_key, doc_id""".stripMargin)),
 

@@ -342,16 +342,26 @@ object CorpusPipeline {
   }
 
   /** Deterministic training-order shuffle: a global sort by a
-    * multiplicative hash of the stable id (ties broken by id). The same
-    * portable-arithmetic rationale as [[mixSources]] — reproducible
-    * run-to-run, verifiable on any engine. In Spark a global sort is a
-    * RANGE partitioning (sampled boundaries) + per-partition sort, so at
+    * 60-bit md5-derived hash of the stable id (ties broken by id). The
+    * same portable-arithmetic rationale as [[mixSources]] —
+    * reproducible run-to-run, verifiable on any engine. The key space
+    * is the full 60-bit range (first 15 md5 hex digits), NOT a coarse
+    * modulus: at web scale a small modulus (the old `mod 100000`) puts
+    * ~N/100k docs in each key with id-ascending tie-break, so training
+    * order stays locally id-clustered inside every bucket; with 2^60
+    * keys, collisions — and therefore id-ordered runs — are negligible
+    * at any corpus size. (md5 over the decimal id string rather than a
+    * multiplicative hash: `id * K mod 2^63` needs wrap-around
+    * multiplication, which Spark's ANSI mode rejects and DuckDB
+    * silently promotes to HUGEINT — md5 arithmetic is the repo's
+    * overflow-free portable idiom.) In Spark a global sort is a RANGE
+    * partitioning (sampled boundaries) + per-partition sort, so at
     * 100 TB this is one shuffle producing already-shuffled-order output
     * files; no single-node sort anywhere.
     */
   def shuffleOrder(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("shuffle_key",
-        pmod(col(idCol) * lit(2654435761L), lit(100000L)))
+    docs.withColumn("shuffle_key", expr(
+        s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
       .orderBy(col("shuffle_key"), col(idCol))
 
   /** One-row summary of a cleaning pass: input/survivor counts per stage

@@ -194,14 +194,19 @@ class CorpusPipelineSpec extends SparkSpec {
   }
 
   test("shuffleOrder is a deterministic permutation by portable hash") {
-    val docs = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val docs = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val a = CorpusPipeline.shuffleOrder(docs).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     val b = CorpusPipeline.shuffleOrder(docs).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
-    assert(a == b)                               // reproducible
-    assert(a.sorted == (0L until 100L).toSeq)    // a permutation
-    assert(a != (0L until 100L).toSeq)           // actually shuffled
+    assert(a == b)                                // reproducible
+    assert(a.sorted == (0L until 1000L).toSeq)    // a permutation
+    assert(a != (0L until 1000L).toSeq)           // actually shuffled
+    // full-range key space: no id-ordered run survives — with the old
+    // coarse modulus, colliding keys fell back to id order and produced
+    // consecutive-id runs; 2^60 keys make a length-3 run ~impossible
+    val runs = a.sliding(3).count(w => w(1) == w(0) + 1 && w(2) == w(1) + 1)
+    assert(runs == 0, s"$runs length-3 consecutive-id runs in shuffle order")
   }
 
   test("sampleToTokenBudget keeps the hash-ordered prefix per source") {
