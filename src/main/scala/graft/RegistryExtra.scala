@@ -529,9 +529,13 @@ object RegistryExtra {
           .select(date_format(col("first_ts"), "yyyy-MM-dd").as("day"))
         val daily = firstSeen.groupBy("day")
           .agg(count(lit(1)).as("new_users"))
-        daily.withColumn("cumulative_users",
-            sum(col("new_users")).over(Window.orderBy(col("day"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // global running total via the denseIds range-partition
+        // machinery — a bare sum().over(Window.orderBy(day)) would pull
+        // every day into ONE task; this stays distributed at any history
+        // length (the bounded-window PlanShapeSpec invariant enforces it)
+        graft.etl.Ids.runningTotal(daily, Seq(col("day")),
+            col("new_users"), "cumulative_users")
+          .select(col("day"), col("new_users"), col("cumulative_users"))
           .orderBy("day")
       },
       Some("""WITH fs AS (

@@ -64,6 +64,32 @@ object RegistryR10 {
              |  CAST(strlen(text) AS BIGINT) AS content_length,
              |  md5(text) AS payload_md5
              |FROM documents WHERE doc_id < 200
-             |ORDER BY record_id""".stripMargin))
+             |ORDER BY record_id""".stripMargin)),
+
+    // ---- N15: PORTABLE int8 scalar quantization — the audit twin of
+    //      the rows-only n07 recall gate, completing the SQ member of
+    //      the n-family twins (n12 LSH / n13 IVF / n14 pairs). Integer
+    //      codes from truncating division, integer cosine, every
+    //      verdict replays bit-for-bit. --------------------------------
+    Q("n15_sq_portable",
+      (s, dir) => graft.llm.Similarity.sqTopKPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryMaxId = 5L, k = 3)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.sqTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3))),
+
+    // ---- N16: PORTABLE product quantization — the audit twin of the
+    //      rows-only n08 recall gate: Forgy codebooks (first-ksub
+    //      subvectors by id, the n13 construction), integer subspace
+    //      distances, argmin encode, equi-join ADC. The n-family is now
+    //      fully twinned: brute/LSH/IVF/SQ/PQ/pairs. -------------------
+    Q("n16_pq_portable",
+      (s, dir) => graft.llm.Similarity.pqTopKPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryMaxId = 5L, k = 3)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.pqTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 5L, k = 3)))
   )
 }

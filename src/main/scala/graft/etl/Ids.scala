@@ -50,4 +50,38 @@ object Ids {
       .withColumn(idName, row_number().over(w) + col("__off"))
       .drop("__part", "__off")
   }
+
+  /** Global RUNNING TOTAL of `value` in the total order of `orderCols` —
+    * the scale-correct `sum(...).over(Window.orderBy(...))`, which Spark
+    * would otherwise execute as ONE task holding the whole relation.
+    * Same machinery as [[denseIds]]: range-partition by the order
+    * columns, per-partition sums (numPartitions longs to the driver),
+    * broadcast the cumulative offsets back, add them to a
+    * WITHIN-partition running sum. Deterministic wherever the sampled
+    * range boundaries land, provided `orderCols` is a total order.
+    */
+  def runningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
+                   totalName: String = "running_total"): DataFrame = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // persisted for the same reason as denseIds: the offsets pass and
+    // the final pass must see one physical partitioning
+    val ranged = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = ranged.groupBy(col("__part"))
+      .agg(sum(col("__v")).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = df.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("__part", "__off")
+    val w = Window.partitionBy(col("__part")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "__part")
+      .withColumn(totalName, sum(col("__v")).over(w) + col("__off"))
+      .drop("__part", "__off", "__v")
+  }
 }

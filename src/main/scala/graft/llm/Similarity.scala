@@ -1040,6 +1040,203 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Hash-verified PORTABLE int8 scalar-quantization twin — the audit
+    * twin of the rows-only recall-gated [[sqBruteForceTopK]] (n07),
+    * completing the brute(n01)/LSH(n12)/IVF(n13)/pairs(n14) family for
+    * the SQ path: per-vector max-abs int8 codes from pure INTEGER
+    * arithmetic (`code = (qe·127) div maxabs` over the ×1e6-quantized
+    * components — truncating division, identical in Spark `div` and
+    * DuckDB `//`), then the integer-cosine ranking over the codes. The
+    * per-vector scale cancels in cosine exactly as in the native
+    * kernel, and every code, dot, and verdict replays bit-for-bit.
+    *
+    * Same shape as the native path: SQ is compression, not pruning —
+    * the query set (id < queryMaxId, audit-bounded) broadcasts against
+    * one corpus scan of 1-byte-per-component codes.
+    */
+  def sqTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                     queryMaxId: Long, k: Int): DataFrame = {
+    val qe = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qe",
+        expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select(col("id"), col("pos"), col("qe"))
+    val codes = qe
+      .join(qe.groupBy("id").agg(max(abs(col("qe"))).as("maxabs")), "id")
+      .withColumn("code", expr(
+        "CASE WHEN maxabs = 0 THEN 0L ELSE (qe * 127L) div maxabs END"))
+      .select(col("id"), col("pos"), col("code"))
+    val q = codes.filter(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("pos"), col("code").as("ca"))
+    val scored = broadcast(q)
+      .join(codes.select(col("id"), col("pos"), col("code").as("cb")),
+        Seq("pos"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(expr("ca * cb")).as("dot"),
+        sum(expr("ca * ca")).as("n2a"),
+        sum(expr("cb * cb")).as("n2b"))
+      .withColumn("cos", expr(
+        "CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0 " +
+          "ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), col("cos"))
+  }
+
+  /** DuckDB replay of [[sqTopKPortable]] over `table`. */
+  def sqTopKPortableOracleSql(table: String, idCol: String,
+                              vecCol: String, queryMaxId: Long,
+                              k: Int): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |mx AS (SELECT id, max(abs(qe)) AS maxabs FROM qe GROUP BY 1),
+       |codes AS (
+       |  SELECT q.id, q.pos,
+       |    CASE WHEN m.maxabs = 0 THEN 0
+       |      ELSE (q.qe * 127) // m.maxabs END AS code
+       |  FROM qe q JOIN mx m ON m.id = q.id),
+       |sc AS (
+       |  SELECT qa.id AS qid, qb.id,
+       |    CAST(sum(qa.code * qb.code) AS BIGINT) AS dot,
+       |    CAST(sum(qa.code * qa.code) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.code * qb.code) AS BIGINT) AS n2b
+       |  FROM codes qa
+       |  JOIN codes qb ON qb.pos = qa.pos AND qb.id <> qa.id
+       |  WHERE qa.id < $queryMaxId
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, id,
+       |    CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))
+       |    END AS cos
+       |  FROM sc)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  id AS neighbor_id, cos
+       |FROM (
+       |  SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)
+       |      AS rn
+       |  FROM r)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Hash-verified PORTABLE product-quantization twin — the audit twin
+    * of the rows-only recall-gated [[ivfPqTopK]] (n08), isolating the
+    * PQ machinery (encode + asymmetric-distance ranking) in
+    * SQL-replayable form: Forgy codebooks (the subvectors of the first
+    * `ksub` corpus vectors by id — the same fit-free construction n13
+    * used for IVF cells), integer subspace distances
+    * (`d2 = Σ(qe−cq)²` over ×1e6-quantized components), encode =
+    * argmin d2 per (vector, subspace) with smallest-code tie-break, and
+    * ADC = one equi-join on (subspace, code) summing the query's
+    * precomputed per-code distances — every code assignment and every
+    * ADC total replays bit-for-bit in DuckDB.
+    *
+    * Scale shape mirrors the real PQ story: the corpus side carries m
+    * SMALL-int codes per vector (never raw floats) through the ADC
+    * join, and the query side's distance table is queries × m × ksub
+    * rows — broadcast-sized by construction.
+    */
+  def pqTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                     queryMaxId: Long, k: Int, m: Int = 8,
+                     ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pqTopKPortable: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val qe = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qe",
+        expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+      .withColumn("s", expr(s"pos div $dsub"))
+      .select(col("id"), col("s"), col("pos"), col("qe"))
+    // Forgy codebooks: code c of subspace s = subvector of the (c+1)-th
+    // corpus vector by id
+    val cb = broadcast(qe.join(
+        qe.select(col("id")).distinct().orderBy("id").limit(ksub)
+          .withColumn("code",
+            (row_number().over(Window.orderBy("id")) - 1).cast("long")),
+        "id")
+      .select(col("code"), col("s"), col("pos"), col("qe").as("cq")))
+    // integer subspace distance of every vector to every code
+    val d2 = qe.join(cb, Seq("s", "pos"))
+      .groupBy("id", "s", "code")
+      .agg(sum(expr("(qe - cq) * (qe - cq)")).as("d2"))
+    // encode: argmin d2, smallest code on ties
+    val enc = d2.groupBy("id", "s")
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("s"), col("b.code").as("code"))
+    // query-side ADC table: distance of each query subvector to each code
+    val qd2 = broadcast(d2.filter(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("s"), col("code"), col("d2")))
+    val adc = enc.join(qd2, Seq("s", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(col("d2")).as("adc_dist"), count(lit(1)).as("n_sub"))
+    // every subspace must contribute — a missing (s, code) join row
+    // would silently shrink the distance instead of failing
+    adc.filter(col("n_sub") === m)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_dist").asc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** DuckDB replay of [[pqTopKPortable]] over `table`. */
+  def pqTopKPortableOracleSql(table: String, idCol: String,
+                              vecCol: String, queryMaxId: Long, k: Int,
+                              m: Int = 8, ksub: Int = 16,
+                              dim: Int = 64): String = {
+    val dsub = dim / m
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i // $dsub AS s, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS BIGINT)
+       |            AS code
+       |        FROM $table ORDER BY $idCol LIMIT $ksub),
+       |cb AS (SELECT c.code, q.s, q.pos, q.qe AS cq
+       |       FROM cid c JOIN qe q ON q.id = c.id),
+       |d2 AS (
+       |  SELECT q.id, q.s, b.code,
+       |    CAST(sum((q.qe - b.cq) * (q.qe - b.cq)) AS BIGINT) AS d2
+       |  FROM qe q JOIN cb b ON b.s = q.s AND b.pos = q.pos
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT id, s, code FROM (
+       |    SELECT id, s, code,
+       |      row_number() OVER (PARTITION BY id, s ORDER BY d2, code)
+       |        AS rn
+       |    FROM d2) WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.id AS qid, e.id,
+       |    CAST(sum(q.d2) AS BIGINT) AS adc_dist, count(*) AS n_sub
+       |  FROM enc e
+       |  JOIN d2 q ON q.s = e.s AND q.code = e.code
+       |    AND q.id < $queryMaxId AND q.id <> e.id
+       |  GROUP BY 1, 2)
+       |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       |  id AS neighbor_id, adc_dist
+       |FROM (
+       |  SELECT qid, id, adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist, id)
+       |      AS rn
+       |  FROM adc WHERE n_sub = $m)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

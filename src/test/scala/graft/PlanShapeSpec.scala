@@ -253,4 +253,35 @@ class PlanShapeSpec extends SparkSpec {
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(nested <= 1, plan.take(600))
   }
+
+  test("every partition-less Window in the registry sits above a bounded input") {
+    // The blessed pattern for a global rank is limit-then-window (o01 /
+    // t16 / the nCells and ksub centroid indexers): the single-task
+    // WindowExec is harmless because its input is at most k rows. This
+    // walks EVERY registry plan and proves the invariant stays true — a
+    // future edit that grows a partition-less Window over unbounded data
+    // fails here instead of shipping a single-node sort.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      // a global (no grouping keys) aggregate is one row
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case _: LeafNode => false
+      case other if other.children.nonEmpty => other.children.forall(bounded)
+      case _ => false
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"$name: ${w.simpleString(80)}"
+        case _ => ()
+      }
+      spark.catalog.clearCache() // operators persist plan-lifetime caches
+    }
+    assert(offenders.isEmpty,
+      "unbounded partition-less Window(s):\n" + offenders.mkString("\n"))
+  }
 }

@@ -768,6 +768,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental near-dup: cross-batch pair caught, prior×prior never re-emitted") {
+    // The streaming member of the incremental-dedup family: LSH-bucket
+    // MapState (docId → packed signature), new docs probe only their own
+    // buckets. Two drains: batch 1 files docs 1/2 (identical) + 3
+    // (unrelated); batch 2 adds doc 4 (identical to 1/2) and must emit
+    // ONLY pairs touching 4 — the (1,2) pair found in batch 1 is never
+    // re-emitted, because prior×prior pairs are structurally impossible.
+    val dir = Files.createTempDirectory("graft-snd").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val dup = "the quick brown fox jumps over the lazy dog again " +
+      "and again until the corpus repeats itself entirely"
+    val other = "completely different prose about spark structured " +
+      "streaming state stores and rocksdb column families"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingNearDup.nearDups(
+            spark.readStream.schema(schema).parquet(in),
+            "text", "doc_id")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingNearDup.CandPair], bid: Long) =>
+            batch.withColumn("drain_batch", lit(bid))
+              .write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      Seq((4L, dup)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      // per-bucket emission duplicates a multi-band pair — dedup like the
+      // batch path's .distinct() on candidates, then split by drain
+      val pairs = spark.read.parquet(out)
+        .select("drain_batch", "id_a", "id_b", "vs", "est_jaccard")
+        .as[(Long, Long, Long, String, Double)].collect()
+      val b1 = pairs.filter(_._1 == 0).map(p => (p._2, p._3, p._4)).toSet
+      val b2 = pairs.filter(_._1 == 1).map(p => (p._2, p._3, p._4)).toSet
+      assert(b1 == Set((1L, 2L, "batch")), s"drain 1 pairs: $b1")
+      assert(b2 == Set((4L, 1L, "prior"), (4L, 2L, "prior")),
+        s"drain 2 must only contain pairs touching doc 4: $b2")
+      // identical docs agree on every MinHash component
+      assert(pairs.forall(_._5 == 1.0), pairs.mkString(", "))
+      // offline audit of the bucket state: every doc is filed in all 8 of
+      // its band buckets, signatures stored as 32 packed longs
+      val state = spark.read.format("statestore")
+        .option("path", cp)
+        .option("stateVarName", "filed")
+        .option("flattenCollectionTypes", "true")
+        .load()
+        .select(col("key.value").as("bucket"),
+          col("user_map_key.value").as("doc_id"),
+          col("user_map_value.value").as("sig"))
+        .as[(Long, Long, Array[Byte])].collect()
+      assert(state.map(_._2).toSet == Set(1L, 2L, 3L, 4L), state.length)
+      assert(state.forall(_._3.length == 32 * 8))
+      // docs 1/2/4 are identical → share all 8 buckets, each filed once
+      val dupBuckets = state.filter(s => Set(1L, 2L, 4L)(s._2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(dupBuckets.size == 8 &&
+        dupBuckets.values.forall(_ == Set(1L, 2L, 4L)), dupBuckets)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
