@@ -68,6 +68,37 @@ object Registry {
   val statusPointsSql =
     "CASE o_orderstatus WHEN 'F' THEN 1.0 WHEN 'P' THEN 0.5 ELSE 0.0 END"
 
+  /** Per-JVM scratch directory for registry fixtures that write real
+    * files (ORC/WARC round-trips). One FIXED path per (JVM, name):
+    * repeated plan builds of the same query reuse the directory instead
+    * of leaking a fresh java.nio temp dir per invocation (writers use
+    * overwrite semantics), the PID suffix keeps concurrent runs on one
+    * host apart, and the whole tree is removed on JVM exit.
+    */
+  def scratchDir(name: String): String = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-scratch-" + java.lang.ProcessHandle.current().pid())
+    scratchHookInstalled // one shutdown hook per JVM
+    val dir = root.resolve(name)
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
+  }
+
+  private lazy val scratchHookInstalled: Unit = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-scratch-" + java.lang.ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Throwable => () })
+        }
+      } catch { case _: Throwable => () }))
+  }
+
   def all: Seq[Q] =
     RegistryCore.entries ++ RegistryScalars.entries ++
       RegistryLlm.entries ++ RegistryExtra.entries ++

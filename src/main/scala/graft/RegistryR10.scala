@@ -39,8 +39,10 @@ object RegistryR10 {
             lit("2026-01-01T00:00:00Z").as("warc_date"),
             lit("text/plain").as("content_type"),
             encode(col("text"), "UTF-8").as("payload"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_warc_s11").toString
+        // fixed per-JVM scratch path: rebuilt plans overwrite the same 4
+        // part files instead of leaking a fresh temp dir per invocation;
+        // removed on JVM exit (Registry.scratchDir)
+        val tmp = Registry.scratchDir("warc_s11")
         graft.sources.WarcIngest.writeWarcDir(
           docs.repartition(4, col("doc_id")), tmp, gzip = true)
         val (records, audit) = graft.sources.WarcIngest.readWarcDir(s, tmp)

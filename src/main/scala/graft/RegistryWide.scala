@@ -149,8 +149,7 @@ object RegistryWide {
     //      values and types survive (oracle reads the parquet directly) --
     Q("s07_orc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft-orc").toString
+        val tmp = Registry.scratchDir("orc_s07")
         t(s, dir, "nation").write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -809,11 +808,14 @@ object RegistryWide {
           .select(col("id"),
             md5(to_json(struct(col("sum_gray"), col("features"))))
               .as("content_key"))
-        val a = feats.select(col("id").as("id_a"), col("content_key"))
-        val b = feats.select(col("id").as("id_b"), col("content_key"))
-        a.join(b, Seq("content_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
+        // pairs via ONE groupBy on the digest — never a self-join, so
+        // the ImageIO decode runs exactly once per image (a self-join's
+        // build and probe sides each re-decode; at an image-corpus scale
+        // decode IS the query cost). The shuffle carries (digest, id)
+        // only; per-group pair fan-out is bounded by the dup-cluster
+        // size, the same bound the join shape had. Single-decode is
+        // pinned in PlanShapeSpec.
+        Dedup.pairsWithinGroups(feats, "content_key", "id")
           .orderBy("id_a", "id_b")
       },
       Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b

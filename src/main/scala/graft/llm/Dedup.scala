@@ -46,6 +46,27 @@ object Dedup {
     exactDedup(fresh, textCol, idCol).drop("__digest")
   }
 
+  /** All ordered id pairs (id_a < id_b) that share a group key — the
+    * dup-pair EMISSION shape: ONE groupBy on the key, ids collected and
+    * sorted per group, pairs expanded by a codegen'd array comprehension.
+    * This replaces the tempting self-join on the key, which evaluates
+    * the key's UPSTREAM pipeline twice (build and probe side each re-run
+    * it — fatal when the key comes out of a media decode). The shuffle
+    * carries (key, id) only; per-group fan-out is the same
+    * O(clusterSize²) the join had, with cluster membership now local to
+    * one task. Groups of one emit nothing.
+    */
+  def pairsWithinGroups(df: DataFrame, keyCol: String,
+                        idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(__ids, (a, i) -> " +
+          "transform(slice(__ids, i + 2, size(__ids)), " +
+          "b -> struct(a AS id_a, b AS id_b))))")).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+
   def exactDupStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("total_docs"),

@@ -116,11 +116,15 @@ object Ingest {
     * payload contract (`id`, `payload`) so `Multimodal.decode*` composes
     * directly: id is a stable 63-bit hash of the RELATIVE path (absolute
     * prefixes differ across clusters; the content-bearing suffix does
-    * not). Files over `maxBytes` are dropped with the same
-    * corrupt-is-data policy as the decoders (a 4 GB stray MOV must not
-    * OOM an executor mid-scan — `binaryFile` materializes whole files).
-    * Listing scales: pathGlobFilter prunes at file-listing time, before
-    * any read.
+    * not). Files over `maxBytes` keep their ROW — (id, rel_path, length,
+    * mtime) with a NULL payload — but never their bytes (a 4 GB stray
+    * MOV must not OOM an executor mid-scan: `binaryFile` materializes
+    * whole files, and its length-predicate pushdown means the oversize
+    * branch never opens the file at all). No silent caps: nothing
+    * vanishes from the row set; decoders treat the null payload as
+    * non-decodable (corrupt-is-data), and callers audit oversize via
+    * `payload IS NULL` + `length`. Listing scales: pathGlobFilter prunes
+    * at file-listing time, before any read.
     */
   def readBinaryDir(spark: org.apache.spark.sql.SparkSession,
                     dir: String,
@@ -141,16 +145,20 @@ object Ingest {
       if (up.startsWith(basePath + "/")) up.substring(basePath.length + 1)
       else up
     }
-    spark.read.format("binaryFile")
+    val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .filter(col("length") <= maxBytes)
       .withColumn("rel_path", rel(col("path")))
-      .select(
-        expr("CAST(conv(substring(md5(rel_path), 1, 15), 16, 10) AS BIGINT)")
-          .as("id"),
-        col("rel_path"), col("length"), col("modificationTime"),
-        col("content").as("payload"))
+    val head = Seq(
+      expr("CAST(conv(substring(md5(rel_path), 1, 15), 16, 10) AS BIGINT)")
+        .as("id"),
+      col("rel_path"), col("length"), col("modificationTime"))
+    // small branch reads bytes; oversize branch references only metadata
+    // columns, so binaryFile's column pruning never opens those files
+    base.filter(col("length") <= maxBytes)
+      .select(head :+ col("content").as("payload"): _*)
+      .unionByName(base.filter(col("length") > maxBytes)
+        .select(head :+ lit(null).cast("binary").as("payload"): _*))
   }
 }

@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * — the canonical input format of a web-scale text corpus, and the
   * third connector-free container format beside Avro OCF
   * ([[AvroIngest]]) and ORC. Spark ships no WARC reader, so this module
-  * follows the same pattern: [[Ingest.readBinaryDir]] does the
-  * listing-time glob pruning, then each archive decodes inside ONE
-  * `mapPartitions` pass — files decode fully parallel, one record walk
-  * per file, and the decoded form (not the raw payload) is what
-  * persists for the rows + audit projections.
+  * builds one on the Hadoop FileSystem API: a driver-side recursive
+  * listing (paths + glob only — the same cost class as Spark's own
+  * FileIndex) fans archives out across tasks, and each task STREAMS its
+  * archives record-by-record over `fs.open` — gzip members inflate
+  * incrementally, at most ONE record's payload is ever in memory, and a
+  * standard ~1 GB CommonCrawl `.warc.gz` decodes in bounded heap
+  * (formerly the whole inflated archive was buffered, and >64 MB files
+  * were silently dropped by a listing-time cap; both were 100 TB
+  * killers).
   *
   * Record walk (the public WARC 1.0/1.1 layout): a `WARC/x.y` version
   * line, `Name: value` header lines up to an empty line, exactly
@@ -26,20 +30,35 @@ import org.apache.spark.sql.types._
   * them). A `.gz` archive is the usual multi-member gzip — one
   * deflate member per record, concatenated — which
   * `java.util.zip.GZIPInputStream` walks transparently; plain archives
-  * decode as-is. WET files ARE WARC files whose records are
-  * `conversion` text records, so [[wetText]] is a projection, not a
-  * second parser.
+  * decode as-is (the gzip sniff is on magic bytes, not extension). WET
+  * files ARE WARC files whose records are `conversion` text records, so
+  * [[wetText]] is a projection, not a second parser.
+  *
+  * No silent caps: a record whose Content-Length exceeds
+  * `maxRecordBytes` keeps its ROW — headers intact, `oversize = true`,
+  * payload NULL — and its octets are skipped through the stream without
+  * buffering; the per-file audit frame counts it in `n_oversize`.
+  * Nothing ever vanishes from the row set.
   *
   * Corrupt-is-data (the 100 TB posture, same as `AvroIngest`): a
   * truncated or garbled archive contributes every record decoded
-  * before the damage and is counted in the audit frame — never an
+  * before the damage and is flagged in the audit frame — never an
   * executor exception. Only NonFatal damage is absorbed; OOM or task
   * kill still fails the task.
+  *
+  * Nothing is persisted: the decoded form is never materialized (at
+  * crawl scale the inflated corpus dwarfs any cache tier), so each
+  * ACTION over the returned frames re-streams the archives — scan cost,
+  * the normal Spark re-computation posture. A caller consuming both the
+  * records and the audit frame in separate actions pays two walks, or
+  * persists a PROJECTION (digests, text lengths — never raw payloads)
+  * itself.
   */
 object WarcIngest {
 
   /** One decoded WARC record: position in its file, the five headers a
-    * corpus pipeline filters on, and the raw payload octets.
+    * corpus pipeline filters on, the raw payload octets (NULL when the
+    * record was over the size cap), and the oversize marker.
     */
   val recordSchema: StructType = StructType(Seq(
     StructField("record_idx", LongType, nullable = false),
@@ -49,118 +68,225 @@ object WarcIngest {
     StructField("warc_date", StringType),
     StructField("content_type", StringType),
     StructField("content_length", LongType, nullable = false),
-    StructField("payload", BinaryType)))
+    StructField("payload", BinaryType),
+    StructField("oversize", BooleanType, nullable = false)))
 
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+  private val auditFields = Seq(
+    StructField("n_records", LongType),
+    StructField("n_oversize", LongType),
+    StructField("corrupt", BooleanType))
 
-  /** Inflate ALL members of a (possibly multi-member) gzip stream. */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(b), 64 * 1024)
-    val out = new ByteArrayOutputStream(math.max(b.length * 4, 1024))
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
-  }
+  /** One decoded record as the streaming iterator yields it. */
+  private[sources] final case class Rec(idx: Long, warcType: String,
+      recordId: String, targetUri: String, warcDate: String,
+      contentType: String, contentLength: Long, payload: Array[Byte],
+      oversize: Boolean)
 
-  /** Read one header/version line starting at `p`; returns (line text
-    * without the terminator, position after the terminator). Accepts
-    * CRLF and bare LF.
+  /** Header/version lines longer than this are not WARC — treat as
+    * corruption instead of buffering unbounded junk as "a line".
     */
-  private def readLine(d: Array[Byte], p: Int): (String, Int) = {
-    var e = p
-    while (e < d.length && d(e) != '\n') e += 1
-    val endTrim = if (e > p && d(e - 1) == '\r') e - 1 else e
-    (new String(d, p, endTrim - p, StandardCharsets.UTF_8),
-      math.min(e + 1, d.length))
-  }
+  private val MaxLineBytes = 64 * 1024
 
-  /** Walk every record of one (decompressed-if-gzip) archive.
-    * Returns (decoded rows, sawCorruption).
+  /** Streaming record walk over ONE archive stream. Pull-based: each
+    * `next()` decodes exactly one record; memory high-water is one
+    * payload (or one 64 KB skip buffer for oversize records). The
+    * constructor sniffs gzip magic and wraps transparently —
+    * multi-member archives (one member per record, the CommonCrawl
+    * layout) inflate incrementally across member boundaries. On NonFatal
+    * damage the walk stops, `corrupt` latches true, and the stream
+    * closes; records decoded before the damage were already emitted.
     */
-  private[sources] def decodeFile(bytes: Array[Byte]): (Seq[Row], Boolean) = {
-    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try {
-      val d = if (isGzip(bytes)) gunzipAll(bytes) else bytes
-      var p = 0
-      var idx = 0L
-      while (p < d.length) {
-        // skip inter-record blank lines
-        while (p < d.length && (d(p) == '\r' || d(p) == '\n')) p += 1
-        if (p < d.length) {
-          val (ver, p1) = readLine(d, p)
-          require(ver.startsWith("WARC/"),
-            s"record $idx: expected WARC version line, got '${ver.take(40)}'")
-          var q = p1
-          val hdrs = scala.collection.mutable.Map.empty[String, String]
-          var line = ""
-          var cont = true
-          while (cont) {
-            val (l, nq) = readLine(d, q)
-            line = l; q = nq
-            if (line.isEmpty) cont = false
-            else {
-              val c = line.indexOf(':')
-              require(c > 0, s"record $idx: malformed header '${line.take(40)}'")
-              hdrs += line.substring(0, c).trim.toLowerCase ->
-                line.substring(c + 1).trim
-            }
-          }
-          val len = hdrs.getOrElse("content-length",
-            sys.error(s"record $idx: missing Content-Length")).toLong
-          require(q + len <= d.length,
-            s"record $idx: payload truncated (${d.length - q} < $len)")
-          val payload = java.util.Arrays.copyOfRange(d, q, q + len.toInt)
-          rows += Row(idx, hdrs.getOrElse("warc-type", null),
-            hdrs.getOrElse("warc-record-id", null),
-            hdrs.getOrElse("warc-target-uri", null),
-            hdrs.getOrElse("warc-date", null),
-            hdrs.getOrElse("content-type", null),
-            len, payload)
-          idx += 1
-          p = q + len.toInt
-        }
+  private[sources] final class RecordWalk(raw: java.io.InputStream,
+      maxRecordBytes: Long) extends Iterator[Rec] {
+    private val in: java.io.InputStream = {
+      val pb = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(raw, 64 * 1024), 2)
+      val b0 = pb.read(); val b1 = pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 64 * 1024)
+      else pb
+    }
+    var corrupt = false
+    private var finished = false
+    private var pending: Rec = null
+    private var idx = 0L
+    private var closed = false
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      try in.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    /** One line, CRLF or bare LF, UTF-8; null at clean EOF. */
+    private def readLine(): String = {
+      val buf = new ByteArrayOutputStream(80)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') {
+        buf.write(b)
+        require(buf.size <= MaxLineBytes, "unterminated header line")
+        b = in.read()
       }
-      (rows.toSeq, false)
-    } catch {
-      case scala.util.control.NonFatal(_) => (rows.toSeq, true)
+      val bytes = buf.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, StandardCharsets.UTF_8)
+    }
+
+    private def readFully(len: Long): Array[Byte] = {
+      val out = new Array[Byte](len.toInt)
+      var off = 0
+      while (off < out.length) {
+        val n = in.read(out, off, out.length - off)
+        require(n >= 0, s"payload truncated ($off < $len)")
+        off += n
+      }
+      out
+    }
+
+    private def skipFully(len: Long): Unit = {
+      var left = len
+      val buf = new Array[Byte](64 * 1024)
+      while (left > 0) {
+        val n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        require(n >= 0, s"oversize payload truncated ($left octets short)")
+        left -= n
+      }
+    }
+
+    private def advance(): Unit = {
+      if (finished) return
+      try {
+        var line = readLine()
+        while (line != null && line.isEmpty) line = readLine()
+        if (line == null) { finished = true; close(); return }
+        require(line.startsWith("WARC/"),
+          s"record $idx: expected WARC version line, got '${line.take(40)}'")
+        val hdrs = scala.collection.mutable.Map.empty[String, String]
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val c = h.indexOf(':')
+          require(c > 0, s"record $idx: malformed header '${h.take(40)}'")
+          hdrs += h.substring(0, c).trim.toLowerCase ->
+            h.substring(c + 1).trim
+          h = readLine()
+        }
+        require(h != null, s"record $idx: headers truncated")
+        val len = hdrs.getOrElse("content-length",
+          sys.error(s"record $idx: missing Content-Length")).toLong
+        require(len >= 0, s"record $idx: negative Content-Length")
+        val over = len > maxRecordBytes
+        val payload = if (over) { skipFully(len); null } else readFully(len)
+        pending = Rec(idx, hdrs.getOrElse("warc-type", null),
+          hdrs.getOrElse("warc-record-id", null),
+          hdrs.getOrElse("warc-target-uri", null),
+          hdrs.getOrElse("warc-date", null),
+          hdrs.getOrElse("content-type", null), len, payload, over)
+        idx += 1
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          corrupt = true; finished = true; close()
+      }
+    }
+
+    override def hasNext: Boolean = {
+      if (pending == null && !finished) advance()
+      pending != null
+    }
+    override def next(): Rec = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = pending; pending = null; r
     }
   }
 
   /** Read every WARC/WET archive under `dir` (default glob catches
     * `.warc`, `.warc.gz`, `.wet`, `.wet.gz`). Returns (records frame in
     * [[recordSchema]] + `rel_path`, per-file audit frame
-    * (rel_path, n_records, corrupt)).
-    *
-    * Each archive decodes ONCE: a single `mapPartitions` emits one
-    * (rel_path, corrupt, records[]) row per file, persisted
-    * MEMORY_AND_DISK, and both projections read the decoded form — one
-    * decompress + record walk per file however both frames are
-    * consumed.
+    * (rel_path, n_records, n_oversize, corrupt)). See the object doc for
+    * the streaming / no-silent-caps / no-persist contract.
     */
   def readWarcDir(spark: SparkSession, dir: String,
-                  glob: String = "*.{warc,wet}*"): (DataFrame, DataFrame) = {
-    val files = Ingest.readBinaryDir(spark, dir, glob = glob)
-      .select(col("rel_path"), col("payload"))
-    val combinedSchema = StructType(Seq(
-      StructField("rel_path", StringType),
-      StructField("corrupt", BooleanType),
-      StructField("records", ArrayType(recordSchema))))
-    val enc = RowEncoder.encoderFor(combinedSchema)
-    val decoded = files.mapPartitions { it =>
-      it.map { r =>
-        val (rs, bad) = decodeFile(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[String]("rel_path"), bad, rs)
+                  glob: String = "*.{warc,wet}*",
+                  maxRecordBytes: Long = 64L * 1024 * 1024)
+      : (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.{GlobFilter, Path}
+    // driver-side listing: paths and sizes only, never content — the
+    // same cost class as Spark's FileIndex (and ~100k archive names at
+    // 100 TB is megabytes, not a collect of data)
+    val basePath = new Path(dir)
+    val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(basePath)
+    val baseUriPath = qualified.toUri.getPath.stripSuffix("/")
+    val filter = new GlobFilter(glob)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = fs.listFiles(qualified, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && filter.accept(st.getPath)) {
+        val up = st.getPath.toUri.getPath
+        val rel = if (up.startsWith(baseUriPath + "/"))
+          up.substring(baseUriPath.length + 1) else up
+        files += rel -> st.getPath.toString
       }
-    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = decoded
-      .select(col("rel_path"), explode(col("records")).as("__r"))
-      .select(col("rel_path") +: recordSchema.fieldNames.toSeq
-        .map(f => col(s"__r.$f")): _*)
-    val audit = decoded.select(col("rel_path"),
-      size(col("records")).cast("long").as("n_records"), col("corrupt"))
+    }
+    val combinedSchema = StructType(
+      StructField("rel_path", StringType) +:
+        (recordSchema.fields.toSeq ++ auditFields))
+    val enc = RowEncoder.encoderFor(combinedSchema)
+    import spark.implicits._
+    val slices = math.max(1,
+      math.min(files.length, spark.sparkContext.defaultParallelism))
+    val decoded = files.toSeq.toDF("rel_path", "uri")
+      .repartition(slices)
+      .mapPartitions { part =>
+        part.flatMap { fr =>
+          val rel = fr.getString(0); val uri = fr.getString(1)
+          new Iterator[Row] {
+            private var walk: RecordWalk = null
+            private var openFailed = false
+            private var auditEmitted = false
+            private var n = 0L; private var nOver = 0L
+            private def ensureOpen(): Unit =
+              if (walk == null && !openFailed) try {
+                val p = new Path(uri)
+                val pfs = p.getFileSystem(
+                  new org.apache.hadoop.conf.Configuration())
+                walk = new RecordWalk(pfs.open(p), maxRecordBytes)
+                val w = walk
+                Option(org.apache.spark.TaskContext.get()).foreach(
+                  _.addTaskCompletionListener[Unit](_ => w.close()))
+              } catch {
+                case scala.util.control.NonFatal(_) => openFailed = true
+              }
+            override def hasNext: Boolean = {
+              ensureOpen()
+              (walk != null && walk.hasNext) || !auditEmitted
+            }
+            override def next(): Row = {
+              ensureOpen()
+              if (walk != null && walk.hasNext) {
+                val r = walk.next()
+                n += 1; if (r.oversize) nOver += 1
+                Row(rel, r.idx, r.warcType, r.recordId, r.targetUri,
+                  r.warcDate, r.contentType, r.contentLength, r.payload,
+                  r.oversize, null, null, null)
+              } else {
+                auditEmitted = true
+                val bad = openFailed || (walk != null && walk.corrupt)
+                Row(rel, -1L, null, null, null, null, null, -1L, null,
+                  false, n, nOver, bad)
+              }
+            }
+          }
+        }
+      }(enc)
+    val recCols = col("rel_path") +:
+      recordSchema.fieldNames.toSeq.map(col)
+    val rows = decoded.filter(col("record_idx") >= 0).select(recCols: _*)
+    val audit = decoded.filter(col("record_idx") < 0)
+      .select(col("rel_path"), col("n_records"), col("n_oversize"),
+        col("corrupt"))
     (rows, audit)
   }
 

@@ -254,6 +254,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, plan.take(600))
   }
 
+  test("m09 image dedup decodes each image exactly ONCE (no self-join re-decode)") {
+    // At an image-corpus scale decode IS the query cost: the old shape
+    // self-joined the decode output on content_key, and the broadcast
+    // build side + probe side each re-ran ImageIO (m09 was 2x its cost
+    // class). The groupBy pair-emission shape keeps exactly ONE decode
+    // pass in the plan: one MapPartitions for the synthetic-PNG encode,
+    // one for the ImageIO decode, and no join anywhere.
+    val plan = SparkEntry.queries("m09_image_dups")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val mp = "MapPartitions".r.findAllIn(plan).size
+    assert(mp == 2, s"expected encode+decode = 2 MapPartitions, got $mp:\n" +
+      plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("every partition-less Window in the registry sits above a bounded input") {
     // The blessed pattern for a global rank is limit-then-window (o01 /
     // t16 / the nCells and ksub centroid indexers): the single-task

@@ -125,6 +125,69 @@ class WarcIngestSpec extends SparkSpec {
     }
   }
 
+  test("archive LARGER than the old 64 MB file cap streams through whole") {
+    // The round-10 path listed files through a 64 MB cap and silently
+    // dropped anything bigger (a standard ~1 GB CommonCrawl archive
+    // would vanish), then buffered the whole inflated archive on-heap.
+    // The streaming walk has NO file cap and holds at most one record:
+    // a 66-record x 1 MB (~69 MB) archive must decode completely.
+    val dir = Files.createTempDirectory("graft-warc-big").toFile
+    val mb = 1024 * 1024
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(new File(dir, "big.warc")), 1 << 20)
+    (0 until 66).foreach { i =>
+      val payload = Array.tabulate[Byte](mb)(j => ((i * 31 + j) & 0xff).toByte)
+      out.write(record("conversion", s"<urn:big:$i>", s"https://b/$i",
+        payload, "\r\n"))
+    }
+    out.close()
+    assert(new File(dir, "big.warc").length() > 64L * 1024 * 1024)
+
+    val (rows, audit) = WarcIngest.readWarcDir(spark, dir.getAbsolutePath)
+    val a = audit.collect()
+    assert(a.length == 1 && !a(0).getAs[Boolean]("corrupt") &&
+      a(0).getAs[Long]("n_records") == 66L &&
+      a(0).getAs[Long]("n_oversize") == 0L)
+    // every payload survives byte-exact (md5 spot check, no collect of 69 MB)
+    import org.apache.spark.sql.functions._
+    val sums = rows.select(sum(length(col("payload"))).cast("long"),
+      count_distinct(md5(col("payload")))).collect()(0)
+    assert(sums.getLong(0) == 66L * mb)
+    assert(sums.getLong(1) == 66L)
+  }
+
+  test("record over maxRecordBytes: row kept, payload skipped, audit counts it") {
+    val dir = Files.createTempDirectory("graft-warc-over").toFile
+    val small = "tiny".getBytes(StandardCharsets.UTF_8)
+    val huge = Array.tabulate[Byte](5000)(i => (i % 251).toByte)
+    // oversize record sits BETWEEN two normal ones: the skip must leave
+    // the stream positioned exactly at the next record
+    Files.write(new File(dir, "o.warc").toPath,
+      record("conversion", "<urn:o:0>", "https://o/0", small, "\r\n") ++
+        record("response", "<urn:o:1>", "https://o/1", huge, "\r\n") ++
+        record("conversion", "<urn:o:2>", "https://o/2", small, "\r\n"))
+    val (rows, audit) = WarcIngest.readWarcDir(spark, dir.getAbsolutePath,
+      maxRecordBytes = 1024)
+    val got = rows.orderBy("record_idx").collect()
+    assert(got.map(_.getAs[String]("record_id")).toSeq ==
+      Seq("<urn:o:0>", "<urn:o:1>", "<urn:o:2>"))
+    val over = got(1)
+    // headers intact, payload null, oversize flagged — the row never
+    // silently vanishes and content_length still reports the true size
+    assert(over.getAs[Boolean]("oversize") &&
+      over.getAs[Array[Byte]]("payload") == null &&
+      over.getAs[Long]("content_length") == 5000L &&
+      over.getAs[String]("target_uri") == "https://o/1")
+    assert(!got(0).getAs[Boolean]("oversize") &&
+      !got(2).getAs[Boolean]("oversize"))
+    assert(new String(got(2).getAs[Array[Byte]]("payload"),
+      StandardCharsets.UTF_8) == "tiny")
+    val a = audit.collect()
+    assert(a.length == 1 && a(0).getAs[Long]("n_records") == 3L &&
+      a(0).getAs[Long]("n_oversize") == 1L &&
+      !a(0).getAs[Boolean]("corrupt"))
+  }
+
   test("whole-file garbage decodes as zero records, corrupt, no exception") {
     val dir = Files.createTempDirectory("graft-warc-bad").toFile
     Files.write(new File(dir, "junk.warc").toPath,
