@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Registry.t
+
+/** Round-11 widening: the in-engine HTML table scan wired end-to-end
+  * (S3/S4 literal parity — the page TEXT is now the input, closing the
+  * last ingest delta), and incremental IVF index maintenance (the
+  * missing incremental-family member beside d12/d19/t18/a33).
+  */
+object RegistryR11 {
+
+  def entries: Seq[Q] = Seq(
+
+    // ---- S12: in-engine HTML `<table>` scan — pd.read_html parity
+    //      (sources/HtmlTables.scala) proven with an EXACT oracle: pages
+    //      are synthesized from the documents table (10 docs per page,
+    //      rows sorted by doc_id, the matchlog table inside an HTML
+    //      comment — the FBref quirk — plus a numeric entity per cell
+    //      and a trailing all-blank separator row), then the full S4
+    //      chain parseTable → resolveColumns → na.drop runs in-engine
+    //      and DuckDB replays the expected output straight from the
+    //      source rows. Entity decode, comment strip, header binding,
+    //      separator drop are all on the hash path. --------------------
+    Q("s12_html_table_scan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val rowHtml = format_string(
+          "<tr><td>%s</td><td><b>%s</b>&#33;</td><td>%s</td></tr>",
+          col("doc_id"), col("lang"), length(col("text")))
+        val pages = docs
+          .groupBy((col("doc_id") % 10).as("page_id"))
+          .agg(concat(
+            lit("<html><body><div><!--<table id=\"log\"><thead>" +
+              "<tr><th>DocKey</th><th>Lang</th><th>NChars</th></tr>" +
+              "</thead><tbody>"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("doc_id").as("k"),
+                rowHtml.as("h")))), x => x.getField("h")), ""),
+            lit("<tr><td></td><td></td><td></td></tr>" +
+              "</tbody></table>--></div></body></html>")).as("page"))
+        val wide = graft.sources.HtmlTables.parseTable(
+          pages, "page", keyCols = Seq("page_id"))
+        graft.sources.Ingest.cleanMatchlog(wide,
+            Seq("doc_id" -> "dockey", "lang" -> "lang",
+              "nchars" -> "nchars"),
+            dateCol = "doc_id")
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+            col("nchars").cast("long").as("nchars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang || '!' AS lang,
+             |  CAST(length(text) AS BIGINT) AS nchars
+             |FROM documents WHERE doc_id < 100
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -34,16 +34,40 @@ object HtmlTables {
   def uncomment(page: Column): Column =
     regexp_replace(page, "(?s)<!--|-->", "")
 
-  /** Decode the five XML entities plus `&nbsp;`/`&#\d+;` numeric refs —
-    * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;`.
+  /** Decode `&#N;` numeric character references to their CHARACTER for
+    * printable ASCII (32–126, which covers the refs FBref actually emits
+    * — `&#39;` apostrophes above all); refs outside that range pass
+    * through intact rather than decode wrong. Pure codegen'd column ops:
+    * the text splits on the ref pattern, each captured N maps through
+    * `char(N)`, and the pieces zip back together — no UDF. (An earlier
+    * version replaced `&#(\d+);` with its bare DIGITS, so `O&#39;Brien`
+    * parsed as `O39Brien`; pinned in HtmlTablesSpec.)
+    */
+  private[sources] def decodeNumericRefs(c: Column): Column = {
+    val parts = split(c, "&#\\d+;", -1)
+    val ents = regexp_extract_all(c, lit("&#(\\d+);"), lit(1))
+    val stitched = zip_with(slice(parts, lit(1), size(ents)), ents,
+      (p, e) => concat(p,
+        when(e.cast("int").between(32, 126),
+          call_function("char", e.cast("bigint")))
+          .otherwise(concat(lit("&#"), e, lit(";")))))
+    when(size(ents) <= 0, c)
+      .otherwise(concat(array_join(stitched, ""), element_at(parts, -1)))
+  }
+
+  /** Decode the XML named entities + `&nbsp;`, then numeric refs, then
+    * `&amp;` LAST — so `&amp;lt;` decodes to the literal `&lt;` and
+    * `&#38;#39;` to the literal `&#39;` (double-escaped refs never
+    * double-decode).
     */
   def htmlUnescape(c: Column): Column = {
-    val numeric = regexp_replace(c, "&#(\\d+);", "$1") // rare; keep digits
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(numeric) { case (acc, (e, r)) =>
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ")
+    val afterNamed = named.foldLeft(c) { case (acc, (e, r)) =>
       regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(r))
     }
+    regexp_replace(decodeNumericRefs(afterNamed), "&amp;",
+      java.util.regex.Matcher.quoteReplacement("&"))
   }
 
   /** One cell's visible text: inner tags dropped, entities decoded,
