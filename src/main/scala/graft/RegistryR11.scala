@@ -53,6 +53,46 @@ object RegistryR11 {
       Some("""SELECT doc_id, lang || '!' AS lang,
              |  CAST(length(text) AS BIGINT) AS nchars
              |FROM documents WHERE doc_id < 100
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- N17: incremental IVF maintenance — the steady-state append
+    //      path: centroids fit on the PRIOR corpus (vec_id < 400) only,
+    //      the NEW batch assigned through the broadcast codebook
+    //      (Similarity.ivfAppend — never a refit), rolled up per cell
+    //      with the outlier-fraction refit signal attached. Rows-only
+    //      by design (the seeded k-means fit is not SQL-expressible);
+    //      the n18 portable twin replays the same append contract
+    //      bit-for-bit. ------------------------------------------------
+    Q("n17_ivf_append",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val prior = emb.filter(col("vec_id") < 400)
+        val batch = emb.filter(col("vec_id") >= 400)
+        val centroids = graft.llm.Similarity.kmeansFit(
+          prior, "vec_id", "embedding", k = 16)
+        val asg = graft.llm.Similarity.ivfAppend(
+          batch, "vec_id", "embedding", centroids, minCos = 0.5)
+        val sig = graft.llm.Similarity.ivfRefitSignal(asg,
+          maxOutlierFrac = 0.25)
+        asg.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(col("is_outlier").cast("long")).as("n_outliers"))
+          .crossJoin(broadcast(sig.select(col("refit"))))
+          .orderBy("cell")
+      },
+      None),
+
+    // ---- N18: PORTABLE incremental-IVF twin — Forgy cells from the
+    //      prior corpus, quantized-integer-cosine assignment of the new
+    //      batch, outlier verdicts — every row hash-exact in DuckDB
+    //      (Similarity.ivfAppendPortable). Completes the incremental
+    //      family's audit story: d12/d19/t18/a33 all have exact gates;
+    //      now the ANN append does too. -------------------------------
+    Q("n18_ivf_append_portable",
+      (s, dir) => graft.llm.Similarity.ivfAppendPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding", splitId = 400L)
+        .orderBy("id"),
+      Some(graft.llm.Similarity.ivfAppendPortableOracleSql(
+        "embeddings", "vec_id", "embedding", splitId = 400L)))
   )
 }

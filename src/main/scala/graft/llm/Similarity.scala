@@ -320,6 +320,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Incremental IVF index MAINTENANCE — fold a new embedding batch
+    * into an existing index WITHOUT refit, the missing
+    * incremental-family member beside `Dedup.incrementalDedup` /
+    * `incrementalNearDups` / `Ranking.bm25Incremental` / the
+    * incremental aggregates: a daily batch must not force a full
+    * codebook rebuild. New vectors are assigned to their nearest
+    * EXISTING cell through the same compiled `NearestCells` kernel the
+    * initial build uses — an appended vector's cell is bit-identical to
+    * what a full rebuild with the same centroids would assign — and
+    * each carries its cosine to the assigned centroid so coverage decay
+    * is observable per row (`is_outlier` = cos below `minCos`).
+    *
+    * Scale shape: ONE scan-side pass over the batch. The codebook is a
+    * plan constant inside the kernel, the centroid-vector join is a
+    * broadcast of `nCells` rows, and the batch itself never shuffles —
+    * steady-state append cost is O(batch · nCells · dim), independent
+    * of the indexed corpus size.
+    */
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]],
+                minCos: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cv"))
+    batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(NearestCells(col("v"), centroids, 1), 1))
+      .join(centDf, Seq("cell"))
+      .select(col("id"), col("cell"),
+        cosine(col("v"), col("cv")).as("cos"))
+      .withColumn("is_outlier", col("cos") < minCos)
+  }
+
+  /** One-row refit signal over [[ivfAppend]]'s output: when the batch's
+    * outlier fraction exceeds `maxOutlierFrac`, the codebook no longer
+    * describes the incoming data and the caller schedules a refit — the
+    * assign-cheap / refit-rare steady state. The comparison is
+    * cross-multiplied in exact integer arithmetic (no float fraction on
+    * the decision path).
+    */
+  def ivfRefitSignal(assignments: DataFrame,
+                     maxOutlierFrac: Double = 0.1): DataFrame =
+    assignments.agg(
+        count(lit(1)).as("n_assigned"),
+        coalesce(sum(col("is_outlier").cast("long")), lit(0L))
+          .as("n_outliers"))
+      .select(col("n_assigned"), col("n_outliers"),
+        (col("n_outliers") * lit(10000L) >
+          col("n_assigned") * lit((maxOutlierFrac * 10000L).round))
+          .as("refit"))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication via embedding clustering — k-means cells bound the
     * candidate space (duplicates land in the same cell), then within
@@ -871,6 +923,88 @@ object Similarity {
        |  FROM r)
        |WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Hash-verified PORTABLE incremental-IVF twin (the n13 pattern):
+    * the index's cells are a Forgy fit over the PRIOR corpus (first
+    * `nCells` vectors with id < `splitId`, by id — SQL-expressible
+    * where the seeded k-means of [[ivfAppend]] is not), and the NEW
+    * batch (id >= `splitId`) is assigned to its quantized-cosine-nearest
+    * cell with the outlier verdict on the same quantized cosine — every
+    * assignment and verdict replays bit-for-bit in DuckDB. The prior
+    * corpus's own assignments never recompute: only batch rows appear
+    * in the scored relation, the incremental contract.
+    */
+  def ivfAppendPortable(emb: DataFrame, idCol: String, vecCol: String,
+                        splitId: Long, nCells: Int = 8,
+                        minCos: Double = 0.5): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+    val cent = q.filter(col("id") < splitId).orderBy("id").limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cv"))
+    val sumSq = (c: String) =>
+      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+    val dotE = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val cosSql = (d: String, na: String, nb: String) =>
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val scored = q.filter(col("id") >= splitId)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos",
+        expr(cosSql(dotE("qv", "cv"), sumSq("qv"), sumSq("cv"))))
+      .select(col("id"), col("cell"), col("cos"))
+    scored.groupBy("id")
+      .agg(max(struct(col("cos").as("cos"),
+        (-col("cell")).cast("long").as("negcell"))).as("b"))
+      .select(col("id"), (-col("b.negcell")).cast("int").as("cell"),
+        col("b.cos").as("cos"))
+      .withColumn("is_outlier",
+        when(col("cos") < minCos, 1).otherwise(0))
+  }
+
+  /** DuckDB replay of [[ivfAppendPortable]] over `table`. */
+  def ivfAppendPortableOracleSql(table: String, idCol: String,
+                                 vecCol: String, splitId: Long,
+                                 nCells: Int = 8,
+                                 minCos: Double = 0.5): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT)
+       |            AS cell
+       |        FROM $table WHERE $idCol < $splitId
+       |        ORDER BY $idCol LIMIT $nCells),
+       |cent AS (SELECT c.cell, q.pos, q.qe AS cq
+       |         FROM cid c JOIN qe q ON q.id = c.id),
+       |sc AS (
+       |  SELECT q.id, c.cell,
+       |    CAST(sum(q.qe * c.cq) AS BIGINT) AS dot,
+       |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2v,
+       |    CAST(sum(c.cq * c.cq) AS BIGINT) AS n2c
+       |  FROM qe q JOIN cent c ON c.pos = q.pos
+       |  WHERE q.id >= $splitId
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT id, cell,
+       |    CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE)))
+       |    END AS cos
+       |  FROM sc)
+       |SELECT id, cell, cos,
+       |  CASE WHEN cos < $minCos THEN 1 ELSE 0 END AS is_outlier
+       |FROM (
+       |  SELECT id, cell, cos,
+       |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell)
+       |      AS rn
+       |  FROM cosv) WHERE rn = 1
+       |ORDER BY id""".stripMargin
 
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.95,

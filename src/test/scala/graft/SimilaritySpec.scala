@@ -422,4 +422,78 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString
       .contains("CartesianProduct"))
   }
+
+  test("ivfAppend: appended cells are bit-identical to a full rebuild's") {
+    // The maintenance contract: given the SAME centroids, assigning a
+    // new batch incrementally must land every vector in exactly the cell
+    // a from-scratch assignment would pick — append never degrades the
+    // index, it only skips the refit.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prior = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val cents = Similarity.kmeansFit(prior, "vec_id", "embedding", k = 8)
+    val appended = Similarity.ivfAppend(batch, "vec_id", "embedding", cents)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = Similarity.ivfAppend(emb, "vec_id", "embedding", cents)
+      .filter(col("id") >= 400)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(appended.nonEmpty && appended == rebuilt)
+  }
+
+  test("ivfAppend outliers + refit signal: planted drift trips the threshold") {
+    // Index fit on one subspace direction; the "drifted" batch is
+    // orthogonal to every centroid → cosine 0 → outlier. Signal is an
+    // exact integer cross-multiply: 3/10 > 0.25 trips, 2/10 does not.
+    val prior = (0L until 20L)
+      .map(i => (i, Array.tabulate(4)(j => if (j == 0) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(prior, "vec_id", "embedding", k = 2)
+    def batch(nOut: Int) = ((0 until (10 - nOut))
+      .map(i => (100L + i, Array(1f, 0f, 0f, 0f))) ++
+      (0 until nOut).map(i => (200L + i, Array(0f, 1f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val a3 = Similarity.ivfAppend(batch(3), "vec_id", "embedding", cents,
+      minCos = 0.5)
+    assert(a3.filter(col("is_outlier")).count() == 3)
+    val s3 = Similarity.ivfRefitSignal(a3, maxOutlierFrac = 0.25).collect()(0)
+    assert(s3.getAs[Long]("n_assigned") == 10L &&
+      s3.getAs[Long]("n_outliers") == 3L && s3.getAs[Boolean]("refit"))
+    val s2 = Similarity.ivfRefitSignal(
+      Similarity.ivfAppend(batch(2), "vec_id", "embedding", cents,
+        minCos = 0.5), maxOutlierFrac = 0.25).collect()(0)
+    assert(s2.getAs[Long]("n_outliers") == 2L && !s2.getAs[Boolean]("refit"))
+  }
+
+  test("ivfAppend plan: batch never shuffles — codebook is broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansFit(
+      emb.filter(col("vec_id") < 400), "vec_id", "embedding", k = 8)
+    val plan = Similarity.ivfAppend(emb.filter(col("vec_id") >= 400),
+      "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // the only exchange is the nCells-row broadcast, never a
+    // repartition of the batch
+    assert(!plan.toLowerCase.contains("hashpartitioning(id"), plan.take(600))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+  }
+
+  test("ivfAppendPortable: prior rows never re-assigned; verdicts bit-stable") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.ivfAppendPortable(emb, "vec_id", "embedding",
+      splitId = 400L)
+    val rows = out.collect()
+    // incremental contract: ONLY batch ids in the output
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("id") >= 400L))
+    // bit-stability under repartitioning (the portable-twin invariant)
+    val a = rows.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+      r.getInt(3))).sortBy(_._1).toSeq
+    val b = Similarity.ivfAppendPortable(emb.repartition(13), "vec_id",
+        "embedding", splitId = 400L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
