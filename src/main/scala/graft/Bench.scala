@@ -31,7 +31,20 @@ object Bench {
     // (operator-owned persists cleared), so mins are JIT-warm, not
     // residual-cache artifacts.
     val best = scala.collection.mutable.Map[String, Double]()
+    val worst = scala.collection.mutable.Map[String, Double]()
+    // Host-interference evidence (the round-10 bench drifted +24% on
+    // untouched code): 1-minute loadavg sampled at each sweep boundary
+    // and per-sweep totals land in BENCH_FULL.json, so a drifted round
+    // is attributable (loadavg highs + wide per-query spread = noisy
+    // host; flat loadavg + uniform slowdown = real regression).
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer(loadavg())
+    val sweepTotals = scala.collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { _ =>
+      var sweepTotal = 0.0
       selected.foreach { case (name, fn) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -39,6 +52,8 @@ object Bench {
           fn(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+          worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
+          sweepTotal += dt
           errors.remove(name)
         } catch {
           // A transient single-sweep failure must not erase a measured
@@ -49,6 +64,8 @@ object Bench {
           case _: Throwable => ()
         }
       }
+      sweepTotals += sweepTotal
+      loads += loadavg()
     }
     val results = selected.map { case (name, _) =>
       name -> best.getOrElse(name, 0.0)
@@ -69,8 +86,17 @@ object Bench {
     val sfTok = sfDir.split("/").lastOption.getOrElse(sfDir)
     val fullQs = ok.map { case (k, v) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
+    // per-query cross-sweep spread (max/min): the interference witness —
+    // a query whose plan didn't change but whose spread is 2x+ was hit
+    // by a host-load window in some sweep, not by a code regression
+    val spreadQs = ok.map { case (k, v) =>
+      val ratio = if (v > 0) worst.getOrElse(k, v) / v else 1.0
+      "\"" + k + "\":" + cs(ratio)
+    }.mkString("{", ",", "}")
+    val loadArr = loads.map(cs).mkString("[", ",", "]")
+    val sweepArr = sweepTotals.map(cs).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"queries":$fullQs,"errors":$errs,"sf":"$sfTok"}"""
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"loadavg":$loadArr,"sweep_totals":$sweepArr,"spread":$spreadQs,"queries":$fullQs,"errors":$errs,"sf":"$sfTok"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -90,7 +116,7 @@ object Bench {
     val qs = keep.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"shown":${keep.size},"full":"BENCH_FULL.json","queries":$qs,"errors":$errs,"sf":"$sfTok"}"""
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec","nq":${ok.size},"loadavg":$loadArr,"sweep_totals":$sweepArr,"shown":${keep.size},"full":"BENCH_FULL.json","queries":$qs,"errors":$errs,"sf":"$sfTok"}"""
     // Stop the session BEFORE printing so no shutdown log line can land
     // after the JSON inside the driver's tail window.
     spark.stop()

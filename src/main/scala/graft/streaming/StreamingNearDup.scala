@@ -155,4 +155,60 @@ object StreamingNearDup {
       .transformWithState(new Processor(minAgree, maxPerBucket, numHashes),
         TimeMode.None(), OutputMode.Append(), Encoders.product[CandPair])
   }
+
+  /** EXACT verification of [[nearDups]]' signature-agreement candidates
+    * — the documented downstream batch step, mirroring
+    * `Dedup.incrementalNearDups`' verify stage: per sink micro-batch,
+    * the per-bucket emissions dedup to unique pairs, BOTH endpoints
+    * fetch their text from the corpus (point equi-joins sized by the
+    * CANDIDATES, never a corpus rescan — streaming state holds 32 longs
+    * per doc, never text, so text lives only here), and a pair survives
+    * iff its exact k-shingle Jaccard clears `threshold`. Signature
+    * agreement is an unbiased Jaccard ESTIMATE — collisions and lucky
+    * component agreement pass the streaming stage; this is the stage
+    * that kills them.
+    *
+    * Returns (id_a, id_b, vs, est_jaccard, jaccard) for surviving pairs.
+    */
+  def verifyCandidates(cands: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String, k: Int = 3,
+                       threshold: Double = 0.7): DataFrame = {
+    val uniq = cands
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("vs")).as("vs"),
+        max(col("est_jaccard")).as("est_jaccard"))
+    val txt = corpus.select(col(idCol).cast("long").as("__tid"),
+      col(textCol).as("__txt"))
+    def sh(c: org.apache.spark.sql.Column) = Dedup.wordShingles(c, k)
+    uniq
+      .join(txt.select(col("__tid").as("id_a"), col("__txt").as("__ta")),
+        Seq("id_a"))
+      .join(txt.select(col("__tid").as("id_b"), col("__txt").as("__tb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(sh(col("__ta")), sh(col("__tb"))))
+          .cast("double") /
+          size(array_union(sh(col("__ta")), sh(col("__tb")))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("vs"), col("est_jaccard"),
+        col("jaccard"))
+  }
+
+  /** `foreachBatch` body composing [[nearDups]] with [[verifyCandidates]]
+    * end-to-end: candidates stream out of state, this verifies each sink
+    * micro-batch exactly and hands the survivors (plus the micro-batch
+    * id) to `sink`. `corpus` is a THUNK re-evaluated per batch so a
+    * batch view over the same growing input (e.g. the stream's source
+    * directory read as a batch frame) sees documents landed since the
+    * query started — a candidate's prior endpoint is never in the
+    * current micro-batch.
+    */
+  def verifiedForeachBatch(corpus: () => DataFrame, textCol: String,
+                           idCol: String, k: Int = 3,
+                           threshold: Double = 0.7)
+                          (sink: (DataFrame, Long) => Unit)
+      : (Dataset[CandPair], Long) => Unit =
+    (batch, bid) =>
+      sink(verifyCandidates(batch.toDF(), corpus(), textCol, idCol, k,
+        threshold), bid)
 }

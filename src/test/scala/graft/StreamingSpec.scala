@@ -847,6 +847,98 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup through EXACT verify: estimator survivor killed, true dups kept") {
+    // Composes nearDups (signature-agreement candidates out of MapState)
+    // with verifyCandidates (exact k-shingle Jaccard against a batch
+    // view of the growing corpus) via verifiedForeachBatch — the
+    // documented downstream mirroring Dedup.incrementalNearDups' verify
+    // stage. Batch 2 plants BOTH kinds of candidate: doc 4 (a true dup
+    // of prior docs 1/2) and doc 5 (overlaps doc 3 enough to clear the
+    // low minAgree estimator gate but whose EXACT Jaccard ~0.47 fails
+    // the 0.7 threshold) — the verify stage must keep the former and
+    // kill the latter, and prior×prior pairs never re-emit. Bands are
+    // 16 (2 MinHash rows each) so a 0.57-Jaccard pair band-collides
+    // with near-certainty (1 - (1-0.57^2)^16 ≈ 0.998) while the exact
+    // gate still rejects it; everything is seed-fixed → deterministic.
+    val dir = Files.createTempDirectory("graft-sndv").toString
+    val in = s"$dir/in"; val raw = s"$dir/raw"; val ver = s"$dir/ver"
+    val cp = s"$dir/cp"
+    val dup = "the quick brown fox jumps over the lazy dog again " +
+      "and again until the corpus repeats itself entirely"
+    val other = "completely different prose about spark structured " +
+      "streaming state stores and rocksdb column families"
+    // one mid-sentence word swapped vs `other`: 8 of 11 trigrams shared,
+    // exact Jaccard 8/14 ≈ 0.571 — above the estimator gate, below 0.7
+    val partial = "completely different prose about spark batchy " +
+      "streaming state stores and rocksdb column families"
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    graft.streaming.RunningSpend.requiredConfs(spark)
+    try {
+      val verified = graft.streaming.StreamingNearDup.verifiedForeachBatch(
+        () => spark.read.schema(schema).parquet(in), "text", "doc_id",
+        threshold = 0.7) { (vdf, bid) =>
+        vdf.withColumn("drain", lit(bid))
+          .write.mode("append").parquet(ver); ()
+      }
+      def drain(): Unit = {
+        val q = graft.streaming.StreamingNearDup.nearDups(
+            spark.readStream.schema(schema).parquet(in),
+            "text", "doc_id", bands = 16, minAgree = 0.2)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingNearDup.CandPair], bid: Long) =>
+            batch.persist()
+            batch.toDF().withColumn("drain", lit(bid))
+              .write.mode("append").parquet(raw)
+            verified(batch, bid)
+            batch.unpersist(); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      Seq((4L, dup), (5L, partial)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      drain()
+      val rawPairs = spark.read.parquet(raw)
+        .select("drain", "id_a", "id_b", "vs")
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(p => (p._2, p._3, p._4)).toSet).toMap
+      // the estimator-gate candidates: batch 2 must surface BOTH the
+      // true dup pairs and the partial-overlap (5,3) pair
+      assert(rawPairs(0L) == Set((1L, 2L, "batch")), rawPairs)
+      assert(rawPairs(1L) == Set((4L, 1L, "prior"), (4L, 2L, "prior"),
+        (5L, 3L, "prior")), rawPairs)
+      val verPairs = spark.read.parquet(ver)
+        .select("drain", "id_a", "id_b", "vs", "jaccard")
+        .as[(Long, Long, Long, String, Double)].collect()
+      val v0 = verPairs.filter(_._1 == 0L)
+        .map(p => (p._2, p._3, p._4)).toSet
+      val v1 = verPairs.filter(_._1 == 1L)
+        .map(p => (p._2, p._3, p._4)).toSet
+      assert(v0 == Set((1L, 2L, "batch")), s"verified drain 1: $v0")
+      // (5,3) cleared the estimator but fails exact verify — killed;
+      // the true dups survive with exact Jaccard 1.0
+      assert(v1 == Set((4L, 1L, "prior"), (4L, 2L, "prior")),
+        s"verified drain 2: $v1")
+      assert(verPairs.forall(_._5 == 1.0), verPairs.mkString(", "))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("same logic runs as a file-source stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsDf.write.parquet(s"$dir/in")
