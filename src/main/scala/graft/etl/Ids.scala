@@ -59,6 +59,14 @@ object Ids {
     * broadcast the cumulative offsets back, add them to a
     * WITHIN-partition running sum. Deterministic wherever the sampled
     * range boundaries land, provided `orderCols` is a total order.
+    *
+    * Cache lifecycle is CALLER-OWNED (the [[denseIds]] /
+    * `minhashNearDups` convention): the ranged input persists
+    * MEMORY_AND_DISK because the offsets pass and the final pass must
+    * see one physical partitioning, and it cannot unpersist here — the
+    * returned frame still reads it lazily. A long-lived session calling
+    * this repeatedly clears via `spark.catalog.clearCache()` (or
+    * `unpersist` on the input's lineage) once the result is consumed.
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
                    totalName: String = "running_total"): DataFrame = {
