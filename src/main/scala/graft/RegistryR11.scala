@@ -55,6 +55,61 @@ object RegistryR11 {
              |FROM documents WHERE doc_id < 100
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- S13: WET GENERATION — the full crawl-to-corpus chain in one
+    //      oracle-exact query: documents become HTML pages (script/
+    //      style/comment chrome + planted entities), pages wrap into
+    //      real WARC `response` records written as multi-member-gzip
+    //      archives by executors (K6), the archives stream back through
+    //      the record walk (s11), and HtmlTables.visibleText extracts
+    //      each page's prose — exactly what CommonCrawl's WET generator
+    //      does to each crawled page. DuckDB replays the expected text
+    //      straight from the source rows: container round-trip, HTML
+    //      stripping, entity decode, and whitespace collapse are ALL on
+    //      the hash path. -----------------------------------------------
+    Q("s13_wet_generation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < 500)
+        val html = format_string(
+          "<html><head><script>var x = 1 < 2 && 0;</script>" +
+            "<style>p { color: red }</style></head>" +
+            "<body><h1>Doc %s &#8212; Q&amp;A</h1>" +
+            "<!-- hidden <p>chrome</p> comment -->" +
+            "<p>%s</p></body></html>",
+          col("doc_id"), col("text"))
+        val recs = docs.select(
+          lit("response").as("warc_type"),
+          concat(lit("<urn:graft:wet:"), col("doc_id"), lit(">"))
+            .as("record_id"),
+          concat(lit("https://example.org/page/"), col("doc_id"))
+            .as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          lit("text/html").as("content_type"),
+          encode(html, "UTF-8").as("payload"),
+          col("doc_id"))
+        val tmp = Registry.scratchDir("warc_s13")
+        graft.sources.WarcIngest.writeWarcDir(
+          recs.repartition(4, col("doc_id")).drop("doc_id"), tmp,
+          gzip = true)
+        val (records, audit) = graft.sources.WarcIngest.readWarcDir(s, tmp)
+        val bad = audit.filter(col("corrupt")).count()
+        require(bad == 0, s"s13: $bad corrupt archives")
+        records.filter(col("warc_type") === "response")
+          .select(col("record_id"),
+            graft.sources.HtmlTables.visibleText(
+              decode(col("payload"), "UTF-8")).as("text"))
+          .orderBy("record_id")
+      },
+      // the em-dash ref &#8212; is outside the printable-ASCII decode
+      // scope and must survive INTACT; &amp; decodes; chrome vanishes
+      Some("""SELECT
+             |  concat('<urn:graft:wet:', CAST(doc_id AS VARCHAR), '>')
+             |    AS record_id,
+             |  concat('Doc ', CAST(doc_id AS VARCHAR),
+             |         ' &#8212; Q&A ', text) AS text
+             |FROM documents WHERE doc_id % 5 = 0 AND doc_id < 500
+             |ORDER BY record_id""".stripMargin)),
+
     // ---- N17: incremental IVF maintenance — the steady-state append
     //      path: centroids fit on the PRIOR corpus (vec_id < 400) only,
     //      the NEW batch assigned through the broadcast codebook

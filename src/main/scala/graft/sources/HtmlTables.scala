@@ -81,6 +81,26 @@ object HtmlTables {
     when(txt === "", lit(null)).otherwise(txt)
   }
 
+  /** Visible text of a whole page — the WARC `response` → WET
+    * `conversion` extraction step (what CommonCrawl's WET generator
+    * does to each crawled page): comments removed WHOLESALE (content
+    * and all — the opposite of [[uncomment]], which reveals
+    * commented-out tables for the FBref quirk), `<script>`/`<style>`
+    * blocks dropped with their contents (code is not prose), remaining
+    * tags become spaces, entities decode, whitespace collapses to
+    * single spaces. Pure codegen'd column ops — a billion pages reduce
+    * to text as one distributed projection, no UDF. Entity decode runs
+    * AFTER tag stripping so `&lt;script&gt;` in text can never smuggle
+    * a strippable block.
+    */
+  def visibleText(page: Column): Column = {
+    val noComments = regexp_replace(page, "(?s)<!--.*?-->", "")
+    val noBlocks = regexp_replace(noComments,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1>", "")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    trim(regexp_replace(htmlUnescape(noTags), "\\s+", " "))
+  }
+
   /** All `<table>` bodies of a page, comment-stripped. */
   def tables(page: Column): Column =
     regexp_extract_all(uncomment(page),

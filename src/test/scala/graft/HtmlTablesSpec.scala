@@ -94,6 +94,22 @@ class HtmlTablesSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("gf")).toSeq == Seq("2", "0"))
   }
 
+  test("visibleText: WET-style page text — chrome dropped, entities decoded") {
+    val page = """<html><head><title>T&amp;T</title>
+      |<script type="text/javascript">var x = 1 < 2 && "</p>";</script>
+      |<style>p { color: red }</style></head>
+      |<body><!-- commented <p>chrome</p> stays hidden -->
+      |<h1>Head&#33;</h1>
+      |<p>body   text
+      |with&nbsp;breaks &#8212; and a tail</p></body></html>""".stripMargin
+    val got = Seq(Tuple1(page)).toDF("page")
+      .select(graft.sources.HtmlTables.visibleText(col("page")))
+      .collect()(0).getString(0)
+    // title is visible text (WET keeps it); script/style/comment content
+    // is NOT; whitespace collapses; &#33; decodes, &#8212; passes intact
+    assert(got == "T&T Head! body text with breaks &#8212; and a tail", got)
+  }
+
   test("parseTable: no such table index throws plan-time, not task-time") {
     val pages = Seq((1L, "<html>no tables</html>")).toDF("page_id", "page")
     intercept[IllegalArgumentException] {
