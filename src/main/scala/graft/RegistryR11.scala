@@ -148,6 +148,74 @@ object RegistryR11 {
           t(s, dir, "embeddings"), "vec_id", "embedding", splitId = 400L)
         .orderBy("id"),
       Some(graft.llm.Similarity.ivfAppendPortableOracleSql(
-        "embeddings", "vec_id", "embedding", splitId = 400L)))
+        "embeddings", "vec_id", "embedding", splitId = 400L))),
+
+    // ---- S14: WebDataset tar-shard round trip — the de-facto container
+    //      of multimodal training corpora ((key.jpg, key.txt, key.json)
+    //      members grouping into samples): documents become two members
+    //      per sample, executors write deterministic ustar shards (K7
+    //      sink twin), the shards stream back header-by-header (checksum
+    //      verified), and the WebDataset sample projection regroups the
+    //      pairs. Header encode/decode, octal size fields, checksums,
+    //      payload round trip and sample grouping are ALL on the hash
+    //      path; DuckDB replays the expectation straight from the source
+    //      rows. ----------------------------------------------------------
+    Q("s14_tar_wds_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        val txt = docs.select(
+          format_string("samples/%05d.txt", col("doc_id")).as("name"),
+          encode(col("text"), "UTF-8").as("payload"), col("doc_id"))
+        val cls = docs.select(
+          format_string("samples/%05d.cls", col("doc_id")).as("name"),
+          encode(col("lang"), "UTF-8").as("payload"), col("doc_id"))
+        val tmp = Registry.scratchDir("tar_s14")
+        graft.sources.TarIngest.writeTarDir(
+          txt.unionByName(cls).repartition(4, col("doc_id"))
+            .drop("doc_id"), tmp, gzip = true)
+        val (members, audit) = graft.sources.TarIngest.readTarDir(s, tmp)
+        val bad = audit.filter(col("corrupt")).count()
+        require(bad == 0, s"s14: $bad corrupt shards")
+        graft.sources.TarIngest.wdsSamples(members)
+          .groupBy("sample_key")
+          .agg(
+            max(when(col("ext") === "txt",
+              decode(col("payload"), "UTF-8"))).as("text"),
+            max(when(col("ext") === "cls",
+              decode(col("payload"), "UTF-8"))).as("lang"))
+          .select(
+            regexp_extract(col("sample_key"), "(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("lang"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, text FROM documents
+             |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- N19: PORTABLE distributed Lloyd k-means — the audit twin of
+    //      the driver-sampled kmeansFit: the FULL corpus refines for 2
+    //      rounds in one lazy plan, every centroid component (truncating
+    //      integer mean), assignment and squared-L2 distance replays
+    //      bit-for-bit in DuckDB. Completes the clustering audit story:
+    //      Forgy ASSIGNMENT was twinned (n13/n18/d24); the refinement
+    //      LOOP now is too. -----------------------------------------------
+    Q("n19_kmeans_portable",
+      (s, dir) => graft.llm.Similarity.kmeansLloydPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("id"),
+      Some(graft.llm.Similarity.kmeansLloydPortableOracleSql(
+        "embeddings", "vec_id", "embedding"))),
+
+    // ---- T22: n-gram novelty — per-document fraction of distinct word
+    //      trigrams unseen in any earlier-id document (the diversity /
+    //      contribution signal data-pruning ranks on; a mirror scores ~0).
+    //      Grams shuffle as 60-bit digests only; exact oracle. ------------
+    Q("t22_ngram_novelty",
+      (s, dir) => graft.llm.TextAnalysis.ngramNovelty(
+          t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(graft.llm.TextAnalysis.ngramNoveltyOracleSql(
+        "documents", "doc_id", "text")))
   )
 }

@@ -1371,6 +1371,94 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PORTABLE distributed Lloyd k-means — the audit twin of the
+    * driver-sampled [[kmeansFit]] (which collects a bounded 2048-vector
+    * sample and fits seeded k-means++ on the driver): here the FULL
+    * corpus participates in every round, the whole refinement loop is
+    * ONE lazy plan (no per-round driver action), and every centroid
+    * component, assignment and distance replays bit-for-bit in DuckDB.
+    * Exactness recipe: vectors quantize to `round(1e6·x)` BIGINT,
+    * distances are integer squared-L2 (order-independent exact sums),
+    * centroid updates are the truncating integer mean `sum div count`
+    * (re-quantization keeps every round in BIGINT — verified identical
+    * to DuckDB's `//`), round-0 cells are Forgy first-k-by-id, argmin
+    * ties break to the smallest cell. Scale posture: assignment is a
+    * broadcast join of the k·d centroid rows against the (id, pos, qe)
+    * long form — the corpus shuffles only for the per-id argmin and the
+    * per-cell update, both map-side combinable; cost O(N·d·k) per round,
+    * the dense Lloyd lower bound. Cells that lose every member vanish
+    * (standard Lloyd degeneracy) — identically in both engines.
+    */
+  def kmeansLloydPortable(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int = 8, rounds: Int = 2): DataFrame = {
+    val qe = emb.select(col(idCol).as("id"),
+        posexplode(expr(s"transform($vecCol, e -> " +
+          "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))")))
+      .toDF("id", "pos", "qe")
+    val cid = emb.select(col(idCol).as("id")).orderBy("id").limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+    def assign(cent: DataFrame): DataFrame =
+      qe.join(broadcast(cent), "pos")
+        .groupBy(col("id"), col("cell"))
+        .agg(sum((col("qe") - col("cq")) * (col("qe") - col("cq")))
+          .as("dist"))
+        .groupBy("id")
+        .agg(min(struct(col("dist"), col("cell"))).as("b"))
+        .select(col("id"), col("b.cell").as("cell"),
+          col("b.dist").as("dist"))
+    var cent = qe.join(cid, "id")
+      .select(col("cell"), col("pos"), col("qe").as("cq"))
+    for (_ <- 1 to rounds)
+      cent = qe.join(assign(cent).select("id", "cell"), "id")
+        .groupBy("cell", "pos")
+        .agg(expr("sum(qe) div count(qe)").as("cq"))
+    assign(cent)
+  }
+
+  /** DuckDB replay of [[kmeansLloydPortable]] over `table` — the
+    * refinement loop unrolled one CTE pair (assign, update) per round.
+    */
+  def kmeansLloydPortableOracleSql(table: String, idCol: String,
+                                   vecCol: String, k: Int = 8,
+                                   rounds: Int = 2): String = {
+    def asgSql(cent: String): String =
+      s"""SELECT id, cell, dist FROM (
+         |    SELECT id, cell, dist,
+         |      row_number() OVER (PARTITION BY id ORDER BY dist, cell)
+         |        AS rn
+         |    FROM (SELECT q.id, c.cell,
+         |            CAST(sum((q.qe - c.cq) * (q.qe - c.cq)) AS BIGINT)
+         |              AS dist
+         |          FROM qe q JOIN $cent c ON c.pos = q.pos
+         |          GROUP BY 1, 2)) WHERE rn = 1""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""asg$r AS (
+         |  ${asgSql(s"cent${r - 1}")}),
+         |cent$r AS (
+         |  SELECT a.cell, q.pos,
+         |    CAST(CAST(sum(q.qe) AS HUGEINT) // count(*) AS BIGINT) AS cq
+         |  FROM asg$r a JOIN qe q ON q.id = a.id
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT)
+       |            AS cell
+       |        FROM $table ORDER BY $idCol LIMIT $k),
+       |cent0 AS (SELECT c.cell, q.pos, q.qe AS cq
+       |          FROM cid c JOIN qe q ON q.id = c.id),
+       |$roundsSql
+       |SELECT id, cell, dist FROM (
+       |  ${asgSql(s"cent$rounds")})
+       |ORDER BY id""".stripMargin
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

@@ -364,4 +364,63 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logp"))
   }
+
+  /** Cross-corpus n-gram NOVELTY score — the diversity/contribution
+    * signal data-pruning pipelines rank on: for each document, the
+    * fraction of its distinct word n-grams that appear in NO
+    * earlier-id document (the deterministic stand-in for arrival
+    * order). A boilerplate mirror scores ~0; the first copy of any
+    * passage scores its grams. Dual of the d10/d27 contamination
+    * family: those measure overlap against an external set, this
+    * measures self-novelty within the corpus.
+    *
+    * Scale posture: grams leave the scan as 60-bit md5-prefix digests
+    * (o08's key recipe — never gram strings), so both shuffles (the
+    * per-gram first-occurrence min and the per-doc rollup) carry two
+    * BIGINTs per gram; first-occurrence is a map-side-combinable min.
+    * The ratio is one exact-int IEEE division — hash-stable.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .select(col("id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("g"))
+    val first = grams.groupBy("g").agg(min(col("id")).as("first_id"))
+    grams.join(first, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
+  /** DuckDB replay of [[ngramNovelty]] (n = 3) over `table`. */
+  def ngramNoveltyOracleSql(table: String, idCol: String,
+                            textCol: String): String =
+    s"""WITH nv_t AS (
+       |  SELECT $idCol AS id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS grams
+       |  FROM (SELECT $idCol,
+       |      list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+       |        x -> strlen(x) > 0) AS toks
+       |    FROM $table)),
+       |nv_g AS (
+       |  SELECT id, CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+       |    AS g
+       |  FROM (SELECT id, unnest(grams) AS gram FROM nv_t)),
+       |nv_f AS (SELECT g, min(id) AS first_id FROM nv_g GROUP BY 1)
+       |SELECT g.id AS $idCol, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_id = g.id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_id = g.id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) AS novelty
+       |FROM nv_g g JOIN nv_f f ON f.g = g.g
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 }

@@ -496,4 +496,42 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("kmeansLloydPortable: planted clusters converge; Lloyd improves on Forgy; bit-stable") {
+    import spark.implicits._
+    // two tight planted clusters far apart; Forgy seeds (first k by id)
+    // both start inside cluster A, so round-1 Lloyd must MOVE a centroid
+    // across to cluster B — the refinement the assignment-only twins
+    // (n13/n18) never exercise
+    def around(cx: Float, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(cx + r.nextFloat() * 0.01f)
+    }
+    val a = (0 until 20).map(i => (i.toLong, around(1.0f, i)))
+    val b = (100 until 120).map(i => (i.toLong, around(-1.0f, i)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloydPortable(emb, "vec_id", "embedding",
+        k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellsA = (0 until 20).map(i => out(i.toLong)).toSet
+    val cellsB = (100 until 120).map(i => out(i.toLong)).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB,
+      s"planted clusters not separated: A=$cellsA B=$cellsB")
+    // bit-stability: integer arithmetic end-to-end means identical rows
+    // however the input is partitioned
+    val r1 = Similarity.kmeansLloydPortable(emb.repartition(1),
+      "vec_id", "embedding", k = 2, rounds = 2).orderBy("id")
+      .collect().toSeq
+    val r8 = Similarity.kmeansLloydPortable(emb.repartition(8),
+      "vec_id", "embedding", k = 2, rounds = 2).orderBy("id")
+      .collect().toSeq
+    assert(r1 == r8)
+    // Lloyd refinement strictly shrinks total within-cell distance vs
+    // the Forgy start (rounds = 0 is assignment off the raw seeds)
+    def cost(rounds: Int): Long =
+      Similarity.kmeansLloydPortable(emb, "vec_id", "embedding",
+          k = 2, rounds = rounds)
+        .agg(org.apache.spark.sql.functions.sum("dist")).head.getLong(0)
+    assert(cost(2) < cost(0), "refinement did not improve the Forgy start")
+  }
 }

@@ -118,4 +118,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getLong(0) == 10 && out.getLong(1) == 4 &&
       out.getLong(2) == 2 && out.getLong(3) == 2, out.toString)
   }
+
+  test("ngramNovelty: first copy scores its grams, a mirror scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact mirror
+      (3L, "the quick brown fox sat still today"),          // partial reuse
+      (4L, "completely different words entirely here now"), // all novel
+      (5L, "hi"))                                            // short-doc fallback gram
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 7 distinct trigrams, all first occurrences
+    assert(out(1L) == ((7L, 7L, 1.0)))
+    // doc 2 mirrors doc 1 exactly: zero novelty
+    assert(out(2L) == ((7L, 0L, 0.0)))
+    // doc 3 shares the prefix trigrams "the quick brown", "quick brown
+    // fox"; its other 3 are novel
+    assert(out(3L)._1 == 5L && out(3L)._2 == 3L)
+    // doc 4: fully novel
+    assert(out(4L) == ((4L, 4L, 1.0)))
+    // doc 5: < n tokens -> single whole-string fallback gram, novel
+    assert(out(5L) == ((1L, 1L, 1.0)))
+    // partition invariance: digests + exact counts only
+    val r1 = TextAnalysis.ngramNovelty(docs.repartition(1), "doc_id",
+      "text").orderBy("id").collect().toSeq
+    val r8 = TextAnalysis.ngramNovelty(docs.repartition(8), "doc_id",
+      "text").orderBy("id").collect().toSeq
+    assert(r1 == r8)
+  }
 }
