@@ -216,6 +216,28 @@ object RegistryR11 {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(graft.llm.TextAnalysis.ngramNoveltyOracleSql(
-        "documents", "doc_id", "text")))
+        "documents", "doc_id", "text"))),
+
+    // ---- T23: PORTABLE BPE — the audit twin of the rows-only t12 (the
+    //      last untwinned rows-only gate): DuckDB re-derives the ENTIRE
+    //      tokenizer INDEPENDENTLY — word frequencies, the deterministic
+    //      vocab cap, all 8 training merges (pair counts + argmax +
+    //      exhaustive application), and the in-rank-order encode of every
+    //      word — and the hash gate proves the merge sequence AND every
+    //      token bit-for-bit. The Spark side trains through the same
+    //      Bpe.fit as t12 and encodes via the apply-in-order form
+    //      (spec-pinned equivalent to the greedy lowest-rank loop). -----
+    Q("t23_bpe_portable",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val merges = graft.llm.Bpe.fit(docs, "text", numMerges = 8,
+          maxVocabWords = 200)
+        graft.llm.Bpe.encodePortable(docs, "doc_id", "text", merges)
+          .select(col("id").as("doc_id"), col("n_bpe_tokens"),
+            concat_ws(" ", col("tokens")).as("tokens_str"))
+          .orderBy("doc_id")
+      },
+      Some(graft.llm.Bpe.portableOracleSql("documents", "doc_id", "text",
+        maxDocId = 100L, numMerges = 8, maxVocabWords = 200)))
   )
 }

@@ -98,4 +98,38 @@ class BpeSpec extends SparkSpec {
       .head().getLong(0)
     assert(n >= words, s"bpe=$n words=$words")
   }
+
+  test("encodeInOrder == greedy encodeWord on the real corpus (t23 contract)") {
+    // the portable twin encodes by replaying merges in rank order; the
+    // production path (encode/t12) uses the greedy lowest-rank loop.
+    // They are equivalent whenever no two merges produce the same token
+    // string (operands of a merge are products of strictly earlier
+    // merges) — pin it on every distinct corpus word, plus adversarial
+    // shapes (cascades, overlapping runs, repeated pairs)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Bpe.fit(docs, "text", numMerges = 40)
+    assert(merges.map { case (a, b) => a + b }.distinct.size ==
+      merges.size, "duplicate merge products break the equivalence")
+    val ranks = merges.zipWithIndex.toMap
+    val words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    assert(words.nonEmpty)
+    (words.toSeq ++ Seq("aaaaa", "abababa", "mississippi")).foreach { w =>
+      assert(Bpe.encodeInOrder(w, merges) == Bpe.encodeWord(w, ranks),
+        s"in-order vs greedy diverge on '$w'")
+    }
+  }
+
+  test("applyMerge: cascading left-greedy fold matches the training loop") {
+    // odd runs pair left-to-right: [a,a,a,a,a] -> [aa,aa,a]
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a", "a"), "a", "a") ==
+      Seq("aa", "aa", "a"))
+    // a merged token never re-matches as the left operand
+    assert(Bpe.applyMerge(Seq("a", "b", "b"), "a", "b") == Seq("ab", "b"))
+    // interleaved occurrences all merge
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b"), "a", "b") ==
+      Seq("ab", "ab"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+  }
 }
