@@ -238,6 +238,57 @@ object RegistryR11 {
           .orderBy("doc_id")
       },
       Some(graft.llm.Bpe.portableOracleSql("documents", "doc_id", "text",
-        maxDocId = 100L, numMerges = 8, maxVocabWords = 200)))
+        maxDocId = 100L, numMerges = 8, maxVocabWords = 200))),
+
+    // ---- M12: image metadata extract + strip THROUGH real PNG chunk
+    //      arithmetic — the compliance pass before multimodal ingest:
+    //      tEXt keyword/value pairs planted per image from source
+    //      columns, read back via the CRC-verified chunk walk (IHDR
+    //      geometry on the same hash path), and the ancillary strip
+    //      proven LOSSLESS by md5-comparing strip(planted) against
+    //      strip(original) while its byte cost replays analytically
+    //      (12-octet chunk frame + keyword + NUL + value). -----------
+    Q("m12_image_metadata",
+      (s, dir) => {
+        val mm = graft.llm.Multimodal
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("lang"),
+            concat(lit("doc-"), col("doc_id")).as("author_v"))
+        val imgs = mm.withSyntheticImages(docs, "doc_id")
+        val withCols = imgs.join(docs, imgs("id") === docs("doc_id"))
+          .select(col("id"), col("payload"), col("author_v"), col("lang"))
+        val planted = mm.withPlantedText(withCols, "id", "payload",
+          Seq("author" -> "author_v", "lang" -> "lang"))
+        val meta = mm.pngMeta(planted, "id", "payload")
+        val sp = mm.stripPngMeta(planted, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("strip_md5"))
+        val so = mm.stripPngMeta(imgs, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("orig_md5"),
+            col("bytes_saved").as("orig_saved"))
+        meta.join(sp, "id").join(so, "id")
+          .select(col("id").as("doc_id"), col("keyword"), col("value"),
+            col("width"), col("height"), col("bit_depth"),
+            col("color_type"),
+            (col("bytes_saved") - col("orig_saved")).as("planted_bytes"),
+            (col("strip_md5") === col("orig_md5")).as("restored"),
+            col("corrupt"))
+          .orderBy("doc_id", "keyword")
+      },
+      Some("""WITH mm_d AS (
+             |  SELECT doc_id, lang,
+             |    'doc-' || CAST(doc_id AS VARCHAR) AS author_v
+             |  FROM documents WHERE doc_id < 200),
+             |mm_kv AS (
+             |  SELECT doc_id, lang, author_v, 'author' AS keyword,
+             |    author_v AS value FROM mm_d
+             |  UNION ALL
+             |  SELECT doc_id, lang, author_v, 'lang', lang FROM mm_d)
+             |SELECT doc_id, keyword, value,
+             |  8 AS width, 8 AS height, 8 AS bit_depth, 0 AS color_type,
+             |  CAST(13 + length('author') + length(author_v)
+             |     + 13 + length('lang') + length(lang) AS BIGINT)
+             |    AS planted_bytes,
+             |  true AS restored, false AS corrupt
+             |FROM mm_kv ORDER BY doc_id, keyword""".stripMargin))
   )
 }

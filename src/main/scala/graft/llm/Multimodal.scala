@@ -709,4 +709,201 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  // ------------------------------------------------------------------
+  // PNG chunk surgery: metadata extraction + ancillary-chunk strip —
+  // the image-side compliance pass a training pipeline runs before
+  // ingest (textual metadata out for privacy/provenance audit, payload
+  // slimmed to its critical chunks). Pure chunk arithmetic on the
+  // public PNG layout (8-byte signature; chunks of BE32 length + 4-char
+  // type + data + CRC32 over type||data; ancillary chunks have a
+  // lowercase first type letter), CRC-verified so bit rot is damage,
+  // not garbage metadata. Corrupt-is-data: a damaged image keeps its
+  // row with `corrupt = true` — never an executor exception.
+  // ------------------------------------------------------------------
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+    0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def crc32(parts: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(p => c.update(p))
+    c.getValue
+  }
+
+  private def be32(v: Long): Array[Byte] = Array[Byte](
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def readBe32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Walk a PNG's chunks: (type, dataOffset, dataLen) with every CRC
+    * verified. Returns (chunks decoded before any damage, corrupt).
+    */
+  private[llm] def pngChunks(b: Array[Byte])
+      : (Seq[(String, Int, Int)], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    try {
+      require(b.length >= 8 && b.take(8).sameElements(PngSig), "not a PNG")
+      var i = 8
+      var end = false
+      while (!end) {
+        require(i + 8 <= b.length, "truncated chunk header")
+        val len = readBe32(b, i)
+        require(len <= Int.MaxValue && i + 12 + len <= b.length,
+          "truncated chunk data")
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        val expect = readBe32(b, i + 8 + len.toInt)
+        val got = crc32(java.util.Arrays.copyOfRange(b, i + 4,
+          i + 8 + len.toInt))
+        require(got == expect, s"CRC mismatch in $typ")
+        out += ((typ, i + 8, len.toInt))
+        if (typ == "IEND") end = true
+        else i += 12 + len.toInt
+      }
+      (out.toSeq, false)
+    } catch {
+      case scala.util.control.NonFatal(_) => (out.toSeq, true)
+    }
+  }
+
+  /** Insert `tEXt` keyword/value chunks immediately after IHDR —
+    * deterministic bytes (fixed chunk order, CRC32 of type||data).
+    */
+  def pngInsertText(png: Array[Byte],
+                    kvs: Seq[(String, String)]): Array[Byte] = {
+    val ihdrLen = readBe32(png, 8).toInt
+    val cut = 8 + 12 + ihdrLen // end of the IHDR chunk
+    val buf = new java.io.ByteArrayOutputStream(png.length + 64)
+    buf.write(png, 0, cut)
+    kvs.foreach { case (k, v) =>
+      val data = k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+        v.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("US-ASCII")
+      buf.write(be32(data.length.toLong))
+      buf.write(typ); buf.write(data)
+      buf.write(be32(crc32(typ, data)))
+    }
+    buf.write(png, cut, png.length - cut)
+    buf.toByteArray
+  }
+
+  /** Keep only CRITICAL chunks (uppercase first type letter: IHDR,
+    * PLTE, IDAT, IEND) — drops tEXt/zTXt/iTXt/tIME/eXIf and every other
+    * ancillary chunk. Dropping whole chunks preserves the others'
+    * CRCs, so the result is a valid PNG with identical pixel data.
+    * Corrupt input comes back unchanged (the audit flag belongs to
+    * [[pngMeta]]; a strip must never invent bytes).
+    */
+  def pngStripAncillary(png: Array[Byte]): Array[Byte] = {
+    val (chunks, corrupt) = pngChunks(png)
+    if (corrupt) png
+    else {
+      val buf = new java.io.ByteArrayOutputStream(png.length)
+      buf.write(PngSig)
+      chunks.foreach { case (typ, off, len) =>
+        if ((typ.charAt(0) & 0x20) == 0)
+          buf.write(png, off - 8, 12 + len)
+      }
+      buf.toByteArray
+    }
+  }
+
+  /** Per-image metadata frame: one row per `tEXt` entry (images without
+    * any get ONE row with NULL keyword/value — nothing vanishes), IHDR
+    * geometry on every row, `bytes_saved` = octets an ancillary strip
+    * would shed, `corrupt` latched from the CRC-verified walk.
+    * Output: (id, width, height, bit_depth, color_type, keyword, value,
+    * bytes_saved, corrupt).
+    */
+  def pngMeta(df: DataFrame, idCol: String,
+              payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("color_type", IntegerType),
+      StructField("keyword", StringType),
+      StructField("value", StringType),
+      StructField("bytes_saved", LongType),
+      StructField("corrupt", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val png = r.getAs[Array[Byte]](1)
+          val (chunks, corrupt) = pngChunks(
+            if (png == null) Array.emptyByteArray else png)
+          val ihdr = chunks.find(_._1 == "IHDR")
+          val (w, h, bd, ct) = ihdr match {
+            case Some((_, off, len)) if len >= 13 =>
+              (readBe32(png, off).toInt.asInstanceOf[Integer],
+                readBe32(png, off + 4).toInt.asInstanceOf[Integer],
+                (png(off + 8) & 0xff).asInstanceOf[Integer],
+                (png(off + 9) & 0xff).asInstanceOf[Integer])
+            case _ => (null: Integer, null: Integer,
+              null: Integer, null: Integer)
+          }
+          val saved = chunks.filter(c => (c._1.charAt(0) & 0x20) != 0)
+            .map(12L + _._3).sum.asInstanceOf[java.lang.Long]
+          val texts = chunks.filter(_._1 == "tEXt").map { case (_, off, len) =>
+            val data = new String(png, off, len, "ISO-8859-1")
+            val z = data.indexOf(0.toChar)
+            if (z < 0) (data, null: String)
+            else (data.substring(0, z), data.substring(z + 1))
+          }
+          if (texts.isEmpty)
+            Iterator.single(Row(id, w, h, bd, ct, null, null, saved, corrupt))
+          else texts.iterator.map { case (k, v) =>
+            Row(id, w, h, bd, ct, k, v, saved, corrupt)
+          }
+        }
+      }(enc)
+  }
+
+  /** Strip twin as a frame op: (id, payload, bytes_saved). */
+  def stripPngMeta(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("bytes_saved", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val png = r.getAs[Array[Byte]](1)
+          val out = pngStripAncillary(
+            if (png == null) Array.emptyByteArray else png)
+          Row(r.getLong(0), out, (png.length - out.length).toLong)
+        }
+      }(enc)
+  }
+
+  /** Plant `tEXt` chunks from row columns onto an existing PNG payload:
+    * `kvCols` maps each keyword to the (string) column holding its
+    * value. Batched per partition like the other encode passes.
+    */
+  def withPlantedText(df: DataFrame, idCol: String, payloadCol: String,
+                      kvCols: Seq[(String, String)]): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val cols = col(idCol).cast("long") +: col(payloadCol) +:
+      kvCols.map(kv => col(kv._2).cast("string"))
+    df.select(cols: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val kvs = kvCols.zipWithIndex.map { case ((k, _), i) =>
+            k -> r.getString(2 + i)
+          }
+          Row(r.getLong(0), pngInsertText(r.getAs[Array[Byte]](1), kvs))
+        }
+      }(enc)
+  }
 }

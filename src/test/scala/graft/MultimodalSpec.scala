@@ -266,4 +266,56 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
   }
+
+  test("PNG chunk surgery: plant -> extract -> strip restores the original bytes") {
+    import spark.implicits._
+    val mm = Multimodal
+    val png = mm.syntheticGrayPng(7L, w = 10, h = 6)
+    // the JDK PNG writer emits only critical chunks — pin the assumption
+    // the m12 oracle's analytic planted_bytes relies on
+    assert(mm.pngStripAncillary(png).sameElements(png),
+      "JDK PNG unexpectedly carries ancillary chunks")
+    val planted = mm.pngInsertText(png,
+      Seq("author" -> "a b=c;d", "note" -> "", "lang" -> "en"))
+    val df = Seq((7L, planted)).toDF("id", "payload")
+    val rows = mm.pngMeta(df, "id", "payload").collect()
+      .map(r => (r.getAs[String]("keyword"), r.getAs[String]("value"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("bit_depth"), r.getAs[Int]("color_type"),
+        r.getAs[Long]("bytes_saved"), r.getAs[Boolean]("corrupt")))
+    assert(rows.map(x => (x._1, x._2)).toSeq ==
+      Seq(("author", "a b=c;d"), ("note", ""), ("lang", "en")))
+    assert(rows.forall(x => x._3 == 10 && x._4 == 6 && x._5 == 8 &&
+      x._6 == 0 && !x._8))
+    // bytes_saved = 3 tEXt chunks: (12 + k + 1 + v) each
+    val expect = (13 + 6 + 7) + (13 + 4 + 0) + (13 + 4 + 2)
+    assert(rows.head._7 == expect.toLong)
+    // strip drops exactly the planted chunks, byte-for-byte
+    assert(mm.pngStripAncillary(planted).sameElements(png))
+    // and the stripped payload still decodes to the same pixels
+    assert(mm.imageIoDecode(mm.pngStripAncillary(planted)).toSeq ==
+      mm.imageIoDecode(png).toSeq)
+  }
+
+  test("PNG chunk walk: corruption and junk are audited rows, never exceptions") {
+    import spark.implicits._
+    val mm = Multimodal
+    val png = mm.pngInsertText(mm.syntheticGrayPng(3L),
+      Seq("k" -> "v"))
+    // flip one byte inside the first tEXt chunk's data: CRC must catch it
+    val bad = png.clone()
+    val ihdrEnd = 8 + 12 + 13
+    bad(ihdrEnd + 9) = (bad(ihdrEnd + 9) ^ 0x1).toByte
+    val df = Seq((1L, bad), (2L, "not a png".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = mm.pngMeta(df, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("corrupt")).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true))
+    // a corrupt image keeps IHDR fields decoded before the damage
+    val r1 = mm.pngMeta(df.filter($"id" === 1L), "id", "payload")
+      .collect().head
+    assert(r1.getAs[Int]("width") == 8)
+    // strip never invents bytes on damage
+    assert(mm.pngStripAncillary(bad).sameElements(bad))
+  }
 }
