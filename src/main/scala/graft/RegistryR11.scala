@@ -289,6 +289,19 @@ object RegistryR11 {
              |     + 13 + length('lang') + length(lang) AS BIGINT)
              |    AS planted_bytes,
              |  true AS restored, false AS corrupt
-             |FROM mm_kv ORDER BY doc_id, keyword""".stripMargin))
+             |FROM mm_kv ORDER BY doc_id, keyword""".stripMargin)),
+
+    // ---- N20: PORTABLE power iteration — the dominant principal
+    //      direction of label-0's embedding covariance (the PCA-prep /
+    //      drift-axis step after n11): 3 rounds of v ← normalize(C·v)
+    //      in one lazy plan, the matvec kept under 2^53 by the vector
+    //      scale so every normalize is exact-int-to-double + one IEEE
+    //      divide — all 64 components replay bit-for-bit in DuckDB. ----
+    Q("n20_power_iteration",
+      (s, dir) => graft.llm.Similarity.powerIterationPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0)
+        .orderBy("pos"),
+      Some(graft.llm.Similarity.powerIterationPortableOracleSql(
+        "embeddings", "vec_id", "embedding", "label", 0)))
   )
 }

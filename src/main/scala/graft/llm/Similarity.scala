@@ -1459,6 +1459,90 @@ object Similarity {
        |ORDER BY id""".stripMargin
   }
 
+  /** PORTABLE power iteration — the dominant principal direction of an
+    * embedding subset's covariance (the PCA-prep / drift-axis step that
+    * follows n11's covariance): `iters` rounds of v ← normalize(C·v) as
+    * ONE lazy plan, every intermediate bit-exact in DuckDB. Exactness
+    * recipe: the covariance numerator is n11's all-integer form
+    * (n·Σxy − Σx·Σy over round(1e3·x) BIGINT quantization); the matvec
+    * is a BIGINT dot whose magnitude is kept UNDER 2^53 by the vector
+    * scale (|C| ≤ ~2.6e10 on this data × d=64 × scale 4000 ≈ 6.7e15 <
+    * 2^53), so the normalize step's CAST-to-DOUBLE is exact and the one
+    * division + one multiply + round are correctly-rounded IEEE — bit-
+    * identical across engines. Sign/convergence are deterministic
+    * because v₀ is the uniform vector and every step is exact.
+    * Scale posture: the covariance is the documented dense O(d²·N)
+    * bound; each iteration is a d²-row join — persist the (tiny) d²
+    * covariance when iterating at 100 TB rather than recomputing it
+    * per action.
+    */
+  def powerIterationPortable(emb: DataFrame, idCol: String,
+                             vecCol: String, labelCol: String,
+                             label: Int, iters: Int = 3,
+                             scale: Long = 4000L): DataFrame = {
+    val q = emb.filter(col(labelCol) === label)
+      .select(col(idCol).as("id"),
+        posexplode(expr(s"transform($vecCol, e -> " +
+          "CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT))")))
+      .toDF("id", "pos", "qe")
+    val cov = q.as("a").join(q.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+      .agg((count(lit(1)) * sum(expr("a.qe * b.qe")) -
+        sum(col("a.qe")) * sum(col("b.qe"))).as("c"))
+    var v = cov.select(col("i").as("j")).distinct()
+      .withColumn("v", lit(scale))
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr(s"CASE WHEN mx = 0 THEN 0L ELSE " +
+            s"CAST(round(CAST($scale AS DOUBLE) * " +
+            "(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) END")
+            .as("v"))
+    }
+    v.select(col("j").as("pos"), col("v"))
+  }
+
+  /** DuckDB replay of [[powerIterationPortable]] — iterations unrolled. */
+  def powerIterationPortableOracleSql(table: String, idCol: String,
+                                      vecCol: String, labelCol: String,
+                                      label: Int, iters: Int = 3,
+                                      scale: Long = 4000L): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""pw$r AS (
+         |  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |  FROM pcov c JOIN pv${r - 1} v ON v.j = c.j GROUP BY 1),
+         |pm$r AS (SELECT max(abs(w)) AS mx FROM pw$r),
+         |pv$r AS (
+         |  SELECT i AS j, CASE WHEN mx = 0 THEN 0 ELSE
+         |      CAST(round(CAST($scale AS DOUBLE) *
+         |        (CAST(w AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT)
+         |    END AS v
+         |  FROM pw$r, pm$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pq AS (
+       |  SELECT emb.$idCol AS id, CAST(t.i AS INT) AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t
+       |  WHERE emb.$labelCol = $label),
+       |pcov AS (
+       |  SELECT a.pos AS i, b.pos AS j,
+       |    CAST(count(*) * CAST(sum(a.qe * b.qe) AS BIGINT)
+       |      - CAST(sum(a.qe) AS BIGINT) * CAST(sum(b.qe) AS BIGINT)
+       |      AS BIGINT) AS c
+       |  FROM pq a JOIN pq b ON a.id = b.id
+       |  GROUP BY 1, 2),
+       |pv0 AS (SELECT DISTINCT i AS j, CAST($scale AS BIGINT) AS v
+       |        FROM pcov),
+       |$rounds
+       |SELECT j AS pos, v FROM pv$iters ORDER BY pos""".stripMargin
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

@@ -382,19 +382,25 @@ object TextAnalysis {
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
-        explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+    val base = docs.select(col(idCol).as("id"),
+      Dedup.wordShingles(col(textCol), n).as("gs"))
+    // per-doc totals come scan-side; the per-gram argmin alone yields
+    // the novel counts (each gram is novel in exactly its min-id doc),
+    // so there is NO join back against the gram table — the only
+    // G-sized shuffle is the map-side-combinable min
+    val perDoc = base.select(col("id"),
+      size(col("gs")).cast("long").as("n_grams"))
+    val novel = base.select(col("id"), explode(col("gs")).as("gram"))
       .select(col("id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10)
           .cast("long").as("g"))
-    val first = grams.groupBy("g").agg(min(col("id")).as("first_id"))
-    grams.join(first, "g")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("id"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .groupBy("g").agg(min(col("id")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams")).as("novelty"))
   }
 
   /** DuckDB replay of [[ngramNovelty]] (n = 3) over `table`. */

@@ -534,4 +534,31 @@ class SimilaritySpec extends SparkSpec {
         .agg(org.apache.spark.sql.functions.sum("dist")).head.getLong(0)
     assert(cost(2) < cost(0), "refinement did not improve the Forgy start")
   }
+
+  test("powerIterationPortable: finds the planted dominant axis; bit-stable") {
+    import spark.implicits._
+    // dimension 2 carries ~100x the variance of every other dimension:
+    // the dominant eigenvector must align with it, so after iteration
+    // the scaled vector is (near-)zero everywhere except |v(2)| = scale
+    val rng = new scala.util.Random(42)
+    val emb = (0 until 60).map { i =>
+      val v = Array.fill(8)((rng.nextGaussian() * 0.01).toFloat)
+      v(2) = (if (i % 2 == 0) 0.5f else -0.5f) + v(2)
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.powerIterationPortable(emb, "vec_id",
+        "embedding", "label", label = 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(out(2)) == 4000L,
+      s"dominant axis not found: $out")
+    (0 until 8).filter(_ != 2).foreach(p =>
+      assert(math.abs(out(p)) < 400L, s"off-axis component too big: $out"))
+    // bit-stability under repartitioning: all-integer covariance and
+    // exact-double normalize leave nothing order-dependent
+    val r1 = Similarity.powerIterationPortable(emb.repartition(1),
+      "vec_id", "embedding", "label", 0).orderBy("pos").collect().toSeq
+    val r8 = Similarity.powerIterationPortable(emb.repartition(8),
+      "vec_id", "embedding", "label", 0).orderBy("pos").collect().toSeq
+    assert(r1 == r8)
+  }
 }
