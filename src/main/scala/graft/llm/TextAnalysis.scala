@@ -177,9 +177,13 @@ object TextAnalysis {
     */
   def slidingNgrams(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // one-element-transform binding: referencing `toks` inside the gram
+    // lambda would inline the regex-split tree and re-evaluate it PER
+    // GRAM (the wordShingles trap — see BENCH_NOTES round 11)
+    element_at(transform(array(toks), t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))), 1)
   }
 
   /** Fraction of n-gram occurrences that are repeats of an earlier
@@ -268,12 +272,16 @@ object TextAnalysis {
     require(stride > 0 && chunkSize >= stride,
       s"need 0 < stride <= chunkSize, got stride=$stride chunk=$chunkSize")
     val toks = tokens(text)
-    val nt = size(toks)
-    val nChunks = when(nt <= chunkSize, lit(1)).otherwise(
-      floor((nt - chunkSize + stride - 1).cast("double") / stride)
-        .cast("int") + 1)
-    transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+    // same one-element-transform binding as slidingNgrams: the chunk
+    // lambda must slice a bound array, not re-tokenize per chunk
+    element_at(transform(array(toks), t => {
+      val nt = size(t)
+      val nChunks = when(nt <= chunkSize, lit(1)).otherwise(
+        floor((nt - chunkSize + stride - 1).cast("double") / stride)
+          .cast("int") + 1)
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(t, i * stride + 1, lit(chunkSize))))
+    }), 1)
   }
 
   /** Per-document mean corpus document-frequency of its tokens — the
