@@ -55,8 +55,17 @@ object Pipeline {
     * message after the stats land, error message if any stage throws
     * (`pipeline.py:123-139`). Both sends are driver-side, after all
     * Spark actions, and can never fail the run.
+    *
+    * Cache discipline: helpers like `CombineData.combine` persist
+    * plan-lifetime blocks under a CALLER-owned release convention. This
+    * entry point IS that caller — every stage's sink has consumed its
+    * plan by the time stats return, so `run` releases exactly the cached
+    * RDDs the run created (never pre-existing user caches, which a blunt
+    * `clearCache()` would also drop). A full run leaves the session's
+    * cache state untouched — spec-pinned in `SinksSpec`.
     */
-  def run(spark: SparkSession, cfg: Config): Stats =
+  def run(spark: SparkSession, cfg: Config): Stats = {
+    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
     try {
       val stats = runStages(spark, cfg)
       cfg.webhookUrl.foreach(u =>
@@ -66,7 +75,12 @@ object Pipeline {
       case scala.util.control.NonFatal(e) =>
         cfg.webhookUrl.foreach(u => Notify.send(Notify.errorMessage(e), u))
         throw e
+    } finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !preexisting.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
+  }
 
   private def runStages(spark: SparkSession, cfg: Config): Stats = {
     val today = lit(cfg.today).cast("date")

@@ -6,8 +6,10 @@ import Registry.t
 
 /** Round-11 widening: the in-engine HTML table scan wired end-to-end
   * (S3/S4 literal parity — the page TEXT is now the input, closing the
-  * last ingest delta), and incremental IVF index maintenance (the
-  * missing incremental-family member beside d12/d19/t18/a33).
+  * last ingest delta), incremental IVF index maintenance (the missing
+  * incremental-family member beside d12/d19/t18/a33), DSIR-style
+  * importance-resampling selection, entity resolution on the native
+  * Jaro-Winkler kernel, and the k-anonymity privacy audit.
   */
 object RegistryR11 {
 
@@ -358,6 +360,400 @@ object RegistryR11 {
              |SELECT cc.id, cc.rep, cs.cluster_size,
              |  CAST(1 AS DOUBLE) / cs.cluster_size AS weight
              |FROM cc JOIN cs ON cs.rep = cc.rep
-             |ORDER BY cc.id""".stripMargin))
+             |ORDER BY cc.id""".stripMargin)),
+
+    // ---- D29: DSIR-style importance-resampling selection (Xie et al.,
+    //      "Data Selection for Language Models via Importance
+    //      Resampling", NeurIPS 2023): pick from the raw pool the docs
+    //      whose hashed-ngram profile looks most like a TARGET domain
+    //      (here lang='en'). Two bag-of-hashed-ngram unigram+bigram
+    //      distributions (B=1024 buckets, +1 smoothing) are FITTED
+    //      in-engine — one aggregation pass to <=B rows each — and every
+    //      doc scores sum_b c_doc[b]*(ln p_target[b] - ln p_raw[b]).
+    //      Scale shape: fit collapses the corpus to a <=1024-row stats
+    //      frame that BROADCASTS back onto the per-doc bucket counts (no
+    //      second corpus shuffle), and selection is a TakeOrdered top-k,
+    //      never a global sort. Hash-exact portability: each bucket's
+    //      log-likelihood DIFFERENCE is quantized once to integer
+    //      micro-nats (round(ln*1e6) of identical IEEE doubles in both
+    //      engines), so the per-doc sum is pure associative BIGINT
+    //      arithmetic — no float summation-order divergence.
+    Q("d29_dsir_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 1024
+        val toks = expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // unigrams + bigrams from one posexplode + lead pass (the d20
+        // lesson: higher-order-function shingling runs interpreted)
+        val grams = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            posexplode(toks).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("lang"), col("tok"),
+            lead("tok", 1).over(w).as("t1"))
+          .select(col("doc_id"), col("lang"),
+            explode(when(col("t1").isNotNull,
+              array(col("tok"), concat_ws(" ", col("tok"), col("t1"))))
+              .otherwise(array(col("tok")))).as("gram"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+              .cast("long") % B).as("b"))
+        val stats = grams.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+        val lldiff = stats.crossJoin(broadcast(tot))
+          .select(col("b"),
+            round((log((col("ct") + 1).cast("double") /
+                       (col("tt") + B).cast("double")) -
+                   log((col("cr") + 1).cast("double") /
+                       (col("tr") + B).cast("double"))) * 1e6)
+              .cast("long").as("lldiff"))
+        val docBuckets = grams.groupBy("doc_id", "b")
+          .agg(count(lit(1)).as("c"))
+        docBuckets.join(broadcast(lldiff), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("lldiff")).as("weight"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |      x -> strlen(x) > 0) AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, lang, unnest(ts) AS gram FROM toks
+             |  UNION ALL
+             |  SELECT doc_id, lang,
+             |    unnest(list_transform(range(1, len(ts)),
+             |      i -> ts[i] || ' ' || ts[i+1])) AS gram
+             |  FROM toks),
+             |gb AS (
+             |  SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+             |      % 1024 AS b
+             |  FROM grams),
+             |stats AS (
+             |  SELECT b, count(*) AS cr,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+             |  FROM gb GROUP BY b),
+             |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM stats),
+             |diff AS (
+             |  SELECT b,
+             |    CAST(round((ln(CAST(ct + 1 AS DOUBLE)
+             |                   / CAST(tt + 1024 AS DOUBLE))
+             |              - ln(CAST(cr + 1 AS DOUBLE)
+             |                   / CAST(tr + 1024 AS DOUBLE))) * 1e6)
+             |      AS BIGINT) AS lldiff
+             |  FROM stats, tot),
+             |db AS (
+             |  SELECT doc_id, b, count(*) AS c FROM gb GROUP BY doc_id, b)
+             |SELECT db.doc_id,
+             |  CAST(sum(db.c * diff.lldiff) AS BIGINT) AS weight
+             |FROM db JOIN diff USING (b)
+             |GROUP BY db.doc_id
+             |ORDER BY weight DESC, doc_id
+             |LIMIT 100""".stripMargin)),
+
+    // ---- J36: entity resolution — dirty-feed record linkage against a
+    //      canonical entity table: deterministic typo surgery builds the
+    //      dirty feed (drop/swap/double a char, keyed by p_partkey%4, so
+    //      both engines synthesize the identical corruption), then
+    //      BLOCKING (first-char key) bounds the candidate space, the
+    //      native Jaro-Winkler kernel (plans/StringKernels.scala,
+    //      bit-compatible with DuckDB's jaro_winkler_similarity — the
+    //      floored-transposition variant) scores candidates, and a
+    //      per-record window keeps the best match over threshold. Scale
+    //      shape: the canonical side is a broadcast dim; candidates
+    //      exist only inside block equi-joins (never a cross join); the
+    //      window partitions by the dirty key. The reference's
+    //      alias-dictionary lookup (utils/team_utils.py) is the DEGENERATE
+    //      case of this operator (exact-match blocking, no scoring).
+    Q("j36_entity_resolution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val canon = t(s, dir, "part").select(col("p_name")).distinct()
+          .select(col("p_name").as("entity"),
+            substring(col("p_name"), 1, 1).as("blk"))
+        val dirty = t(s, dir, "part")
+          .select(col("p_partkey"), expr(
+            """CASE CAST(p_partkey % 4 AS INT)
+              |  WHEN 0 THEN p_name
+              |  WHEN 1 THEN substr(p_name,1,1) || substr(p_name,3)
+              |  WHEN 2 THEN substr(p_name,1,1) || substr(p_name,3,1)
+              |    || substr(p_name,2,1) || substr(p_name,4)
+              |  ELSE p_name || substr(p_name, length(p_name))
+              |END""".stripMargin).as("dirty_name"))
+          .withColumn("blk", substring(col("dirty_name"), 1, 1))
+        val w = Window.partitionBy(col("p_partkey"))
+          .orderBy(col("sim").desc, col("entity"))
+        dirty.join(broadcast(canon), "blk")
+          .withColumn("sim",
+            graft.plans.JaroWinklerSim(col("dirty_name"), col("entity")))
+          .filter(col("sim") >= 0.8)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("p_partkey"), col("dirty_name"),
+            col("entity").as("matched"), round(col("sim"), 6).as("sim"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH canon AS (
+             |  SELECT DISTINCT p_name AS entity, substr(p_name,1,1) AS blk
+             |  FROM part),
+             |dirty AS (
+             |  SELECT p_partkey,
+             |    CASE CAST(p_partkey % 4 AS INT)
+             |      WHEN 0 THEN p_name
+             |      WHEN 1 THEN substr(p_name,1,1) || substr(p_name,3)
+             |      WHEN 2 THEN substr(p_name,1,1) || substr(p_name,3,1)
+             |        || substr(p_name,2,1) || substr(p_name,4)
+             |      ELSE p_name || substr(p_name, length(p_name))
+             |    END AS dirty_name
+             |  FROM part),
+             |scored AS (
+             |  SELECT d.p_partkey, d.dirty_name, c.entity,
+             |    jaro_winkler_similarity(d.dirty_name, c.entity) AS sim
+             |  FROM dirty d JOIN canon c
+             |    ON substr(d.dirty_name,1,1) = c.blk
+             |  WHERE jaro_winkler_similarity(d.dirty_name, c.entity) >= 0.8),
+             |best AS (
+             |  SELECT p_partkey, dirty_name, entity, sim,
+             |    row_number() OVER (PARTITION BY p_partkey
+             |      ORDER BY sim DESC, entity) AS rk
+             |  FROM scored)
+             |SELECT p_partkey, dirty_name, entity AS matched,
+             |  round(sim, 6) AS sim
+             |FROM best WHERE rk = 1 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- A47: k-anonymity / l-diversity audit — the privacy-risk gate a
+    //      training corpus needs BEFORE release (PII redaction t05/t17
+    //      removes direct identifiers; this measures QUASI-identifier
+    //      re-identification risk): group by the QI tuple
+    //      (nation, account-balance band), report group size k, distinct
+    //      sensitive values l (market segment), and the standard
+    //      threshold flags. One aggregation pass, integer counting end to
+    //      end — the band edges are floor(x/1000) of identical IEEE
+    //      doubles in both engines.
+    Q("a47_k_anonymity",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("group_k"),
+          countDistinct(col("c_mktsegment")).as("sens_l"))
+        .select(col("c_nationkey"), col("bal_band"), col("group_k"),
+          col("sens_l"),
+          (col("group_k") >= 5).cast("int").as("k_anonymous"),
+          (col("sens_l") >= 3).cast("int").as("l_diverse"))
+        .orderBy("c_nationkey", "bal_band"),
+      Some("""SELECT c_nationkey,
+             |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |  count(*) AS group_k,
+             |  count(DISTINCT c_mktsegment) AS sens_l,
+             |  CAST(count(*) >= 5 AS INT) AS k_anonymous,
+             |  CAST(count(DISTINCT c_mktsegment) >= 3 AS INT) AS l_diverse
+             |FROM customer
+             |GROUP BY 1, 2
+             |ORDER BY c_nationkey, bal_band""".stripMargin)),
+
+    // ---- L12: the Gopher quality-rule battery (Rae et al. 2021, the
+    //      published repetition-free document filters every big corpus
+    //      pipeline re-implements): word-count bounds, mean-word-length
+    //      band, symbol-to-word ratio, bullet-line and ellipsis-line
+    //      fractions, alphabetic-word fraction, stop-word presence — as
+    //      ONE scan-speed projection with per-rule flags (audit form:
+    //      keep every row, expose WHY it would drop; l01/t02 are the
+    //      drop forms). All counting is exact-integer; the two ratios
+    //      divide identical IEEE ints in both engines. Mean word length
+    //      avoids a per-word fold: non-whitespace chars / word count.
+    Q("l12_gopher_rules",
+      (s, dir) => {
+        val txt = col("text")
+        val words = expr(
+          "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+        val lines = expr("filter(split(text, '\\n'), x -> length(x) > 0)")
+        val stops = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        t(s, dir, "documents")
+          .filter(length(txt) > 0)
+          .select(col("doc_id"),
+            size(words).as("n_words"),
+            length(regexp_replace(txt, "\\s+", "")).as("n_chars"),
+            (length(txt) - length(regexp_replace(txt, "#", "")) +
+              (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", "")))
+                / 3).as("n_sym"),
+            size(expr("filter(filter(split(text, '\\n'), " +
+              "x -> length(x) > 0), l -> l rlike '^\\\\s*[-*]')"))
+              .as("n_bullet"),
+            size(expr("filter(filter(split(text, '\\n'), " +
+              "x -> length(x) > 0), l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$')"))
+              .as("n_ellip"),
+            size(lines).as("n_lines"),
+            size(expr("filter(filter(split(trim(text), '\\\\s+'), " +
+              "x -> length(x) > 0), w -> w rlike '[A-Za-z]')"))
+              .as("n_alpha"),
+            size(filter(
+              array(stops.map(lit): _*),
+              sw => array_contains(words, sw))).as("n_stop"))
+          .select(col("doc_id"), col("n_words"), col("n_stop"),
+            (col("n_words").between(50, 100000)).cast("int")
+              .as("r_wordcount"),
+            (col("n_chars").cast("double") / col("n_words"))
+              .between(3.0, 10.0).cast("int").as("r_meanwordlen"),
+            (col("n_sym").cast("double") / col("n_words") < 0.1)
+              .cast("int").as("r_symbolratio"),
+            (col("n_lines") === 0 ||
+              col("n_bullet").cast("double") / col("n_lines") < 0.9)
+              .cast("int").as("r_bullets"),
+            (col("n_lines") === 0 ||
+              col("n_ellip").cast("double") / col("n_lines") < 0.3)
+              .cast("int").as("r_ellipsis"),
+            (col("n_alpha").cast("double") / col("n_words") > 0.8)
+              .cast("int").as("r_alphawords"),
+            (col("n_stop") >= 2).cast("int").as("r_stopwords"))
+          .withColumn("pass",
+            (col("r_wordcount") * col("r_meanwordlen") *
+              col("r_symbolratio") * col("r_bullets") * col("r_ellipsis") *
+              col("r_alphawords") * col("r_stopwords")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> strlen(x) > 0) AS ws,
+             |    list_filter(string_split(text, chr(10)),
+             |      x -> strlen(x) > 0) AS ls,
+             |    strlen(regexp_replace(text, '\s+', '', 'g')) AS n_chars,
+             |    strlen(text) - strlen(replace(text, '#', ''))
+             |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |      AS n_sym
+             |  FROM documents WHERE strlen(text) > 0),
+             |c AS (
+             |  SELECT doc_id, n_chars, n_sym,
+             |    len(ws) AS n_words,
+             |    len(ls) AS n_lines,
+             |    len(list_filter(ls,
+             |      l -> regexp_matches(l, '^\s*[-*]'))) AS n_bullet,
+             |    len(list_filter(ls,
+             |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ellip,
+             |    len(list_filter(ws,
+             |      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+             |    len(list_filter(['the','be','to','of','and','that',
+             |      'have','with'], sw -> list_contains(ws, sw))) AS n_stop
+             |  FROM f),
+             |r AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |    CAST(n_words AS INT) AS n_words,
+             |    CAST(n_stop AS INT) AS n_stop,
+             |    CAST(n_words BETWEEN 50 AND 100000 AS INT)
+             |      AS r_wordcount,
+             |    CAST(CAST(n_chars AS DOUBLE) / n_words
+             |      BETWEEN 3.0 AND 10.0 AS INT) AS r_meanwordlen,
+             |    CAST(CAST(n_sym AS DOUBLE) / n_words < 0.1 AS INT)
+             |      AS r_symbolratio,
+             |    CAST(n_lines = 0 OR
+             |      CAST(n_bullet AS DOUBLE) / n_lines < 0.9 AS INT)
+             |      AS r_bullets,
+             |    CAST(n_lines = 0 OR
+             |      CAST(n_ellip AS DOUBLE) / n_lines < 0.3 AS INT)
+             |      AS r_ellipsis,
+             |    CAST(CAST(n_alpha AS DOUBLE) / n_words > 0.8 AS INT)
+             |      AS r_alphawords,
+             |    CAST(n_stop >= 2 AS INT) AS r_stopwords
+             |  FROM c)
+             |SELECT r.*,
+             |  CAST(r_wordcount * r_meanwordlen * r_symbolratio
+             |    * r_bullets * r_ellipsis * r_alphawords * r_stopwords
+             |    AS INT) AS pass
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- T24: tokenizer FERTILITY by language — the compression-rate
+    //      profile that decides per-language sampling temperature and
+    //      token budgets (chars/word and words/doc vary 2-5x across
+    //      scripts; zh has no spaces, so its "fertility" here is the
+    //      whole-doc char mass): exact-integer sums per language, two
+    //      IEEE divisions at the end. One map-side-combinable pass.
+    Q("t24_fertility",
+      (s, dir) => {
+        val words = expr(
+          "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+        t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("lang"), size(words).cast("long").as("w"),
+            length(regexp_replace(col("text"), "\\s+", ""))
+              .cast("long").as("c"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"), sum("w").as("words"),
+            sum("c").as("chars"))
+          .select(col("lang"), col("docs"), col("words"), col("chars"),
+            (col("chars").cast("double") / col("words"))
+              .as("chars_per_word"),
+            (col("words").cast("double") / col("docs"))
+              .as("words_per_doc"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang,
+             |    CAST(len(list_filter(string_split_regex(trim(text),
+             |      '\s+'), x -> strlen(x) > 0)) AS BIGINT) AS w,
+             |    CAST(strlen(regexp_replace(text, '\s+', '', 'g'))
+             |      AS BIGINT) AS c
+             |  FROM documents WHERE strlen(text) > 0)
+             |SELECT lang, count(*) AS docs,
+             |  CAST(sum(w) AS BIGINT) AS words,
+             |  CAST(sum(c) AS BIGINT) AS chars,
+             |  CAST(sum(c) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+             |    AS chars_per_word,
+             |  CAST(sum(w) AS DOUBLE) / count(*) AS words_per_doc
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- A48: differential-privacy-style NOISY count release — the
+    //      publishable companion of a47's risk audit: per-nation counts
+    //      plus Laplace(1/eps) noise, eps=1. The noise is DETERMINISTIC
+    //      (inverse-CDF over a 60-bit md5-derived uniform — the a42/o08
+    //      seeded-randomness recipe), so the whole release replays
+    //      bit-for-bit in the oracle while keeping the real Laplace
+    //      shape across keys. Output quantized to integer micro-counts:
+    //      the one ln() evaluates identical IEEE doubles in both
+    //      engines, then everything after round() is exact BIGINT.
+    Q("a48_dp_release",
+      (s, dir) => {
+        val grp = t(s, dir, "customer")
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        val u = (conv(substring(
+            md5(concat(lit("dp-eps1-"), col("c_nationkey").cast("string"))),
+            1, 15), 16, 10).cast("long").cast("double") + 0.5) /
+          lit(1152921504606846976L).cast("double") // 2^60: exact division
+        val centered = u - 0.5
+        // clamp keeps ln() finite if a hash ever lands on the open
+        // interval's edge after the long->double rounding (ANSI-safe)
+        val noise = -signum(centered) *
+          log(greatest(lit(1e-12),
+            lit(1.0) - lit(2.0) * abs(centered))) // Laplace b = 1/eps = 1
+        grp.select(col("c_nationkey"), col("n"),
+            (col("n") * 1000000L +
+              round(noise * 1e6).cast("long")).as("released_micro"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT c_nationkey, count(*) AS n
+             |  FROM customer GROUP BY c_nationkey),
+             |u AS (
+             |  SELECT c_nationkey, n,
+             |    (CAST(CAST(concat('0x', substr(md5(concat('dp-eps1-',
+             |      CAST(c_nationkey AS VARCHAR))), 1, 15)) AS BIGINT)
+             |      AS DOUBLE) + 0.5) / CAST(1152921504606846976 AS DOUBLE)
+             |      - 0.5 AS centered
+             |  FROM g)
+             |SELECT c_nationkey, n,
+             |  CAST(n AS BIGINT) * 1000000
+             |    + CAST(round(-sign(centered)
+             |        * ln(greatest(1e-12, 1.0 - 2.0 * abs(centered)))
+             |        * 1e6) AS BIGINT)
+             |    AS released_micro
+             |FROM u ORDER BY c_nationkey""".stripMargin))
   )
 }

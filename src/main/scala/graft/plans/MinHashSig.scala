@@ -119,6 +119,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSig.descriptor)
     ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(CosineSim.descriptor)
+    ext.injectFunction(JaroWinklerSim.descriptor)
     ext.injectOptimizerRule(_ => AliasLookupSimplification)
     ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
   }

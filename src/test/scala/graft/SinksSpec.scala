@@ -99,6 +99,12 @@ class SinksSpec extends SparkSpec {
       "result", "goals_for", "goals_against", "shots", "shots_on_target")
       .write.option("header", "true").csv(historyCsv)
 
+    spark.catalog.clearCache() // isolate the post-run cache assertion
+    // A pre-existing user cache must SURVIVE the run (run releases only
+    // what it created — not a blunt clearCache()).
+    val userCached = Seq(1, 2, 3).toDF("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    userCached.count()
     val stats = Pipeline.run(spark, Pipeline.Config(
       fixturesPath = fixturesCsv, historyPath = historyCsv,
       outDir = s"$dir/out", today = "2025-05-23"))
@@ -117,5 +123,15 @@ class SinksSpec extends SparkSpec {
     assert(combined.count() == 2)
     val m1 = combined.filter(col("match_id").contains("arsenal")).collect()(0)
     assert(m1.getAs[String]("home_win_ratio").toDouble == 0.75) // W,D
+    // Cache discipline: Pipeline.run is the OWNER of the plan-lifetime
+    // caches its stages create (CombineData.combine's broadcast dim), so
+    // a full run must release exactly those — and ONLY those: the
+    // pre-existing user cache survives.
+    // (the one surviving entry is the user cache's in-memory buffer; its
+    // RDD id differs from userCached.rdd.id, so assert by count)
+    val after = spark.sparkContext.getPersistentRDDs
+    assert(after.size == 1,
+      s"Pipeline.run cache leak or over-release: ${after.keySet}")
+    userCached.unpersist()
   }
 }
