@@ -754,6 +754,194 @@ object RegistryR11 {
              |        * ln(greatest(1e-12, 1.0 - 2.0 * abs(centered)))
              |        * 1e6) AS BIGINT)
              |    AS released_micro
-             |FROM u ORDER BY c_nationkey""".stripMargin))
+             |FROM u ORDER BY c_nationkey""".stripMargin)),
+
+    // ---- D30: PORTABLE LSH recall audit — the hash-exact shadow of the
+    //      seeded d07 (the last rows-only gate class without a twin):
+    //      recall is measured for the PORTABLE MinHash pipeline (d20's
+    //      md5 + universal-family signatures, bit-identical in DuckDB)
+    //      against exact trigram-Jaccard ground truth, so every true
+    //      pair, its integer intersection/union, and its caught/missed
+    //      verdict replays bit-for-bit. Ground truth enumerates pairs
+    //      sharing >=1 gram — definitionally an AUDIT on a bounded
+    //      sample (like d07/n05), not a corpus-scale operator: at 100 TB
+    //      you run it on a sampled slice to certify band/row parameters,
+    //      then trust the banded join those parameters drive.
+    Q("d30_recall_portable",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val gramRows = t(s, dir, "documents")
+          .filter(col("doc_id") < 1500)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("tok"),
+            lead("tok", 1).over(w).as("t1"),
+            lead("tok", 2).over(w).as("t2"))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+          .distinct()
+          // feeds signatures, the exact inverted-index join (twice) and
+          // sizes — plan-lifetime cache, released by harness clearCache()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = lit(2147483647L)
+        val sig = gramRows
+          .select(col("doc_id"),
+            (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+              .cast("long") % p).as("g"))
+          .select(col("doc_id"), col("g"),
+            explode(sequence(lit(0), lit(31))).as("seed"))
+          .select(col("doc_id"), col("seed"),
+            (((lit(2654435761L) * (col("seed") + 1) % p) * col("g")
+              + lit(40503L) * (col("seed") + 1) % p) % p).as("h"))
+          .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+        val bands = sig
+          .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("seed"), col("mh")))),
+            x => x.getField("mh").cast("string")), "-").as("sig"))
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val sizes = gramRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = gramRows.select(col("doc_id").as("id_a"), col("gram"))
+          .join(gramRows.select(col("doc_id").as("id_b"), col("gram")),
+            "gram")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            "id_b")
+          .withColumn("uni", col("na") + col("nb") - col("inter"))
+          .filter(col("inter").cast("double") / col("uni").cast("double")
+            >= 0.5)
+          .join(cand.withColumn("caught", lit(1)), Seq("id_a", "id_b"),
+            "left")
+          .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+            coalesce(col("caught"), lit(0)).as("caught"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 1500),
+             |t AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(toks)-1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             |      AS grams
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(lower(text)),
+             |        '\s+'), x -> strlen(x) > 0) AS toks
+             |    FROM base)),
+             |gs AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT)
+             |      % 2147483647 AS g
+             |  FROM (SELECT doc_id, unnest(grams) AS gram FROM t)),
+             |h AS (
+             |  SELECT doc_id, s.seed,
+             |    min(((2654435761 * (s.seed + 1) % 2147483647) * g
+             |      + 40503 * (s.seed + 1) % 2147483647) % 2147483647)
+             |      AS mh
+             |  FROM gs CROSS JOIN (SELECT unnest(range(32)) AS seed) s
+             |  GROUP BY doc_id, s.seed),
+             |bands AS (
+             |  SELECT doc_id, seed // 4 AS band,
+             |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)
+             |      AS sig
+             |  FROM h GROUP BY doc_id, seed // 4),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.sig = b.sig
+             |   AND a.doc_id < b.doc_id),
+             |inv AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM t),
+             |iv AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS inter
+             |  FROM inv a JOIN inv b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |tp AS (
+             |  SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+             |    CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+             |  FROM iv i
+             |  JOIN sizes sa ON sa.doc_id = i.id_a
+             |  JOIN sizes sb ON sb.doc_id = i.id_b
+             |  WHERE CAST(i.inter AS DOUBLE)
+             |    / (sa.n + sb.n - i.inter) >= 0.5)
+             |SELECT tp.id_a, tp.id_b, tp.inter, tp.uni,
+             |  CAST(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END
+             |    AS INT) AS caught
+             |FROM tp LEFT JOIN cand c
+             |  ON c.id_a = tp.id_a AND c.id_b = tp.id_b
+             |ORDER BY tp.id_a, tp.id_b""".stripMargin)),
+
+    // ---- L13: temperature-based multilingual sampling — the published
+    //      p^alpha rebalance (alpha=0.7, the multilingual-LM convention)
+    //      that upsamples tail languages: per-language rates derive from
+    //      the FITTED language distribution (t24's profile feeds the
+    //      same decision), selection is the a42 hash-gate recipe (md5
+    //      micro-uniform < rate), so the sample is deterministic,
+    //      stream-stable, and exactly replayable. Float portability: the
+    //      single pow() per language quantizes to integer micro-mass
+    //      BEFORE normalization, so the z-sum is associative BIGINT —
+    //      no cross-engine summation-order drift.
+    Q("l13_temperature_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum("c").as("total"))
+        val q = counts.crossJoin(broadcast(tot))
+          .withColumn("qs_micro",
+            round(pow(col("c").cast("double") /
+              col("total").cast("double"), 0.7) * 1e9).cast("long"))
+        val rates = q.crossJoin(broadcast(
+            q.agg(sum("qs_micro").as("z_micro"))))
+          .withColumn("rate_micro",
+            least(lit(1000000L),
+              round(lit(200.0) *
+                (col("qs_micro").cast("double") /
+                  col("z_micro").cast("double")) /
+                col("c").cast("double") * 1e6).cast("long")))
+          .select(col("lang"), col("rate_micro"))
+        docs.join(broadcast(rates), "lang")
+          .withColumn("u_micro",
+            conv(substring(md5(concat(lit("temp-"),
+              col("doc_id").cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 1000000L)
+          .filter(col("u_micro") < col("rate_micro"))
+          .select(col("doc_id"), col("lang"), col("rate_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+             |tot AS (SELECT sum(c) AS total FROM c),
+             |q AS (
+             |  SELECT lang, c,
+             |    CAST(round(pow(CAST(c AS DOUBLE) / CAST(total AS DOUBLE),
+             |      0.7) * 1e9) AS BIGINT) AS qs_micro
+             |  FROM c, tot),
+             |z AS (SELECT CAST(sum(qs_micro) AS BIGINT) AS z_micro FROM q),
+             |r AS (
+             |  SELECT lang,
+             |    least(1000000,
+             |      CAST(round(200.0
+             |        * (CAST(qs_micro AS DOUBLE) / CAST(z_micro AS DOUBLE))
+             |        / CAST(c AS DOUBLE) * 1e6) AS BIGINT)) AS rate_micro
+             |  FROM q, z)
+             |SELECT d.doc_id, d.lang, r.rate_micro
+             |FROM documents d JOIN r ON r.lang = d.lang
+             |WHERE CAST(concat('0x', substr(md5(concat('temp-',
+             |    CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+             |  % 1000000 < r.rate_micro
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }
