@@ -399,9 +399,15 @@ object RegistryR11 {
           .select(col("doc_id"), col("lang"),
             (conv(substring(md5(col("gram")), 1, 8), 16, 10)
               .cast("long") % B).as("b"))
-        val stats = grams.groupBy("b").agg(
-          count(lit(1)).as("cr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        // ONE pass over the gram stream: per-(doc,bucket) counts first,
+        // then the tiny per-bucket fit frame (<=B rows) derives from the
+        // counts — the gram explode + window (the dominant cost) is
+        // never evaluated twice.
+        val docBuckets = grams.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("c"))
+        val stats = docBuckets.groupBy("b").agg(
+          sum(col("c")).as("cr"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
         val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
         val lldiff = stats.crossJoin(broadcast(tot))
           .select(col("b"),
@@ -410,8 +416,6 @@ object RegistryR11 {
                    log((col("cr") + 1).cast("double") /
                        (col("tr") + B).cast("double"))) * 1e6)
               .cast("long").as("lldiff"))
-        val docBuckets = grams.groupBy("doc_id", "b")
-          .agg(count(lit(1)).as("c"))
         docBuckets.join(broadcast(lldiff), "b")
           .groupBy("doc_id")
           .agg(sum(col("c") * col("lldiff")).as("weight"))
@@ -942,6 +946,21 @@ object RegistryR11 {
              |WHERE CAST(concat('0x', substr(md5(concat('temp-',
              |    CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
              |  % 1000000 < r.rate_micro
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- N21: hard-NEGATIVE mining (ANCE/DPR-style) — for each query
+    //      vector, the k most-similar corpus vectors with a DIFFERENT
+    //      label: the maximally-confusable negatives a contrastive
+    //      embedding-model batch wants. Audit form over a bounded query
+    //      set; every quantized dot, cosine, and rank replays bit-for-bit
+    //      (llm/Similarity.hardNegativesPortable).
+    Q("n21_hard_negatives",
+      (s, dir) => graft.llm.Similarity.hardNegativesPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.hardNegativesPortableOracleSql(
+        "embeddings", "vec_id", "embedding", "label",
+        queryMaxId = 10L, k = 5)))
   )
 }

@@ -1543,6 +1543,86 @@ object Similarity {
        |SELECT j AS pos, v FROM pv$iters ORDER BY pos""".stripMargin
   }
 
+  /** Hard-NEGATIVE mining for contrastive training — for each query
+    * vector (`id <= queryMaxId`), the `k` most-cosine-similar corpus
+    * vectors with a DIFFERENT label: maximally confusable negatives, the
+    * published recipe for dense-retriever / embedding-model training
+    * batches (ANCE/DPR-style). The label-exclusion filter runs BEFORE
+    * the per-dimension aggregation, so same-label pairs never reach the
+    * dot-product stage.
+    *
+    * Portability is the n12/n13 checklist: components quantize once to
+    * `round(1e6·x)` BIGINT, dots and norms are associative integer sums,
+    * the final cosine is the one IEEE shape
+    * `dot / (sqrt(n2a) * sqrt(n2b))`, and the arg-top-k is
+    * `row_number(ORDER BY cos DESC, id)` — every row hash-exact in
+    * DuckDB. Audit form (brute force over a bounded query set, like
+    * n01); the scale path composes the same exclusion filter with the
+    * IVF/LSH candidate generators.
+    */
+  def hardNegativesPortable(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, queryMaxId: Long,
+                            k: Int): DataFrame = {
+    val qe = emb.select(col(idCol).as("id"), col(labelCol).as("lab"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .withColumn("qe",
+        expr("CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select(col("id"), col("lab"), col("pos"), col("qe"))
+    val scored = qe.filter(col("id") <= queryMaxId)
+      .select(col("id").as("query_id"), col("lab").as("qlab"),
+        col("pos"), col("qe").as("qa"))
+      .join(qe.select(col("id").as("neg_id"), col("lab").as("nlab"),
+        col("pos"), col("qe").as("qb")), Seq("pos"))
+      .filter(col("qlab") =!= col("nlab"))
+      .groupBy("query_id", "neg_id")
+      .agg(sum(expr("qa * qb")).as("dot"),
+        sum(expr("qa * qa")).as("n2a"),
+        sum(expr("qb * qb")).as("n2b"))
+      .withColumn("cos", expr(
+        "CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0 " +
+          "ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neg_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("cos"))
+  }
+
+  /** DuckDB replay of [[hardNegativesPortable]] over `table`. */
+  def hardNegativesPortableOracleSql(table: String, idCol: String,
+                                     vecCol: String, labelCol: String,
+                                     queryMaxId: Long, k: Int): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, emb.$labelCol AS lab, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |ps AS (
+       |  SELECT qa.id AS query_id, qb.id AS neg_id,
+       |    CAST(sum(qa.qe * qb.qe) AS BIGINT) AS dot,
+       |    CAST(sum(qa.qe * qa.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(qb.qe * qb.qe) AS BIGINT) AS n2b
+       |  FROM qe qa JOIN qe qb
+       |    ON qb.pos = qa.pos AND qa.lab <> qb.lab
+       |  WHERE qa.id <= $queryMaxId
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT query_id, neg_id,
+       |    CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |      ELSE dot / (sqrt(CAST(n2a AS DOUBLE))
+       |        * sqrt(CAST(n2b AS DOUBLE))) END AS cos
+       |  FROM ps),
+       |rk AS (
+       |  SELECT query_id, neg_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neg_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neg_id, cos
+       |FROM rk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

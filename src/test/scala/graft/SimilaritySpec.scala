@@ -561,4 +561,36 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", "label", 0).orderBy("pos").collect().toSeq
     assert(r1 == r8)
   }
+
+  test("hardNegativesPortable: label-excluded, planted confusable ranks first") {
+    val r = new scala.util.Random(19)
+    def vec() = Array.fill(16)(r.nextGaussian().toFloat)
+    // query 0 (label 0) has: a SAME-label near-twin (id 50, must be
+    // excluded however similar) and a different-label near-twin (id 100,
+    // must rank first among negatives)
+    val q0 = vec()
+    val rows = Seq((0L, q0, 0),
+        (50L, q0.map(x => x + 0.001f), 0),
+        (100L, q0.map(x => x + 0.002f), 1)) ++
+      (10 until 40).map(i => (i.toLong, vec(), i % 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesPortable(emb, "vec_id",
+      "embedding", "label", queryMaxId = 0L, k = 5)
+    val got = out.orderBy("rank").collect()
+    assert(got.length == 5)
+    assert(got(0).getAs[Long]("neg_id") == 100L,
+      s"different-label twin should rank first: ${got.toSeq}")
+    assert(!got.map(_.getAs[Long]("neg_id")).contains(50L),
+      "same-label twin must be excluded")
+    // cos non-increasing by rank; bit-stable under repartitioning
+    val cs = got.map(_.getAs[Double]("cos")).toSeq
+    assert(cs == cs.sorted.reverse)
+    val a = Similarity.hardNegativesPortable(emb.repartition(1),
+      "vec_id", "embedding", "label", 0L, 5)
+      .orderBy("rank").collect().toSeq
+    val b = Similarity.hardNegativesPortable(emb.repartition(8),
+      "vec_id", "embedding", "label", 0L, 5)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
 }
