@@ -963,4 +963,41 @@ object RegistryR11 {
         "embeddings", "vec_id", "embedding", "label",
         queryMaxId = 10L, k = 5)))
   )
+
+  /** t25's tagging dictionary — plan-time constant, shared by the Spark
+    * side (Aho-Corasick automaton) and the oracle (per-term contains).
+    */
+  private[graft] val TagDict = Seq("data", "model", "train", "test",
+    "learn", "spark", "sql", "the ", "and ", "with", "over", "under")
+
+  def entries2: Seq[Q] = Seq(
+
+    // ---- T25: dictionary TAGGING via the native Aho-Corasick kernel
+    //      (plans/StringKernels.scala): every doc reports which
+    //      dictionary terms it contains in ONE O(|text|) pass, where the
+    //      naive plan pays a substring scan per term and a regex
+    //      alternation backtracks — at the 10^4..10^6-term dictionaries
+    //      of real taxonomy/blocklist tagging, per-term scans are the
+    //      scale-killer. Substring semantics over lowercased text; the
+    //      oracle replays each term with contains() so the automaton's
+    //      failure-link walk is cross-checked term-for-term.
+    Q("t25_keyword_tags",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.MultiMatch(lower(col("text")), TagDict).as("tags"))
+        .select(col("doc_id"),
+          array_join(col("tags"), "|").as("tags"),
+          size(col("tags")).as("n_tags"))
+        .orderBy("doc_id"),
+      // DuckDB's array_to_string(empty) is NULL where Spark's
+      // array_join(empty) is '' — coalesce pins the Spark convention
+      Some(s"""SELECT doc_id,
+             |  coalesce(array_to_string(list_filter(
+             |    [${TagDict.map(t => s"'$t'").mkString(", ")}],
+             |    k -> contains(lower(text), k)), '|'), '') AS tags,
+             |  CAST(len(list_filter(
+             |    [${TagDict.map(t => s"'$t'").mkString(", ")}],
+             |    k -> contains(lower(text), k))) AS INT) AS n_tags
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
 }

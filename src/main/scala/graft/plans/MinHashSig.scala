@@ -120,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(CosineSim.descriptor)
     ext.injectFunction(JaroWinklerSim.descriptor)
+    ext.injectFunction(MultiMatch.descriptor)
     ext.injectOptimizerRule(_ => AliasLookupSimplification)
     ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
   }

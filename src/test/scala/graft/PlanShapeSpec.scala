@@ -269,6 +269,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("d29 DSIR: fit broadcasts back onto the counts — corpus shuffles once past the window") {
+    // The fit frame is <=1024 rows; if it ever came back as a shuffle
+    // join the corpus would reshuffle on bucket id. Pin: the lldiff and
+    // totals frames join via BROADCAST, and no cartesian anywhere.
+    val plan = SparkEntry.queries("d29_dsir_select")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "fit frame came back as a shuffle join:\n" + plan.take(800))
+  }
+
+  test("j36 entity resolution: canonical dim broadcasts, candidates block-joined") {
+    // The canonical side is a broadcast dim and every candidate pair
+    // exists only inside the first-char block equi-join — a cartesian
+    // (or a shuffle of the dirty side against 64 names) would mean the
+    // blocking key fell out of the plan.
+    val plan = SparkEntry.queries("j36_entity_resolution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("l13 temperature sampling: rates broadcast, corpus never shuffles") {
+    // Selection is a per-row hash gate against a 5-row rate dim: the
+    // documents scan must reach the filter through broadcasts only.
+    val df = SparkEntry.queries("l13_temperature_sample")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("every partition-less Window in the registry sits above a bounded input") {
     // The blessed pattern for a global rank is limit-then-window (o01 /
     // t16 / the nCells and ksub centroid indexers): the single-task

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.plans.{JaroWinklerSim, StringKernels}
+import graft.plans.{AhoCorasick, JaroWinklerSim, MultiMatch, StringKernels}
 
 /** Native Jaro-Winkler kernel (plans/StringKernels.scala): golden values
   * captured from DuckDB's `jaro_winkler_similarity` (the registry oracle
@@ -69,5 +69,47 @@ class StringKernelsSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT jaro_winkler('MARTHA', 'MARHTA') AS s").collect()(0)
     assert(r.getDouble(0) == 0.9611111111111111)
+  }
+
+  test("AhoCorasick: classic he/she/his/hers overlap shapes") {
+    val dict = Seq("he", "she", "his", "hers")
+    val root = AhoCorasick.build(dict)
+    def hits(t: String): Seq[String] = {
+      val bits = AhoCorasick.matchedIndices(root, t)
+      dict.indices.filter(bits.get).map(dict)
+    }
+    assert(hits("ushers") == Seq("he", "she", "hers"))
+    assert(hits("this") == Seq("his"))
+    assert(hits("ahishers") == Seq("he", "she", "his", "hers"))
+    assert(hits("xyz").isEmpty)
+    assert(hits("") == Seq())
+  }
+
+  test("AhoCorasick: equivalence with naive contains on random text") {
+    val dict = Seq("ab", "abc", "bca", "c", "aab", "cab", "bb")
+    val root = AhoCorasick.build(dict)
+    val r = new scala.util.Random(23)
+    for (_ <- 0 until 2000) {
+      val t = (0 until r.nextInt(20)).map(_ => "abc" (r.nextInt(3))).mkString
+      val got = dict.indices
+        .filter(AhoCorasick.matchedIndices(root, t).get).map(dict)
+      val want = dict.filter(t.contains)
+      assert(got == want, s"text '$t': got $got want $want")
+    }
+  }
+
+  test("MultiMatch expression: dict-order array, null-safe, one pass") {
+    val df = Seq(Option("the quick brown fox"), Option("no matches here?"),
+      None).toDF("t")
+    val out = df.select(
+      MultiMatch(col("t"), Seq("quick", "fox", "lazy", "he")).as("tags"))
+      .collect()
+    assert(out(0).getSeq[String](0) == Seq("quick", "fox", "he")) // 'he' in 'the'
+    assert(out(1).getSeq[String](0) == Seq("he")) // 'he' in 'here'
+    assert(out(2).isNullAt(0))
+    val sql = spark.sql(
+      "SELECT multi_match('ushers walk', 'she,walk,run') AS m")
+      .collect()(0).getSeq[String](0)
+    assert(sql == Seq("she", "walk"))
   }
 }
