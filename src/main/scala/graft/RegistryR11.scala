@@ -998,6 +998,95 @@ object RegistryR11 {
              |  CAST(len(list_filter(
              |    [${TagDict.map(t => s"'$t'").mkString(", ")}],
              |    k -> contains(lower(text), k))) AS INT) AS n_tags
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- F10: URL-suffix BLOCKLIST filter — the CCNet/RefinedWeb URL
+    //      curation step: a host is blocked when it equals a blocklist
+    //      entry or sits under it ('a.b.example.com' under 'example.com'
+    //      — the public-suffix-list match). Scale shape: the host's
+    //      dot-suffix CHAIN explodes (<= label count per row, bounded)
+    //      and equi-joins the BROADCAST blocklist — never a LIKE scan
+    //      per entry, so a 10^6-entry blocklist costs the same join as a
+    //      10-entry one. Hosts synthesized deterministically from row
+    //      columns so both engines see identical inputs.
+    Q("f10_url_blocklist",
+      (s, dir) => {
+        val entries = Seq("src3.example.com", "example.org",
+          "bad.example.net", "src7.example.com")
+        val bl = s.createDataFrame(
+          entries.map(Tuple1(_))).toDF("entry")
+        val hosts = t(s, dir, "documents")
+          .withColumn("host", concat(col("lang"), lit("."), col("source"),
+            lit(".example."),
+            element_at(array(lit("com"), lit("org"), lit("net")),
+              (col("doc_id") % 3 + 1).cast("int"))))
+        val suffixes = hosts
+          .select(col("doc_id"), col("host"), explode(expr(
+            "transform(sequence(1, size(split(host, '\\\\.'))), " +
+              "i -> array_join(slice(split(host, '\\\\.'), i, " +
+              "size(split(host, '\\\\.')) - i + 1), '.'))")).as("sfx"))
+        suffixes
+          .join(broadcast(bl), col("sfx") === col("entry"), "left")
+          .groupBy("doc_id", "host")
+          .agg(min(col("entry")).as("matched"))
+          .select(col("doc_id"), col("host"),
+            coalesce(col("matched"), lit("")).as("matched"),
+            col("matched").isNotNull.cast("int").as("blocked"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    lang || '.' || source || '.example.' ||
+             |      (['com', 'org', 'net'])[CAST(doc_id % 3 AS INT) + 1]
+             |      AS host
+             |  FROM documents),
+             |sfx AS (
+             |  SELECT doc_id, host,
+             |    unnest(list_transform(
+             |      range(1, len(string_split(host, '.')) + 1),
+             |      i -> array_to_string(string_split(host, '.')[i:], '.')))
+             |      AS sfx
+             |  FROM h),
+             |bl AS (SELECT unnest(['src3.example.com', 'example.org',
+             |  'bad.example.net', 'src7.example.com']) AS entry),
+             |m AS (
+             |  SELECT s.doc_id, s.host, min(bl.entry) AS matched
+             |  FROM sfx s LEFT JOIN bl ON bl.entry = s.sfx
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, host, coalesce(matched, '') AS matched,
+             |  CAST(matched IS NOT NULL AS INT) AS blocked
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- M13: AUDIO content dedup through the REAL decode path — the
+    //      audio member of the content-dedup family (m09 is the image
+    //      one): synthetic WAVs planted so ids congruent mod 64 are
+    //      byte-identical, every payload decodes ONCE through the
+    //      RIFF/PCM walker to its 10-window energy envelope, the
+    //      envelope digests, and pairs emit via the single groupBy shape
+    //      (never a self-join — decode is the query cost at an audio
+    //      corpus scale, the m09 lesson). Oracle is the planted
+    //      congruence, so a decode or envelope divergence between any
+    //      two congruent payloads breaks the gate.
+    Q("m13_audio_dups",
+      (s, dir) => {
+        val ids = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"))
+          .filter(col("id") < 300)
+        val env = graft.llm.Multimodal.audioWindowEnergy(
+          graft.llm.Multimodal.withSyntheticAudio(ids, "id", genMod = 64L),
+          "id", windows = 10)
+        val feats = env.groupBy("id")
+          .agg(md5(to_json(sort_array(
+            collect_list(struct(col("win"), col("energy"))))))
+            .as("content_key"))
+        graft.llm.Dedup.pairsWithinGroups(feats, "content_key", "id")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id
+             |  AND a.doc_id % 64 = b.doc_id % 64
+             |WHERE a.doc_id < 300 AND b.doc_id < 300
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -564,8 +564,14 @@ object Multimodal {
     * `((id*31 + i*7) mod 65536) - 32768` — same arithmetic family as the
     * synthetic video frames, so oracles can reason about the fields.
     */
+  /** @param genMod when > 0, samples derive from `id % genMod` instead
+    *   of the raw id — ids in the same residue class get byte-identical
+    *   audio (dup planting for the content-dedup gates, the audio twin
+    *   of the image generator's mod-256 congruence).
+    */
   def withSyntheticAudio(df: DataFrame, idCol: String,
-                         nSamples: Int = 1000, rate: Int = 8000): DataFrame = {
+                         nSamples: Int = 1000, rate: Int = 8000,
+                         genMod: Long = 0L): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("payload", BinaryType)))
@@ -574,8 +580,9 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
+        val gen = if (genMod > 0) id % genMod else id
         val samples = Array.tabulate(nSamples)(i =>
-          (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+          (((gen * 31 + i.toLong * 7) % 65536) - 32768).toShort)
         Row(id, buildWav(samples, rate))
       }
     }(encoder)
