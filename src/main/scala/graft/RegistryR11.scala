@@ -1087,6 +1087,198 @@ object RegistryR11 {
              |  ON a.doc_id < b.doc_id
              |  AND a.doc_id % 64 = b.doc_id % 64
              |WHERE a.doc_id < 300 AND b.doc_id < 300
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- T26: Unicode NFC dedup keys — the canonicalization pass
+    //      BEFORE exact dedup: half the docs get a COMPOSED suffix
+    //      (U+00E9, é) and half the equivalent DECOMPOSED one
+    //      (e + U+0301 combining acute) — different byte strings,
+    //      identical rendering. Raw digests split the corpus in two;
+    //      digests of the native nfc_normalize kernel
+    //      (plans/StringKernels.scala, JDK Normalizer — NFC is a Unicode
+    //      spec, so it agrees byte-for-byte with DuckDB's utf8proc)
+    //      collapse the distinction. Both key spaces emitted so the
+    //      oracle proves the collapse, not just the normal form.
+    Q("t26_nfc_dedup_keys",
+      (s, dir) => {
+        // NOTE: Spark's `char(n)` masks to one byte (769 & 0xFF = 1), so
+        // `char(769)` is U+0001, NOT the combining acute — use Scala
+        // Unicode literals; DuckDB's chr() takes real code points.
+        val suffix = when(col("doc_id") % 2 === 0, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301"))
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat(col("text"), suffix).as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).as("raw_len"),
+            length(graft.plans.NfcNormalize(col("raw"))).as("nfc_len"),
+            md5(col("raw")).as("raw_key"),
+            md5(graft.plans.NfcNormalize(col("raw"))).as("nfc_key"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    text || CASE WHEN doc_id % 2 = 0
+             |      THEN ' caf' || chr(233)
+             |      ELSE ' caf' || 'e' || chr(769) END AS raw
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT doc_id,
+             |  CAST(length(raw) AS INT) AS raw_len,
+             |  CAST(length(nfc_normalize(raw)) AS INT) AS nfc_len,
+             |  md5(raw) AS raw_key,
+             |  md5(nfc_normalize(raw)) AS nfc_key
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- S15: ORC round-trip — the remaining first-class columnar
+    //      container (parquet/CSV/JSON/Avro/WARC/TAR are covered):
+    //      executors write zlib ORC, the scan reads back through
+    //      Spark's vectorized ORC reader with the filter ON the scan
+    //      (pushdown pinned in PlanShapeSpec), and DuckDB replays the
+    //      expected rows straight from the source table. ----------------
+    Q("s15_orc_roundtrip",
+      (s, dir) => {
+        val tmp = Registry.scratchDir("orc_s15")
+        t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select("doc_id", "lang", "source", "n_chars")
+          .repartition(4, col("doc_id"))
+          .write.mode("overwrite").option("compression", "zlib").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("n_chars") > 100)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id < 300 AND n_chars > 100
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L14: the C4 cleaning battery (Raffel et al. 2020) — the
+    //      LINE-oriented complement of l12's doc-stat Gopher flags:
+    //      pages explode into lines, each line keeps or drops on its
+    //      own evidence (terminal punctuation, >=3 words, no
+    //      'javascript'), survivors reassemble, and the DOC verdict
+    //      rides the retained-line count plus the lorem-ipsum /
+    //      curly-brace page flags. Pages are synthesized from the
+    //      documents table identically in both engines (7-word lines,
+    //      deterministic punctuation/injection by id arithmetic), so
+    //      entity counts, the reassembled-text digest, and every
+    //      verdict are hash-exact. The words array and the built page
+    //      bind ONCE per row via the one-element-transform trick (the
+    //      t22 HOF-inlining lesson). ------------------------------------
+    Q("l14_c4_rules",
+      (s, dir) => {
+        val page = t(s, dir, "documents")
+          .filter(col("text").rlike("\\S"))
+          .select(col("doc_id"), expr(
+            """element_at(transform(
+              |  array(filter(split(trim(text), '\\s+'), x -> length(x) > 0)),
+              |  ws -> concat(
+              |    transform(sequence(0, cast(ceil(size(ws) / 7.0) as int) - 1),
+              |      i -> concat(
+              |        case when doc_id % 7 = 0 and i = 0
+              |          then 'javascript alert ' else '' end,
+              |        array_join(slice(ws, i * 7 + 1, 7), ' '),
+              |        case when (doc_id + i) % 3 != 0 then '.' else '' end)),
+              |    slice(array('lorem ipsum dolor sit amet.'), 1,
+              |      case when doc_id % 11 = 0 then 1 else 0 end),
+              |    slice(array('function f() { return 1; }.'), 1,
+              |      case when doc_id % 13 = 0 then 1 else 0 end))
+              |), 1)""".stripMargin).as("lines"))
+        page.select(col("doc_id"),
+            size(col("lines")).as("n_lines"),
+            expr("""filter(lines, l ->
+              |  (l like '%.' or l like '%!' or l like '%?' or l like '%"')
+              |  and size(split(l, ' ')) >= 3
+              |  and not l like '%javascript%')""".stripMargin).as("kept"),
+            expr("array_join(lines, '\n')").as("pg"))
+          .select(col("doc_id"), col("n_lines"),
+            size(col("kept")).as("n_kept"),
+            col("pg").contains("lorem ipsum").cast("int").as("has_lorem"),
+            col("pg").contains("{").cast("int").as("has_brace"),
+            md5(array_join(col("kept"), "\n")).as("kept_key"))
+          .withColumn("keep",
+            (col("n_kept") >= 5 && col("has_lorem") === 0 &&
+              col("has_brace") === 0).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0) AS ws
+             |  FROM documents WHERE regexp_matches(text, '\S')),
+             |pg AS (
+             |  SELECT doc_id, list_concat(list_concat(
+             |    list_transform(range(0, CAST(ceil(len(ws) / 7.0) AS INT)),
+             |      i -> (CASE WHEN doc_id % 7 = 0 AND i = 0
+             |              THEN 'javascript alert ' ELSE '' END) ||
+             |           array_to_string(ws[i*7+1 : i*7+7], ' ') ||
+             |           (CASE WHEN (doc_id + i) % 3 <> 0
+             |              THEN '.' ELSE '' END)),
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN ['lorem ipsum dolor sit amet.']
+             |      ELSE CAST([] AS VARCHAR[]) END),
+             |    CASE WHEN doc_id % 13 = 0
+             |      THEN ['function f() { return 1; }.']
+             |      ELSE CAST([] AS VARCHAR[]) END) AS lines
+             |  FROM d),
+             |k AS (
+             |  SELECT doc_id,
+             |    CAST(len(lines) AS INT) AS n_lines,
+             |    list_filter(lines, l ->
+             |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+             |        OR l LIKE '%"')
+             |      AND len(string_split(l, ' ')) >= 3
+             |      AND l NOT LIKE '%javascript%') AS kept,
+             |    array_to_string(lines, chr(10)) AS pg
+             |  FROM pg)
+             |SELECT doc_id, n_lines,
+             |  CAST(len(kept) AS INT) AS n_kept,
+             |  CAST(pg LIKE '%lorem ipsum%' AS INT) AS has_lorem,
+             |  CAST(contains(pg, '{') AS INT) AS has_brace,
+             |  -- DuckDB array_to_string([]) is NULL, Spark array_join is ''
+             |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_key,
+             |  CAST(len(kept) >= 5 AND pg NOT LIKE '%lorem ipsum%'
+             |    AND NOT contains(pg, '{') AS INT) AS keep
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // ---- X34: URL canonicalization (RFC 3986 §6 syntax normalization
+    //      + the crawler-standard utm-strip/param-sort) — the key step
+    //      BEFORE URL-level dedup and the f10 blocklist join: two messy
+    //      syntactic variants per doc (case-shuffled scheme/host,
+    //      explicit default port, fragment, shuffled + tracking-polluted
+    //      query) collapse to ONE canonical key, proven by the
+    //      per-canonical variant count. Pure column expressions
+    //      (functions/Urls.scala), hash-exact in DuckDB. ----------------
+    Q("x34_url_canonicalize",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        val raw = docs.select(col("doc_id"), explode(array(
+          concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".Example.COM:80/p/"), col("doc_id"),
+            lit("?b=2&utm_source=feed&a=1#frag")),
+          concat(lit("http://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?a=1&b=2")))).as("url"))
+        raw.select(col("doc_id"), col("url"),
+            graft.functions.Urls.canonicalizeUrl(col("url")).as("canon"))
+          .withColumn("n_variants",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canon"))).cast("int"))
+          .orderBy("doc_id", "url")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, unnest([
+             |    'HTTP://WWW.' || upper(source) || '.Example.COM:80/p/' ||
+             |      CAST(doc_id AS VARCHAR) || '?b=2&utm_source=feed&a=1#frag',
+             |    'http://www.' || source || '.example.com/p/' ||
+             |      CAST(doc_id AS VARCHAR) || '?a=1&b=2']) AS url
+             |  FROM documents WHERE doc_id < 400),
+             |c AS (
+             |  SELECT doc_id, url,
+             |    'http://www.' || lower(source) || '.example.com/p/' ||
+             |      CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon
+             |  FROM raw JOIN documents USING (doc_id))
+             |SELECT doc_id, url, canon,
+             |  CAST(count(*) OVER (PARTITION BY canon) AS INT) AS n_variants
+             |FROM c ORDER BY doc_id, url""".stripMargin))
   )
 }

@@ -121,6 +121,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSim.descriptor)
     ext.injectFunction(JaroWinklerSim.descriptor)
     ext.injectFunction(MultiMatch.descriptor)
+    ext.injectFunction(NfcNormalize.descriptor)
     ext.injectOptimizerRule(_ => AliasLookupSimplification)
     ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
   }

@@ -257,6 +257,49 @@ case class MultiMatch(child: Expression, dict: Seq[String])
       newChild: Expression): MultiMatch = copy(child = newChild)
 }
 
+/** `nfc_normalize(text)` — Unicode NFC canonical composition (the
+  * Unicode-spec normal form, so JDK `java.text.Normalizer` and DuckDB's
+  * utf8proc agree byte-for-byte): the canonicalization pass a text
+  * corpus needs BEFORE exact dedup / fingerprinting — 'café' composed
+  * and 'café' decomposed (e + U+0301) are different byte strings with
+  * identical rendering, and an un-normalized digest treats them as
+  * distinct documents.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects STRING, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString,
+        java.text.Normalizer.Form.NFC))
+
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** SQL registration: `nfc_normalize(text)`. */
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => children match {
+      case Seq(t) => NfcNormalize(t)
+      case _ => throw new IllegalArgumentException("nfc_normalize(text)")
+    })
+}
+
 object MultiMatch {
   def apply(text: Column, dict: Seq[String]): Column =
     ColumnBridge.column(MultiMatch(ColumnBridge.expression(text), dict))

@@ -110,6 +110,27 @@ class PlanShapeSpec extends SparkSpec {
       !readSchema.contains("o_orderdate"), readSchema)
   }
 
+  test("s15: the filter reaches the ORC scan (pushdown parity with parquet)") {
+    // ORC is the one columnar container whose pushdown path is separate
+    // code in Spark (OrcFilters, not ParquetFilters) — pin it too.
+    val tmp = Registry.scratchDir("orc_planshape")
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"))
+      .write.mode("overwrite").orc(tmp)
+    val q = spark.read.orc(tmp)
+      .filter(col("n_chars") > 12 && col("source") === "src1")
+      .select("doc_id", "n_chars")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(n_chars") &&
+      pushed.contains("EqualTo(source"), plan.take(1200))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("AQE splits a skewed join partition at runtime (the skew valve j08 complements)") {
     // j08's salting handles skew we PREDICT; AQE's skew-join handles skew
     // we didn't. Pin that the valve actually opens: under a sort-merge

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.plans.{AhoCorasick, JaroWinklerSim, MultiMatch, StringKernels}
+import graft.plans.{AhoCorasick, JaroWinklerSim, MultiMatch, NfcNormalize, StringKernels}
 
 /** Native Jaro-Winkler kernel (plans/StringKernels.scala): golden values
   * captured from DuckDB's `jaro_winkler_similarity` (the registry oracle
@@ -96,6 +96,20 @@ class StringKernelsSpec extends SparkSpec {
       val want = dict.filter(t.contains)
       assert(got == want, s"text '$t': got $got want $want")
     }
+  }
+
+  test("NfcNormalize: decomposed composes, composed is a no-op, null-safe") {
+    val composed = "café"          // é as one code point
+    val decomposed = "café"       // e + combining acute
+    assert(composed != decomposed)      // different byte strings...
+    val df = Seq(Option(decomposed), Option(composed), None).toDF("t")
+    val out = df.select(NfcNormalize(col("t")).as("n")).collect()
+    assert(out(0).getString(0) == composed)  // ...same normal form
+    assert(out(1).getString(0) == composed)
+    assert(out(2).isNullAt(0))
+    val sql = spark.sql("SELECT nfc_normalize('café') AS n")
+      .collect()(0).getString(0)
+    assert(sql == composed)
   }
 
   test("MultiMatch expression: dict-order array, null-safe, one pass") {

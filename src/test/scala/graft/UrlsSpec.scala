@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Urls
+
+/** Edge cases of the URL canonicalizer (functions/Urls.scala) the x34
+  * registry oracle's two-variant construction cannot reach: scheme-less
+  * strings, non-default ports, utm-only queries, https:443, nulls.
+  */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(Option(url)).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c"))
+      .collect()(0).getString(0)
+
+  test("case, default port, fragment, utm params, param order") {
+    assert(canon("HTTP://Example.COM:80/a/b?z=1&utm_source=x&a=2#frag")
+      == "http://example.com/a/b?a=2&z=1")
+    assert(canon("https://Example.com:443/") == "https://example.com/")
+  }
+
+  test("non-default ports survive; the default of the OTHER scheme too") {
+    assert(canon("http://example.com:8080/x") ==
+      "http://example.com:8080/x")
+    assert(canon("http://example.com:443/x") ==
+      "http://example.com:443/x")
+    assert(canon("https://example.com:80/x") ==
+      "https://example.com:80/x")
+  }
+
+  test("utm-only query drops the '?'; empty query idempotent") {
+    assert(canon("http://a.com/p?utm_source=x&utm_medium=y")
+      == "http://a.com/p")
+    assert(canon("http://a.com/p?") == "http://a.com/p")
+    val once = canon("HTTP://A.com:80/p?b=2&a=1#f")
+    assert(canon(once) == once)     // canonical form is a fixed point
+  }
+
+  test("scheme-less and null inputs never throw") {
+    assert(canon("example.com/path?b=2&a=1") ==
+      "://example.com/path?a=1&b=2")
+    val n = Seq(Option.empty[String]).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u")).as("c")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
