@@ -1279,6 +1279,204 @@ object RegistryR11 {
              |  FROM raw JOIN documents USING (doc_id))
              |SELECT doc_id, url, canon,
              |  CAST(count(*) OVER (PARTITION BY canon) AS INT) AS n_variants
-             |FROM c ORDER BY doc_id, url""".stripMargin))
+             |FROM c ORDER BY doc_id, url""".stripMargin)),
+
+    // ---- T27: model-based quality filtering — the classifier stage of
+    //      the published curation pipelines (CCNet's fastText LM filter,
+    //      LLaMA's Wikipedia-reference classifier): a hashed-unigram
+    //      multinomial Naive Bayes FITTED on a deterministic 70% train
+    //      split (the a42 md5 micro-uniform gate — no RNG), scoring the
+    //      HELD-OUT split with class priors and a decision boundary,
+    //      per-doc verdict + correctness flag emitted. Distinct from
+    //      d29's DSIR: class-conditional fit with priors and a
+    //      classification DECISION evaluated out-of-sample, not
+    //      importance reweighting of the pool. Scale shape: the fit
+    //      collapses to <=B rows that broadcast back onto the per-doc
+    //      bucket counts — the corpus shuffles ONCE (the doc-bucket
+    //      groupBy). Hash-exact portability: each bucket's
+    //      log-likelihood ratio and the prior quantize ONCE to integer
+    //      micro-nats, so per-doc sums are associative BIGINT arithmetic
+    //      (the d29 recipe); train-unseen buckets coalesce to the
+    //      smoothing-floor LLR, identically in both engines. -----------
+    Q("t27_nb_quality_filter",
+      (s, dir) => {
+        val B = 512
+        val toks = expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+        // plant a PARTIAL class signal (a lang-marker token on even ids
+        // only) so the held-out verdicts genuinely vary: even docs are
+        // separable, odd docs fall back to the prior — the synthetic
+        // vocab itself is lang-independent.
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          (conv(substring(md5(concat(lit("t27:"), col("doc_id"))),
+            1, 15), 16, 10).cast("long") % 100 < 70).as("is_train"),
+          (col("lang") === "en").as("is_pos"),
+          concat(col("text"), when(col("doc_id") % 2 === 0,
+            concat(lit(" m"), col("lang"))).otherwise(lit("")))
+            .as("text"))
+        val grams = docs
+          .select(col("doc_id"), col("is_train"), col("is_pos"),
+            explode(toks).as("tok"))
+          .select(col("doc_id"), col("is_train"), col("is_pos"),
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+              .cast("long") % B).as("b"))
+        val docBuckets = grams
+          .groupBy("doc_id", "is_train", "is_pos", "b")
+          .agg(count(lit(1)).as("c"))
+        val fit = docBuckets.filter(col("is_train")).groupBy("b").agg(
+          sum(when(col("is_pos"), col("c")).otherwise(0L)).as("cp"),
+          sum(when(!col("is_pos"), col("c")).otherwise(0L)).as("cn"))
+        val tot = docBuckets.filter(col("is_train")).agg(
+          sum(when(col("is_pos"), col("c")).otherwise(0L)).as("tp"),
+          sum(when(!col("is_pos"), col("c")).otherwise(0L)).as("tn"))
+        val llr = fit.crossJoin(broadcast(tot)).select(col("b"),
+          round((log((col("cp") + 1).cast("double") /
+                     (col("tp") + B).cast("double")) -
+                 log((col("cn") + 1).cast("double") /
+                     (col("tn") + B).cast("double"))) * 1e6)
+            .cast("long").as("llr"))
+        val prior = docs.filter(col("is_train")).agg(
+          round((log(sum(col("is_pos").cast("long")).cast("double")) -
+                 log(sum((!col("is_pos")).cast("long")).cast("double")))
+            * 1e6).cast("long").as("pr"))
+        docBuckets.filter(!col("is_train"))
+          .join(broadcast(llr), Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("is_pos"), (col("c") *
+            coalesce(col("llr"),
+              round((log(lit(1.0) / (col("tp") + B).cast("double")) -
+                     log(lit(1.0) / (col("tn") + B).cast("double")))
+                * 1e6).cast("long"))).as("w"))
+          .groupBy("doc_id", "is_pos").agg(sum(col("w")).as("ll"))
+          .crossJoin(broadcast(prior))
+          .select(col("doc_id"), col("is_pos").cast("int").as("label"),
+            (col("ll") + col("pr")).as("score"),
+            ((col("ll") + col("pr")) > 0).cast("int").as("pred"))
+          .withColumn("correct",
+            (col("label") === col("pred")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    (CAST(concat('0x', substr(md5('t27:' ||
+             |       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |       % 100) < 70 AS is_train,
+             |    lang = 'en' AS is_pos,
+             |    list_filter(string_split_regex(trim(lower(
+             |      text || CASE WHEN doc_id % 2 = 0
+             |        THEN ' m' || lang ELSE '' END)), '\s+'),
+             |      x -> strlen(x) > 0) AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, is_train, is_pos,
+             |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+             |      % 512 AS b
+             |  FROM (SELECT doc_id, is_train, is_pos, unnest(ts) AS tok
+             |        FROM d)),
+             |db AS (
+             |  SELECT doc_id, is_train, is_pos, b, count(*) AS c
+             |  FROM g GROUP BY ALL),
+             |fit AS (
+             |  SELECT b,
+             |    sum(CASE WHEN is_pos THEN c ELSE 0 END) AS cp,
+             |    sum(CASE WHEN NOT is_pos THEN c ELSE 0 END) AS cn
+             |  FROM db WHERE is_train GROUP BY b),
+             |tot AS (
+             |  SELECT sum(CASE WHEN is_pos THEN c ELSE 0 END) AS tp,
+             |         sum(CASE WHEN NOT is_pos THEN c ELSE 0 END) AS tn
+             |  FROM db WHERE is_train),
+             |llr AS (
+             |  SELECT b,
+             |    CAST(round((ln(CAST(cp + 1 AS DOUBLE)
+             |                   / CAST(tp + 512 AS DOUBLE))
+             |              - ln(CAST(cn + 1 AS DOUBLE)
+             |                   / CAST(tn + 512 AS DOUBLE))) * 1e6)
+             |      AS BIGINT) AS llr
+             |  FROM fit, tot),
+             |prior AS (
+             |  SELECT CAST(round(
+             |    (ln(CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END)
+             |         AS DOUBLE))
+             |   - ln(CAST(sum(CASE WHEN NOT is_pos THEN 1 ELSE 0 END)
+             |         AS DOUBLE))) * 1e6) AS BIGINT) AS pr
+             |  FROM d WHERE is_train),
+             |sc AS (
+             |  SELECT db.doc_id, db.is_pos,
+             |    sum(db.c * coalesce(llr.llr,
+             |      CAST(round((ln(1.0 / CAST(tot.tp + 512 AS DOUBLE))
+             |                - ln(1.0 / CAST(tot.tn + 512 AS DOUBLE)))
+             |        * 1e6) AS BIGINT))) AS ll
+             |  FROM db LEFT JOIN llr USING (b), tot
+             |  WHERE NOT db.is_train GROUP BY db.doc_id, db.is_pos)
+             |SELECT doc_id, CAST(is_pos AS INT) AS label,
+             |  CAST(ll + pr AS BIGINT) AS score,
+             |  CAST((ll + pr) > 0 AS INT) AS pred,
+             |  CAST(CAST(is_pos AS INT) = CAST((ll + pr) > 0 AS INT)
+             |    AS INT) AS correct
+             |FROM sc, prior ORDER BY doc_id""".stripMargin)),
+
+    // ---- M14: PERCEPTUAL image dedup via dHash — the near-duplicate
+    //      member of the image-dedup family (m09 is byte-level: its
+    //      content_key changes on ANY re-encode). Planted ground truth:
+    //      ids share a key mod 25, and the second half of the corpus is
+    //      the exact pixel-doubling of the first (scale 2) — different
+    //      bytes, same perceptual content. Base dims (36×32) divide the
+    //      9×8 dHash grid, so integer cell means are scale-invariant
+    //      and cross-scale pairs MUST surface; distinct keys were
+    //      verified to yield 25 distinct hashes (deterministic — holds
+    //      at every sf). One decode per image, pairs via the single
+    //      groupBy shape (the m09 lesson). Oracle replays the planted
+    //      congruence analytically: a decode/pooling divergence between
+    //      any congruent pair, same-scale or cross-scale, breaks the
+    //      gate. ----------------------------------------------------------
+    Q("m14_image_dhash_dups",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id").cast("long").as("id"),
+            (col("doc_id") % 25).as("key"),
+            when(col("doc_id") < 75, 1).otherwise(2).as("scale"))
+        val imgs = graft.llm.Multimodal.withSyntheticImagesScaled(
+          ids, "id", "key", "scale", baseW = 36, baseH = 32)
+        val hashed = graft.llm.Multimodal.dhashes(imgs, "id")
+          .filter(col("dhash").isNotNull)
+        graft.llm.Dedup.pairsWithinGroups(hashed, "dhash", "id")
+          .withColumn("cross_scale",
+            ((col("id_a") < 75) =!= (col("id_b") < 75)).cast("int"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST((a.doc_id < 75) <> (b.doc_id < 75) AS INT)
+             |    AS cross_scale
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25
+             |WHERE a.doc_id < 150 AND b.doc_id < 150
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- L15: CLUSTER-BALANCED sampling — topic rebalance for a
+    //      training mix (l13 balances by LANGUAGE label; this balances
+    //      by LATENT cluster): every embedding lands on its portable
+    //      Forgy cell, each cell downsamples to the smallest cell's
+    //      mass via an integer micro-rate and the a42 md5 micro-uniform
+    //      gate — deterministic, stream-stable, bit-exact. Scale shape:
+    //      centroids broadcast (one scan pass), the per-cell count
+    //      frame is <=nCells rows broadcast back — the corpus never
+    //      shuffles beyond the assignment argmax. -------------------------
+    Q("l15_cluster_balanced_sample",
+      (s, dir) => {
+        val asg = graft.llm.Similarity.forgyAssignPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding", nCells = 8)
+        val cc = asg.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+        val rt = cc.crossJoin(broadcast(cc.agg(min(col("n_cell")).as("m"))))
+          .select(col("cell"), col("n_cell"),
+            expr("CAST(m * 1000000 div n_cell AS BIGINT)").as("rate"))
+        asg.join(broadcast(rt), Seq("cell"))
+          .select(col("id"), col("cell"), col("n_cell"), col("rate"),
+            (conv(substring(md5(concat(lit("l15:"), col("id"))), 1, 15),
+              16, 10).cast("long") % 1000000L < col("rate"))
+              .cast("int").as("kept"))
+          .orderBy("id")
+      },
+      Some(graft.llm.Similarity.clusterBalancedSampleOracleSql(
+        "embeddings", "vec_id", "embedding")))
   )
 }

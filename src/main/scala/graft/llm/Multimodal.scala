@@ -507,6 +507,139 @@ object Multimodal {
     }(encoder)
   }
 
+  /** 64-bit perceptual difference hash (dHash, the standard cheap
+    * near-duplicate image fingerprint): decode → integer luminance →
+    * 9×8 integer mean-pool → each bit compares horizontally adjacent
+    * cells (`cell[r][c+1] > cell[r][c]`), row-major MSB-first. All
+    * integer arithmetic (truncating cell means), so the hash is
+    * bit-deterministic — and SCALE-INVARIANT whenever the resize
+    * preserves cell means (e.g. pixel doubling), which is exactly what
+    * byte-level digests (m09's `content_key`) cannot see: a re-encoded
+    * or upscaled copy has different bytes but the same dHash. None on
+    * undecodable payloads (corrupt blobs are data, not exceptions).
+    */
+  def dhashImage(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return None
+    val singleBand = img.getRaster.getNumBands == 1
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        lum(y * w + x) =
+          if (singleBand) img.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+          }
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      val yLo = h * r / 8; val yHi = h * (r + 1) / 8
+      var c = 0
+      while (c < 9) {
+        val xLo = w * c / 9; val xHi = w * (c + 1) / 9
+        var ss = 0L; var n = 0L
+        var yy = yLo
+        while (yy < yHi) {
+          var xx = xLo
+          while (xx < xHi) { ss += lum(yy * w + xx); n += 1; xx += 1 }
+          yy += 1
+        }
+        cells(r)(c) = if (n > 0) ss / n else 0L
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        hash = (hash << 1) | (if (cells(r)(c + 1) > cells(r)(c)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Batched per-partition dHash over a binary payload column — ONE
+    * decode per image (the m09 lesson: decode IS the query cost at an
+    * image-corpus scale). Undecodable payloads yield null.
+    */
+  def dhashes(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType)))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          dhashImage(r.getAs[Array[Byte]](1))
+            .map(Long.box).orNull)
+      }
+    }(encoder)
+  }
+
+  /** [[syntheticGrayPng]]'s scale-aware sibling: the `scale`× image is
+    * the exact pixel-doubling (tripling, …) of the `scale`=1 base, so
+    * perceptual fingerprints that pool in integer arithmetic (dHash
+    * with base dims divisible by the 9×8 grid) are IDENTICAL across
+    * scales while the encoded bytes differ — the planted ground truth
+    * for near-duplicate (not byte-duplicate) image detection.
+    */
+  def syntheticGrayPngScaled(key: Long, baseW: Int, baseH: Int,
+                             scale: Int): Array[Byte] = {
+    val w = baseW * scale; val h = baseH * scale
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          ((key * 31 + (y / scale) * baseW + (x / scale)) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a scaled synthetic PNG per row from (key, scale) columns. */
+  def withSyntheticImagesScaled(df: DataFrame, idCol: String,
+                                keyCol: String, scaleCol: String,
+                                baseW: Int, baseH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(keyCol).cast("long").as("key"),
+      col(scaleCol).cast("int").as("scale"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          syntheticGrayPngScaled(r.getLong(1), baseW, baseH, r.getInt(2)))
+      }
+    }(encoder)
+  }
+
   // ------------------------------------------------------- real decode: WAV
 
   /** One modality decoded for REAL: WAV/PCM is RIFF chunks + little-endian

@@ -924,6 +924,86 @@ object Similarity {
        |WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** PORTABLE Forgy assignment of EVERY vector (the [[ivfAppendPortable]]
+    * kernel without the incremental split): cells are the first `nCells`
+    * vectors by id, every row lands on its quantized-cosine-nearest cell
+    * — the cluster-membership primitive topic/balance operators build on
+    * (l15 samples per cell; n04/n08 probe per cell). Broadcast centroids,
+    * one scan pass, argmax via the one-shape struct-max; bit-exact in
+    * DuckDB per the n12/n13 checklist.
+    */
+  def forgyAssignPortable(emb: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int = 8): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
+    val cent = q.orderBy("id").limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("id")) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cv"))
+    val sumSq = (c: String) =>
+      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+    val dotE = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val cosSql = (d: String, na: String, nb: String) =>
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    q.crossJoin(broadcast(cent))
+      .withColumn("cos",
+        expr(cosSql(dotE("qv", "cv"), sumSq("qv"), sumSq("cv"))))
+      .groupBy("id")
+      .agg(max(struct(col("cos").as("cos"),
+        (-col("cell")).cast("long").as("negcell"))).as("b"))
+      .select(col("id"), (-col("b.negcell")).cast("int").as("cell"))
+  }
+
+  /** DuckDB replay of [[forgyAssignPortable]] composed with the l15
+    * balanced-sampling arithmetic: per-cell counts, micro-rate
+    * `min_count*1e6 div count`, and the deterministic md5 micro-uniform
+    * keep gate — every verdict bit-exact.
+    */
+  def clusterBalancedSampleOracleSql(table: String, idCol: String,
+                                     vecCol: String, nCells: Int = 8,
+                                     salt: String = "l15:"): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |cid AS (SELECT $idCol AS id,
+       |          CAST(row_number() OVER (ORDER BY $idCol) - 1 AS INT)
+       |            AS cell
+       |        FROM $table ORDER BY $idCol LIMIT $nCells),
+       |cent AS (SELECT c.cell, q.pos, q.qe AS cq
+       |         FROM cid c JOIN qe q ON q.id = c.id),
+       |sc AS (
+       |  SELECT q.id, c.cell,
+       |    CAST(sum(q.qe * c.cq) AS BIGINT) AS dot,
+       |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2v,
+       |    CAST(sum(c.cq * c.cq) AS BIGINT) AS n2c
+       |  FROM qe q JOIN cent c ON c.pos = q.pos
+       |  GROUP BY 1, 2),
+       |asg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY
+       |        CASE WHEN n2v = 0 OR n2c = 0 THEN 0.0
+       |          ELSE dot / (sqrt(CAST(n2v AS DOUBLE))
+       |            * sqrt(CAST(n2c AS DOUBLE))) END DESC, cell) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |cc AS (SELECT cell, count(*) AS n_cell FROM asg GROUP BY cell),
+       |mc AS (SELECT min(n_cell) AS m FROM cc),
+       |rt AS (SELECT cc.cell, CAST(cc.n_cell AS BIGINT) AS n_cell,
+       |         CAST(mc.m * 1000000 // cc.n_cell AS BIGINT) AS rate
+       |       FROM cc, mc)
+       |SELECT a.id, a.cell, rt.n_cell, rt.rate,
+       |  CAST(CAST(concat('0x', substr(md5('$salt' ||
+       |      CAST(a.id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+       |    < rt.rate AS INT) AS kept
+       |FROM asg a JOIN rt USING (cell)
+       |ORDER BY a.id""".stripMargin
+
   /** Hash-verified PORTABLE incremental-IVF twin (the n13 pattern):
     * the index's cells are a Forgy fit over the PRIOR corpus (first
     * `nCells` vectors with id < `splitId`, by id — SQL-expressible

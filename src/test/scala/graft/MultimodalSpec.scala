@@ -318,4 +318,29 @@ class MultimodalSpec extends SparkSpec {
     // strip never invents bytes on damage
     assert(mm.pngStripAncillary(bad).sameElements(bad))
   }
+
+  test("dHash: scale-invariant on pixel-doubled copies, key-sensitive, corrupt-safe") {
+    // base dims divide the 9x8 grid, so the 2x pixel-doubled image has
+    // identical integer cell means -> identical hash, different bytes
+    val keys = 0L until 25L
+    val h1 = keys.map(k => Multimodal.dhashImage(
+      Multimodal.syntheticGrayPngScaled(k, 36, 32, 1)))
+    val h2 = keys.map(k => Multimodal.dhashImage(
+      Multimodal.syntheticGrayPngScaled(k, 36, 32, 2)))
+    assert(h1.forall(_.isDefined))
+    assert(h1 == h2)                       // perceptual equality
+    assert(h1.map(_.get).distinct.size == 25)   // no key collision
+    assert(!Multimodal.syntheticGrayPngScaled(0L, 36, 32, 1)
+      .sameElements(Multimodal.syntheticGrayPngScaled(0L, 36, 32, 2)))
+    // corrupt / undersized payloads are data, not exceptions
+    assert(Multimodal.dhashImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.dhashImage(
+      Multimodal.syntheticGrayPng(1L, 4, 4)).isEmpty)
+    // dataframe pass: null dhash for corrupt rows, one decode per row
+    val df = Seq((1L, Multimodal.syntheticGrayPngScaled(7L, 36, 32, 1)),
+      (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = Multimodal.dhashes(df, "id").orderBy("id").collect()
+    assert(out(0).getLong(1) == h1(7).get)
+    assert(out(1).isNullAt(1))
+  }
 }

@@ -303,6 +303,19 @@ class PlanShapeSpec extends SparkSpec {
       "fit frame came back as a shuffle join:\n" + plan.take(800))
   }
 
+  test("t27 NB filter: fit/prior broadcast back — corpus never re-shuffles on bucket id") {
+    // Same contract as d29: the <=512-row fit frame, totals, and prior
+    // all come back via BROADCAST; a shuffle join here would reshuffle
+    // the per-doc bucket counts on bucket id.
+    val plan = SparkEntry.queries("t27_nb_quality_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "fit frame came back as a shuffle join:\n" + plan.take(800))
+  }
+
   test("j36 entity resolution: canonical dim broadcasts, candidates block-joined") {
     // The canonical side is a broadcast dim and every candidate pair
     // exists only inside the first-char block equi-join — a cartesian
