@@ -1477,6 +1477,24 @@ object RegistryR11 {
           .orderBy("id")
       },
       Some(graft.llm.Similarity.clusterBalancedSampleOracleSql(
-        "embeddings", "vec_id", "embedding")))
+        "embeddings", "vec_id", "embedding"))),
+
+    // ---- N22: Matryoshka two-stage ANN (Kusupati et al. 2022) — the
+    //      progressive-filtering recipe for MRL embeddings: a cheap
+    //      prefix-dim sweep (16 of 64 dims = 1/4 the dot cost) keeps
+    //      top-20 candidates per query, the full vector reranks ONLY
+    //      those; prefix_rank emitted beside the final rank so the
+    //      oracle witnesses the reordering. Audit form over a bounded
+    //      query set (the n01/n21 positioning); the scale path swaps
+    //      the prefix sweep for the IVF/LSH generators. Hash-exact per
+    //      the n12/n13 checklist. ----------------------------------------
+    Q("n22_matryoshka_topk",
+      (s, dir) => graft.llm.Similarity.matryoshkaTopKPortable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          queryMaxId = 20L, prefixDims = 16, candidates = 20, k = 5)
+        .orderBy("query_id", "rank"),
+      Some(graft.llm.Similarity.matryoshkaTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 20L,
+        prefixDims = 16, candidates = 20, k = 5)))
   )
 }

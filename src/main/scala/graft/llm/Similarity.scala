@@ -1640,6 +1640,114 @@ object Similarity {
     * n01); the scale path composes the same exclusion filter with the
     * IVF/LSH candidate generators.
     */
+  /** PORTABLE Matryoshka-style two-stage ANN (Kusupati et al. 2022:
+    * MRL embeddings nest — the first `prefixDims` components are
+    * themselves a usable embedding): stage 1 scores every pair on the
+    * PREFIX dims only (prefixDims/d of the full dot cost) and keeps the
+    * top `candidates` per query; stage 2 reranks ONLY those candidates
+    * on the full vector. At corpus scale the prefix pass is the cheap
+    * sweep (or composes with IVF/LSH) and the full-dim cost is bounded
+    * by `candidates` — the published progressive-filtering recipe.
+    * `prefix_rank` is emitted beside the final rank so the oracle
+    * witnesses the REORDERING (rerank ≠ prefilter order). Portability
+    * per the n12/n13 checklist: integer dots/norms, the one-shape IEEE
+    * cosine, row_number arg-top-k — every row hash-exact in DuckDB.
+    */
+  def matryoshkaTopKPortable(emb: DataFrame, idCol: String,
+                             vecCol: String, queryMaxId: Long,
+                             prefixDims: Int, candidates: Int,
+                             k: Int): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("fv"))
+    val pe = v.select(col("id"),
+      posexplode(expr(s"slice(fv, 1, $prefixDims)")).as(Seq("pos", "qe")))
+    val cosShape =
+      "CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0 " +
+        "ELSE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) END"
+    val cand = pe.filter(col("id") < queryMaxId)
+      .select(col("id").as("qid"), col("pos"), col("qe").as("qa"))
+      .join(pe.select(col("id"), col("pos"), col("qe").as("qb")),
+        Seq("pos"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(expr("qa * qb")).as("dot"),
+        sum(expr("qa * qa")).as("n2a"),
+        sum(expr("qb * qb")).as("n2b"))
+      .withColumn("cosp", expr(cosShape))
+      .withColumn("prefix_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosp").desc, col("id"))))
+      .filter(col("prefix_rank") <= candidates)
+      .select(col("qid"), col("id"), col("prefix_rank"))
+    val sumSq = (c: String) =>
+      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+    val dotE = (a: String, b: String) =>
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    cand
+      .join(broadcast(v.filter(col("id") < queryMaxId)
+        .select(col("id").as("qid"), col("fv").as("fa"))), Seq("qid"))
+      .join(v.select(col("id"), col("fv").as("fb")), Seq("id"))
+      .withColumn("cos", expr(
+        s"CASE WHEN ${sumSq("fa")} = 0 OR ${sumSq("fb")} = 0 THEN 0.0 " +
+          s"ELSE ${dotE("fa", "fb")} / (sqrt(CAST(${sumSq("fa")} AS DOUBLE))" +
+          s" * sqrt(CAST(${sumSq("fb")} AS DOUBLE))) END"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"),
+        col("prefix_rank").cast("long").as("prefix_rank"), col("cos"))
+  }
+
+  /** DuckDB replay of [[matryoshkaTopKPortable]] over `table`. */
+  def matryoshkaTopKPortableOracleSql(table: String, idCol: String,
+                                      vecCol: String, queryMaxId: Long,
+                                      prefixDims: Int, candidates: Int,
+                                      k: Int): String =
+    s"""WITH qe AS (
+       |  SELECT emb.$idCol AS id, t.i AS pos,
+       |    CAST(round(CAST(emb.$vecCol[t.i + 1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS qe
+       |  FROM $table emb,
+       |    LATERAL (SELECT unnest(range(len(emb.$vecCol))) AS i) t),
+       |pref AS (
+       |  SELECT q.id AS qid, c.id AS id,
+       |    CAST(sum(q.qe * c.qe) AS BIGINT) AS dot,
+       |    CAST(sum(q.qe * q.qe) AS BIGINT) AS n2a,
+       |    CAST(sum(c.qe * c.qe) AS BIGINT) AS n2b
+       |  FROM qe q JOIN qe c ON c.pos = q.pos AND c.id <> q.id
+       |  WHERE q.id < $queryMaxId AND q.pos < $prefixDims
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY
+       |      CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       |        ELSE dot / (sqrt(CAST(n2a AS DOUBLE))
+       |          * sqrt(CAST(n2b AS DOUBLE))) END DESC, id)
+       |    AS prefix_rank
+       |  FROM pref),
+       |cand AS (SELECT * FROM pc WHERE prefix_rank <= $candidates),
+       |fullsc AS (
+       |  SELECT q.id AS qid, c.id AS id,
+       |    CASE WHEN sum(q.qe * q.qe) = 0 OR sum(c.qe * c.qe) = 0 THEN 0.0
+       |      ELSE CAST(sum(q.qe * c.qe) AS BIGINT)
+       |        / (sqrt(CAST(CAST(sum(q.qe * q.qe) AS BIGINT) AS DOUBLE))
+       |          * sqrt(CAST(CAST(sum(c.qe * c.qe) AS BIGINT) AS DOUBLE)))
+       |    END AS cos
+       |  FROM qe q JOIN qe c ON c.pos = q.pos AND c.id <> q.id
+       |  WHERE q.id < $queryMaxId
+       |  GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT cand.qid, cand.id, cand.prefix_rank, f.cos,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY f.cos DESC, cand.id) AS rank
+       |  FROM cand JOIN fullsc f ON f.qid = cand.qid AND f.id = cand.id)
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  id AS neighbor_id, CAST(prefix_rank AS BIGINT) AS prefix_rank,
+       |  cos
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   def hardNegativesPortable(emb: DataFrame, idCol: String, vecCol: String,
                             labelCol: String, queryMaxId: Long,
                             k: Int): DataFrame = {
