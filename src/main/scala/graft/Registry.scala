@@ -103,7 +103,8 @@ object Registry {
     RegistryCore.entries ++ RegistryScalars.entries ++
       RegistryLlm.entries ++ RegistryExtra.entries ++
       RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries ++
-      RegistryR10.entries ++ RegistryR11.entries ++ RegistryR11.entries2
+      RegistryR10.entries ++ RegistryR11.entries ++ RegistryR11.entries2 ++
+      RegistryTpchPs.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
