@@ -380,22 +380,22 @@ object RegistryR11 {
     //      arithmetic — no float summation-order divergence.
     Q("d29_dsir_select",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val B = 1024
-        val toks = expr(
-          "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        // unigrams + bigrams from one posexplode + lead pass (the d20
-        // lesson: higher-order-function shingling runs interpreted)
+        // unigrams + bigrams with multiplicity, built as ARRAY ops with
+        // the token array bound ONCE per row (the t22 one-element-
+        // transform trick) — ZERO shuffle before the bucket groupBy.
+        // The previous posexplode + lead(window) form paid an extra
+        // hash-exchange + sort on doc_id for the SAME gram multiset:
+        // at corpus scale that exchange carries every token occurrence.
         val grams = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            posexplode(toks).as(Seq("pos", "tok")))
-          .select(col("doc_id"), col("lang"), col("tok"),
-            lead("tok", 1).over(w).as("t1"))
-          .select(col("doc_id"), col("lang"),
-            explode(when(col("t1").isNotNull,
-              array(col("tok"), concat_ws(" ", col("tok"), col("t1"))))
-              .otherwise(array(col("tok")))).as("gram"))
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """element_at(transform(
+              |  array(filter(split(lower(trim(text)), '\\s+'),
+              |        x -> length(x) > 0)),
+              |  ws -> concat(ws,
+              |    transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+              |      (w, i) -> concat_ws(' ', w, element_at(ws, i + 2)))))
+              |, 1)""".stripMargin)).as("gram"))
           .select(col("doc_id"), col("lang"),
             (conv(substring(md5(col("gram")), 1, 8), 16, 10)
               .cast("long") % B).as("b"))

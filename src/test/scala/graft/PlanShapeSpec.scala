@@ -290,17 +290,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
-  test("d29 DSIR: fit broadcasts back onto the counts — corpus shuffles once past the window") {
+  test("d29 DSIR: zero-shuffle gram build; fit broadcasts back onto the counts") {
     // The fit frame is <=1024 rows; if it ever came back as a shuffle
     // join the corpus would reshuffle on bucket id. Pin: the lldiff and
-    // totals frames join via BROADCAST, and no cartesian anywhere.
-    val plan = SparkEntry.queries("d29_dsir_select")(spark, sf)
-      .queryExecution.executedPlan.toString
+    // totals frames join via BROADCAST, no cartesian anywhere, and NO
+    // window before the bucket groupBy (the old posexplode+lead form
+    // paid an extra hash-exchange + sort carrying every token
+    // occurrence — the gram build is array ops now).
+    val df = SparkEntry.queries("d29_dsir_select")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("SortMergeJoin"),
       "fit frame came back as a shuffle join:\n" + plan.take(800))
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "gram build regressed to a window:\n" + plan.take(800))
   }
 
   test("t27 NB filter: fit/prior broadcast back — corpus never re-shuffles on bucket id") {
