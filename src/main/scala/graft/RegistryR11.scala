@@ -1495,6 +1495,70 @@ object RegistryR11 {
         .orderBy("query_id", "rank"),
       Some(graft.llm.Similarity.matryoshkaTopKPortableOracleSql(
         "embeddings", "vec_id", "embedding", queryMaxId = 20L,
-        prefixDims = 16, candidates = 20, k = 5)))
+        prefixDims = 16, candidates = 20, k = 5))),
+
+    // ---- W27: ORDERED funnel conversion — the event-sequence analytic
+    //      the w-family lacked (w12 cohorts ignore order; w10's
+    //      attribution join is two-stage and window-bounded): first
+    //      view, first click STRICTLY AFTER that view, first purchase
+    //      STRICTLY AFTER that click, per user, with stage-reach flags
+    //      and exact microsecond timestamps. Scale shape: each stage is
+    //      a scan-filtered map-side-combinable min, every join keys on
+    //      user_id — the three aggregations and both joins share ONE
+    //      hash partitioning, so the cascade costs one logical shuffle
+    //      of the (pushed-down) event slice, never a per-user sort or
+    //      collect. NULL stage keys (user never clicked) drop out of
+    //      the next stage's equi-join exactly like the oracle's. --------
+    Q("w27_funnel_conversion",
+      (s, dir) => {
+        // event_id < 800 slices an early window so the funnel has a real
+        // drop-off (99 viewers -> 50 clickers -> 24 purchasers at
+        // sf0.01); the full table converts everyone.
+        val ev = Registry.events(s, dir).filter(col("event_id") < 800)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("v_ts"))
+          .groupBy("user_id", "v_ts").agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c.select(col("user_id"), col("c_ts")), "user_id")
+          .filter(col("ts") > col("c_ts"))
+          .groupBy("user_id", "c_ts").agg(min(col("ts")).as("p_ts"))
+        v.join(c.select(col("user_id"), col("c_ts")), Seq("user_id"), "left")
+          .join(p, Seq("user_id", "c_ts"), "left")
+          .select(col("user_id"),
+            unix_micros(col("v_ts")).as("v_us"),
+            unix_micros(col("c_ts")).as("c_us"),
+            unix_micros(col("p_ts")).as("p_us"),
+            col("c_ts").isNotNull.cast("int").as("reached_click"),
+            col("p_ts").isNotNull.cast("int").as("reached_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS v_ts FROM events
+             |  WHERE event_type = 'view' AND event_id < 800 GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.event_id < 800
+             |    AND e.ts > v.v_ts
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, c.c_ts, min(e.ts) AS p_ts
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.event_id < 800
+             |    AND e.ts > c.c_ts
+             |  GROUP BY 1, 2)
+             |SELECT v.user_id,
+             |  CAST(epoch_us(v.v_ts) AS BIGINT) AS v_us,
+             |  CAST(epoch_us(c.c_ts) AS BIGINT) AS c_us,
+             |  CAST(epoch_us(p.p_ts) AS BIGINT) AS p_us,
+             |  CAST(c.c_ts IS NOT NULL AS INT) AS reached_click,
+             |  CAST(p.p_ts IS NOT NULL AS INT) AS reached_purchase
+             |FROM v
+             |LEFT JOIN c ON c.user_id = v.user_id
+             |LEFT JOIN p ON p.user_id = v.user_id AND p.c_ts = c.c_ts
+             |ORDER BY 1""".stripMargin))
   )
 }
