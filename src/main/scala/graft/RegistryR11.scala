@@ -1559,6 +1559,182 @@ object RegistryR11 {
              |FROM v
              |LEFT JOIN c ON c.user_id = v.user_id
              |LEFT JOIN p ON p.user_id = v.user_id AND p.c_ts = c.c_ts
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- L16: the END-TO-END corpus-build report — the l-family's
+    //      stages COMPOSED into one auditable chain with per-stage row
+    //      counts (exactly what a production corpus build emits):
+    //      gopher-lite quality gate (l12 arithmetic) → NFC exact dedup
+    //      keep-first (t26+d01) → 8-gram decontamination against the
+    //      eval slice (d10's broadcast shape) → temperature sampling
+    //      over the POST-filter language distribution (l13 recipe,
+    //      budget 100) → 512-token packing block count (l06 arithmetic).
+    //      DuckDB replays the ENTIRE chain, so every stage transition is
+    //      on the hash path — a drift anywhere in the composition breaks
+    //      the gate. Audit form: each stage frame recomputes its inputs
+    //      (at production scale you persist between stages; the counts
+    //      contract is what this query pins). -----------------------------
+    Q("l16_corpus_build_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // plant exact duplicates (every doc_id % 83 == 0 gets the same
+        // text, long enough to pass the quality gate) so the dedup
+        // stage shows a REAL drop; the raw corpus has no natural dups
+        val dup = "the a " + Seq.fill(5)("spark table scan row key").mkString(" ")
+        val docs = t(s, dir, "documents")
+          .withColumn("text", when(col("doc_id") % 83 === 0, lit(dup))
+            .otherwise(col("text")))
+        // stop list adapted to this corpus's synthetic vocabulary
+        // (the l12 battery keeps the full published list as FLAGS; a
+        // DROP gate needs words the generator actually emits)
+        val stops = Seq("the", "a")
+        val ws = expr(
+          "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+        val q1 = docs
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(ws).as("n_words"),
+            size(expr("filter(filter(split(trim(text), '\\\\s+'), " +
+              "x -> length(x) > 0), w -> w rlike '[A-Za-z]')"))
+              .as("n_alpha"),
+            size(filter(array(stops.map(lit): _*),
+              sw => array_contains(ws, sw))).as("n_stop"))
+          .filter(col("n_words").between(20, 100000) &&
+            col("n_stop") >= 2 &&
+            col("n_alpha").cast("double") / col("n_words").cast("double")
+              > 0.8)
+        val q2 = q1.withColumn("rn", row_number().over(
+            Window.partitionBy(md5(graft.plans.NfcNormalize(col("text"))))
+              .orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("rn")
+        val gramsLower = expr(
+          """element_at(transform(
+            |  array(filter(split(lower(trim(text)), '\\s+'),
+            |        x -> length(x) > 0)),
+            |  ws -> transform(slice(ws, 1, greatest(size(ws) - 7, 0)),
+            |    (w, i) -> md5(concat_ws(' ', slice(ws, i + 1, 8)))))
+            |, 1)""".stripMargin)
+        val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(gramsLower).as("g")).distinct()
+        val train = q2.filter(col("doc_id") % 97 =!= 0)
+        val contaminated = train
+          .select(col("doc_id"), explode(gramsLower).as("g"))
+          .join(broadcast(evalGrams), "g").select("doc_id").distinct()
+        val q3 = train.join(contaminated, Seq("doc_id"), "left_anti")
+        val counts = q3.groupBy("lang").agg(count(lit(1)).as("c"))
+        val qq = counts.crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+          .withColumn("qs_micro",
+            round(pow(col("c").cast("double") / col("total").cast("double"),
+              0.7) * 1e9).cast("long"))
+        val rates = qq.crossJoin(broadcast(
+            qq.agg(sum("qs_micro").as("z_micro"))))
+          .withColumn("rate_micro",
+            least(lit(1000000L),
+              round(lit(100.0) *
+                (col("qs_micro").cast("double") /
+                  col("z_micro").cast("double")) /
+                col("c").cast("double") * 1e6).cast("long")))
+          .select(col("lang"), col("rate_micro"))
+        val q4 = q3.join(broadcast(rates), "lang")
+          .filter(conv(substring(md5(concat(lit("l16-"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 1000000L < col("rate_micro"))
+        def stage(name: String,
+                  df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          df.agg(count(lit(1)).as("n_rows"))
+            .select(lit(name).as("stage"), col("n_rows"))
+        stage("0_raw", docs)
+          .union(stage("1_quality", q1))
+          .union(stage("2_dedup", q2))
+          .union(stage("3_decontam", q3))
+          .union(stage("4_sampled", q4))
+          .union(q4.agg(
+              expr("CAST((sum(n_words) + 511) div 512 AS BIGINT)")
+                .as("n_rows"))
+            .select(lit("5_blocks").as("stage"), col("n_rows")))
+          .orderBy("stage")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 83 = 0
+             |      THEN 'the a spark table scan row key spark table' ||
+             |        ' scan row key spark table scan row key spark' ||
+             |        ' table scan row key spark table scan row key'
+             |      ELSE text END AS text
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, lang, text,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0) AS ws
+             |  FROM d),
+             |q1 AS (
+             |  SELECT doc_id, lang, text,
+             |    CAST(len(ws) AS BIGINT) AS n_words
+             |  FROM w
+             |  WHERE len(ws) BETWEEN 20 AND 100000
+             |    AND len(list_filter(
+             |      ['the','a'],
+             |      sw -> list_contains(ws, sw))) >= 2
+             |    AND CAST(len(list_filter(ws,
+             |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             |      / CAST(len(ws) AS DOUBLE) > 0.8),
+             |q2 AS (
+             |  SELECT doc_id, lang, text, n_words FROM (
+             |    SELECT q1.*, row_number() OVER (
+             |      PARTITION BY md5(nfc_normalize(text))
+             |      ORDER BY doc_id) AS rn
+             |    FROM q1) WHERE rn = 1),
+             |lg AS (
+             |  SELECT doc_id, list_transform(
+             |      range(1, greatest(len(lws) - 6, 1)),
+             |      i -> md5(array_to_string(lws[i : i + 7], ' '))) AS gs
+             |  FROM (SELECT doc_id,
+             |          list_filter(
+             |            regexp_split_to_array(trim(lower(text)), '\s+'),
+             |            x -> length(x) > 0) AS lws
+             |        FROM d)),
+             |eg AS (SELECT DISTINCT unnest(gs) AS g FROM lg
+             |       WHERE doc_id % 97 = 0),
+             |cont AS (
+             |  SELECT DISTINCT t.doc_id FROM (
+             |    SELECT l.doc_id, unnest(l.gs) AS g
+             |    FROM lg l JOIN q2 USING (doc_id)
+             |    WHERE l.doc_id % 97 <> 0) t
+             |  JOIN eg USING (g)),
+             |q3 AS (SELECT * FROM q2
+             |       WHERE doc_id % 97 <> 0
+             |         AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |c AS (SELECT lang, count(*) AS c FROM q3 GROUP BY lang),
+             |tot AS (SELECT sum(c) AS total FROM c),
+             |qv AS (SELECT lang, c,
+             |    CAST(round(pow(CAST(c AS DOUBLE) / CAST(total AS DOUBLE),
+             |      0.7) * 1e9) AS BIGINT) AS qs_micro
+             |  FROM c, tot),
+             |z AS (SELECT CAST(sum(qs_micro) AS BIGINT) AS z_micro FROM qv),
+             |r AS (SELECT lang,
+             |    least(1000000,
+             |      CAST(round(100.0
+             |        * (CAST(qs_micro AS DOUBLE) / CAST(z_micro AS DOUBLE))
+             |        / CAST(c AS DOUBLE) * 1e6) AS BIGINT)) AS rate_micro
+             |  FROM qv, z),
+             |q4 AS (
+             |  SELECT q3.* FROM q3 JOIN r USING (lang)
+             |  WHERE CAST(concat('0x', substr(md5(concat('l16-',
+             |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+             |    % 1000000 < r.rate_micro)
+             |SELECT stage, n_rows FROM (
+             |  SELECT '0_raw' AS stage,
+             |    CAST(count(*) AS BIGINT) AS n_rows FROM documents
+             |  UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT)
+             |    FROM q1
+             |  UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT)
+             |    FROM q2
+             |  UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT)
+             |    FROM q3
+             |  UNION ALL SELECT '4_sampled', CAST(count(*) AS BIGINT)
+             |    FROM q4
+             |  UNION ALL SELECT '5_blocks',
+             |    CAST((sum(n_words) + 511) // 512 AS BIGINT) FROM q4)
+             |ORDER BY stage""".stripMargin))
   )
 }
