@@ -321,6 +321,26 @@ class PlanShapeSpec extends SparkSpec {
       "fit frame came back as a shuffle join:\n" + plan.take(800))
   }
 
+  test("w27 funnel: every stage keys on user_id — bounded exchanges, no cartesian") {
+    val df = SparkEntry.queries("w27_funnel_conversion")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // regression bound from the measured plan: 3 stage aggregations,
+    // their joins (the final one re-keys on (user_id, c_ts)), the
+    // broadcast exchanges and the output sort — the count is the
+    // fan-out ceiling, not a claim of minimality
+    assert(exchanges(df) <= 12, plan.take(1500))
+  }
+
+  test("l16 corpus-build report: eval grams broadcast, no cartesian anywhere") {
+    val df = SparkEntry.queries("l16_corpus_build_report")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
   test("j36 entity resolution: canonical dim broadcasts, candidates block-joined") {
     // The canonical side is a broadcast dim and every candidate pair
     // exists only inside the first-char block equi-join — a cartesian
