@@ -1020,11 +1020,15 @@ object RegistryR11 {
             lit(".example."),
             element_at(array(lit("com"), lit("org"), lit("net")),
               (col("doc_id") % 3 + 1).cast("int"))))
+        // the label array binds ONCE per row (the t22 one-element-
+        // transform trick) — the naive form re-runs the regex split
+        // three times per suffix, O(labels²) per row
         val suffixes = hosts
           .select(col("doc_id"), col("host"), explode(expr(
-            "transform(sequence(1, size(split(host, '\\\\.'))), " +
-              "i -> array_join(slice(split(host, '\\\\.'), i, " +
-              "size(split(host, '\\\\.')) - i + 1), '.'))")).as("sfx"))
+            "element_at(transform(array(split(host, '\\\\.')), hs -> " +
+              "transform(sequence(1, size(hs)), " +
+              "i -> array_join(slice(hs, i, size(hs) - i + 1), '.'))), 1)"))
+            .as("sfx"))
         suffixes
           .join(broadcast(bl), col("sfx") === col("entry"), "left")
           .groupBy("doc_id", "host")

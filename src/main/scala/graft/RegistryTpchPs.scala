@@ -8,9 +8,14 @@ import Registry.t
   * previously documented as unexpressible because the driver's testdata
   * does not generate that table. Closed here by SYNTHESIZING partsupp
   * deterministically from the part table in BOTH engines (the dbgen
-  * recipe: each part lists 4 suppliers at stride `S/4 + partkey/S`
-  * modulo the supplier count, which provably yields 4 distinct
-  * suppliers per part for this key space; availqty and an integer-cents
+  * recipe adapted so distinctness holds at EVERY scale factor: each
+  * part lists 4 suppliers at stride `25 + (partkey/100) mod 20`, which
+  * keeps the stride in [25, 44] — never ≡ 0 or 50 (mod 100) — so
+  * `j·stride mod 100` is pairwise distinct for j = 0..3 and every part
+  * provably gets 4 distinct suppliers (dbgen's own unbounded
+  * `S/4 + partkey/S` stride collapses to 1–2 suppliers whenever it
+  * hits a multiple of 50, which first happens at partkey 2500 — inside
+  * the sf0.1 key space); availqty and an integer-cents
   * supplycost are modular functions of (partkey, j)). Every query then
   * has an EXACT DuckDB oracle over the identical synthesized relation —
   * the battery's money math stays in integer units end to end.
@@ -29,7 +34,7 @@ object RegistryTpchPs {
     tables.foreach(n => t(s, dir, n).createOrReplaceTempView(s"g_$n"))
     s.sql("""
       SELECT p_partkey AS ps_partkey,
-        CAST((p_partkey + j * (25 + p_partkey div 100)) % 100 AS BIGINT)
+        CAST((p_partkey + j * (25 + (p_partkey div 100) % 20)) % 100 AS BIGINT)
           AS ps_suppkey,
         CAST((p_partkey * 7 + j * 13) % 9999 + 1 AS BIGINT)
           AS ps_availqty,
@@ -45,7 +50,7 @@ object RegistryTpchPs {
   private val psCte: String =
     """partsupp AS (
       |  SELECT p_partkey AS ps_partkey,
-      |    CAST((p_partkey + j * (25 + p_partkey // 100)) % 100 AS BIGINT)
+      |    CAST((p_partkey + j * (25 + (p_partkey // 100) % 20)) % 100 AS BIGINT)
       |      AS ps_suppkey,
       |    CAST((p_partkey * 7 + j * 13) % 9999 + 1 AS BIGINT)
       |      AS ps_availqty,

@@ -29,7 +29,13 @@ object Urls {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val auth = regexp_extract(rest, "^([^/?]*)", 1)
+    // RFC 3986 §6.2.2.1 lowercases only scheme and host — userinfo is
+    // case-SENSITIVE (tokens, usernames); keep it verbatim up to the
+    // last '@' of the authority
+    val userinfo = when(auth.contains("@"),
+      regexp_extract(auth, "^(.*@)", 1)).otherwise(lit(""))
+    val hostPort = lower(regexp_extract(auth, "([^@]*)$", 1))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
@@ -40,7 +46,7 @@ object Urls {
     val params = array_join(
       array_sort(filter(split(query, "&"),
         p => !p.startsWith("utm_") && p =!= "")), "&")
-    concat(scheme, lit("://"), host, path,
+    concat(scheme, lit("://"), userinfo, host, path,
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
 }

@@ -202,7 +202,10 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return None
-    val singleBand = img.getRaster.getNumBands == 1
+    // a palette-indexed raster is also single-band, but its samples
+    // are palette INDICES, not luminance - route it through getRGB
+    val singleBand = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val out = new java.awt.image.BufferedImage(
       dstW, dstH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = out.getRaster
@@ -260,7 +263,10 @@ object Multimodal {
     if (w <= 0 || h <= 0) return None
     // Integer luminance per pixel: exact band sample for single-band
     // grayscale; Rec.601 integer luma for color. Both deterministic.
-    val singleBand = img.getRaster.getNumBands == 1
+    // a palette-indexed raster is also single-band, but its samples
+    // are palette INDICES, not luminance - route it through getRGB
+    val singleBand = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val lum = new Array[Int](w * h)
     var total = 0L
     var y = 0
@@ -525,7 +531,10 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     if (w < 9 || h < 8) return None
-    val singleBand = img.getRaster.getNumBands == 1
+    // a palette-indexed raster is also single-band, but its samples
+    // are palette INDICES, not luminance - route it through getRGB
+    val singleBand = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val lum = new Array[Int](w * h)
     var y = 0
     while (y < h) {

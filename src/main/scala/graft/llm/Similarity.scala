@@ -31,6 +31,24 @@ import graft.plans.{CosineSim, NearestCells, QCosineSim, SignBucket, SqQuantize}
   */
 object Similarity {
 
+  /** The ONE quantized-cosine SQL shape every portable ANN kernel
+    * shares (the n12/n13 checklist): integer sum-of-squares, integer
+    * dot, and the single IEEE divide. Defined ONCE so the byte-identical
+    * arithmetic can never drift between the queries built on it —
+    * hash-exactness against the DuckDB twins depends on all call sites
+    * agreeing bit-for-bit.
+    */
+  private def sumSqSql(c: String): String =
+    s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
+
+  private def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+
+  private def cosCaseSql(d: String, na: String, nb: String): String =
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
+      s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+
+
   /** Cosine similarity of two float-array columns, computed in double
     * (native kernel — codegen-compiled loop, not per-element dispatch).
     */
@@ -410,13 +428,9 @@ object Similarity {
   def semanticDedupPortable(emb: DataFrame, idCol: String, vecCol: String,
                             nCells: Int = 8, threshold: Double = 0.95,
                             cap: Int = 16): DataFrame = {
-    val sumSq = (c: String) =>
-      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
-    val dot = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
-    val cosSql = (d: String, na: String, nb: String) =>
-      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
-        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val sumSq = sumSqSql _
+    val dot = dotSql _
+    val cosSql = cosCaseSql _
     val q = emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, e -> " +
         "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
@@ -816,13 +830,9 @@ object Similarity {
       .withColumn("cell",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select(col("cell"), col("qv").as("cv"))
-    val sumSq = (c: String) =>
-      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
-    val dotE = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
-    val cosSql = (d: String, na: String, nb: String) =>
-      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
-        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val sumSq = sumSqSql _
+    val dotE = dotSql _
+    val cosSql = cosCaseSql _
     val scored = q.crossJoin(broadcast(cent))
       .withColumn("cos",
         expr(cosSql(dotE("qv", "cv"), sumSq("qv"), sumSq("cv"))))
@@ -941,13 +951,9 @@ object Similarity {
       .withColumn("cell",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select(col("cell"), col("qv").as("cv"))
-    val sumSq = (c: String) =>
-      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
-    val dotE = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
-    val cosSql = (d: String, na: String, nb: String) =>
-      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
-        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val sumSq = sumSqSql _
+    val dotE = dotSql _
+    val cosSql = cosCaseSql _
     q.crossJoin(broadcast(cent))
       .withColumn("cos",
         expr(cosSql(dotE("qv", "cv"), sumSq("qv"), sumSq("cv"))))
@@ -1024,13 +1030,9 @@ object Similarity {
       .withColumn("cell",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select(col("cell"), col("qv").as("cv"))
-    val sumSq = (c: String) =>
-      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
-    val dotE = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
-    val cosSql = (d: String, na: String, nb: String) =>
-      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 " +
-        s"ELSE $d / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+    val sumSq = sumSqSql _
+    val dotE = dotSql _
+    val cosSql = cosCaseSql _
     val scored = q.filter(col("id") >= splitId)
       .crossJoin(broadcast(cent))
       .withColumn("cos",
@@ -1623,23 +1625,6 @@ object Similarity {
        |SELECT j AS pos, v FROM pv$iters ORDER BY pos""".stripMargin
   }
 
-  /** Hard-NEGATIVE mining for contrastive training — for each query
-    * vector (`id <= queryMaxId`), the `k` most-cosine-similar corpus
-    * vectors with a DIFFERENT label: maximally confusable negatives, the
-    * published recipe for dense-retriever / embedding-model training
-    * batches (ANCE/DPR-style). The label-exclusion filter runs BEFORE
-    * the per-dimension aggregation, so same-label pairs never reach the
-    * dot-product stage.
-    *
-    * Portability is the n12/n13 checklist: components quantize once to
-    * `round(1e6·x)` BIGINT, dots and norms are associative integer sums,
-    * the final cosine is the one IEEE shape
-    * `dot / (sqrt(n2a) * sqrt(n2b))`, and the arg-top-k is
-    * `row_number(ORDER BY cos DESC, id)` — every row hash-exact in
-    * DuckDB. Audit form (brute force over a bounded query set, like
-    * n01); the scale path composes the same exclusion filter with the
-    * IVF/LSH candidate generators.
-    */
   /** PORTABLE Matryoshka-style two-stage ANN (Kusupati et al. 2022:
     * MRL embeddings nest — the first `prefixDims` components are
     * themselves a usable embedding): stage 1 scores every pair on the
@@ -1680,10 +1665,8 @@ object Similarity {
           .orderBy(col("cosp").desc, col("id"))))
       .filter(col("prefix_rank") <= candidates)
       .select(col("qid"), col("id"), col("prefix_rank"))
-    val sumSq = (c: String) =>
-      s"aggregate(transform($c, x -> x * x), 0L, (s, x) -> s + x)"
-    val dotE = (a: String, b: String) =>
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val sumSq = sumSqSql _
+    val dotE = dotSql _
     cand
       .join(broadcast(v.filter(col("id") < queryMaxId)
         .select(col("id").as("qid"), col("fv").as("fa"))), Seq("qid"))
@@ -1748,6 +1731,23 @@ object Similarity {
        |  cos
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-NEGATIVE mining for contrastive training — for each query
+    * vector (`id <= queryMaxId`), the `k` most-cosine-similar corpus
+    * vectors with a DIFFERENT label: maximally confusable negatives, the
+    * published recipe for dense-retriever / embedding-model training
+    * batches (ANCE/DPR-style). The label-exclusion filter runs BEFORE
+    * the per-dimension aggregation, so same-label pairs never reach the
+    * dot-product stage.
+    *
+    * Portability is the n12/n13 checklist: components quantize once to
+    * `round(1e6·x)` BIGINT, dots and norms are associative integer sums,
+    * the final cosine is the one IEEE shape
+    * `dot / (sqrt(n2a) * sqrt(n2b))`, and the arg-top-k is
+    * `row_number(ORDER BY cos DESC, id)` — every row hash-exact in
+    * DuckDB. Audit form (brute force over a bounded query set, like
+    * n01); the scale path composes the same exclusion filter with the
+    * IVF/LSH candidate generators.
+    */
   def hardNegativesPortable(emb: DataFrame, idCol: String, vecCol: String,
                             labelCol: String, queryMaxId: Long,
                             k: Int): DataFrame = {

@@ -343,4 +343,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getLong(1) == h1(7).get)
     assert(out(1).isNullAt(1))
   }
+
+  test("dHash: palette-indexed PNG hashes its COLORS, not its palette indices") {
+    // Same picture, two encodings: TYPE_BYTE_GRAY stores luminance
+    // samples; TYPE_BYTE_INDEXED with a REVERSED gray palette stores
+    // index (255 - v) rendering as color v. A raw single-band sample
+    // read would hash the inverted gradient; the ColorModel-aware path
+    // must yield the identical dHash for both.
+    val w = 36; val h = 32
+    def lum(x: Int, y: Int): Int = (7 * 31 + y * w + x) % 256
+    val gray = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val cmap = Array.tabulate(256) { i =>
+      val v = 255 - i; (0xff << 24) | (v << 16) | (v << 8) | v
+    }
+    val icm = new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val idx = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) {
+      gray.getRaster.setSample(x, y, 0, lum(x, y))
+      idx.getRaster.setSample(x, y, 0, 255 - lum(x, y))
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b); b.toByteArray
+    }
+    val hg = Multimodal.dhashImage(png(gray))
+    val hi = Multimodal.dhashImage(png(idx))
+    assert(hg.isDefined && hg == hi,
+      s"palette indices leaked into the hash: $hg vs $hi")
+  }
 }

@@ -39,6 +39,15 @@ class UrlsSpec extends SparkSpec {
     assert(canon(once) == once)     // canonical form is a fixed point
   }
 
+  test("userinfo stays case-sensitive; the host after it still lowercases") {
+    // RFC 3986 lowercases only scheme and host — tokens/usernames in
+    // userinfo identify distinct resources and must survive verbatim
+    assert(canon("http://TokenABC@Example.COM/x") ==
+      "http://TokenABC@example.com/x")
+    assert(canon("HTTP://User:Pw@HOST.com:80/p?b=1&a=2") ==
+      "http://User:Pw@host.com/p?a=2&b=1")
+  }
+
   test("scheme-less and null inputs never throw") {
     assert(canon("example.com/path?b=2&a=1") ==
       "://example.com/path?a=1&b=2")
