@@ -21,6 +21,7 @@ object AnsiSweep {
           println(s"[ansi-fail] $name: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")}")
       }
+      CacheScope.harness.release()
       spark.catalog.clearCache()
     }
     println(s"[ansi-sweep] failures: $bad of ${SparkEntry.queries.size}")

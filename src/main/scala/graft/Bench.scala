@@ -46,6 +46,7 @@ object Bench {
     (1 to reps).foreach { _ =>
       var sweepTotal = 0.0
       selected.foreach { case (name, fn) =>
+        CacheScope.harness.release()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {

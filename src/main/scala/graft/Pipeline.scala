@@ -57,17 +57,20 @@ object Pipeline {
     * Spark actions, and can never fail the run.
     *
     * Cache discipline: helpers like `CombineData.combine` persist
-    * plan-lifetime blocks under a CALLER-owned release convention. This
-    * entry point IS that caller — every stage's sink has consumed its
-    * plan by the time stats return, so `run` releases exactly the cached
-    * RDDs the run created (never pre-existing user caches, which a blunt
-    * `clearCache()` would also drop). A full run leaves the session's
-    * cache state untouched — spec-pinned in `SinksSpec`.
+    * plan-lifetime blocks under the tracked [[CacheScope]] contract. This
+    * entry point owns a PRIVATE scope per run — every stage's sink has
+    * consumed its plan by the time stats return, so `run` releases
+    * exactly the caches this run's stages registered: never pre-existing
+    * user caches, and never caches created CONCURRENTLY by other jobs
+    * sharing the SparkSession (which both a blunt `clearCache()` and a
+    * before/after `getPersistentRDDs` diff would also drop). A full run
+    * leaves the session's cache state untouched — spec-pinned in
+    * `SinksSpec`.
     */
   def run(spark: SparkSession, cfg: Config): Stats = {
-    val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new CacheScope
     try {
-      val stats = runStages(spark, cfg)
+      val stats = runStages(spark, cfg, scope)
       cfg.webhookUrl.foreach(u =>
         Notify.send(Notify.successMessage(stats), u))
       stats
@@ -76,13 +79,12 @@ object Pipeline {
         cfg.webhookUrl.foreach(u => Notify.send(Notify.errorMessage(e), u))
         throw e
     } finally {
-      spark.sparkContext.getPersistentRDDs
-        .filter { case (id, _) => !preexisting.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      scope.release()
     }
   }
 
-  private def runStages(spark: SparkSession, cfg: Config): Stats = {
+  private def runStages(spark: SparkSession, cfg: Config,
+                        scope: CacheScope): Stats = {
     val today = lit(cfg.today).cast("date")
 
     // Stage 2 — process fixtures (extract stage 1 is the captured file).
@@ -123,7 +125,7 @@ object Pipeline {
       Seq("total_goals_for", "total_goals_against", "win_ratio")
     val combined = CombineData.combine(
       fixtures, metrics.select(metricCols.map(col): _*),
-      "team", "home_team", "away_team", "date", Nil)
+      "team", "home_team", "away_team", "date", Nil, scope = scope)
       .withColumn("match_quality",
         Normalize.matchQuality(col("home_win_ratio"), col("away_win_ratio")))
       .orderBy("date", "match_id")                          // O3

@@ -1229,13 +1229,15 @@ object RegistryLlm {
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
-    // ---- W12: LEFT OUTER attribution join — same interval join as w10
+    // ---- W28: LEFT OUTER attribution join — same interval join as w10
     //      but clicks with NO purchase within the hour survive with null
     //      purchase columns (the unconverted-click funnel). Streaming
     //      semantics (null row emits only after the watermark finalizes
     //      no-match) are pinned in StreamingSpec; this entry pins the
-    //      batch equivalence the stream must converge to -----------------
-    Q("w12_stream_outer_join",
+    //      batch equivalence the stream must converge to. (Renamed from
+    //      w12_stream_outer_join — the short id collided with
+    //      w12_cohort_retention in the SURVEY §2.11 cross-reference.) ----
+    Q("w28_stream_outer_join",
       (s, dir) => {
         val ev = events(s, dir)
         EventStream.attributionJoin(

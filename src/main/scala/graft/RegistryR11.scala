@@ -581,8 +581,13 @@ object RegistryR11 {
         val lines = expr("filter(split(text, '\\n'), x -> length(x) > 0)")
         val stops = Seq("the", "be", "to", "of", "and", "that",
           "have", "with")
+        // guard on a non-empty TOKEN array, not raw length: a
+        // whitespace-only doc has length > 0 but n_words = 0, and the
+        // ratio flags would then divide by zero — IEEE Inf/NaN in Spark
+        // but setting-dependent (NULL-able) in DuckDB, a latent
+        // cross-engine hash divergence. n_words > 0 mirrors identically.
         t(s, dir, "documents")
-          .filter(length(txt) > 0)
+          .filter(size(words) > 0)
           .select(col("doc_id"),
             size(words).as("n_words"),
             length(regexp_replace(txt, "\\s+", "")).as("n_chars"),
@@ -634,7 +639,9 @@ object RegistryR11 {
              |    strlen(text) - strlen(replace(text, '#', ''))
              |      + (strlen(text) - strlen(replace(text, '...', ''))) // 3
              |      AS n_sym
-             |  FROM documents WHERE strlen(text) > 0),
+             |  FROM documents
+             |  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+             |    x -> strlen(x) > 0)) > 0),
              |c AS (
              |  SELECT doc_id, n_chars, n_sym,
              |    len(ws) AS n_words,
@@ -684,8 +691,11 @@ object RegistryR11 {
       (s, dir) => {
         val words = expr(
           "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+        // n_words > 0 guard (not raw length): see l12 — a whitespace-only
+        // doc would otherwise feed w = 0 into chars_per_word's division
+        // with engine-dependent Inf/NULL semantics.
         t(s, dir, "documents")
-          .filter(length(col("text")) > 0)
+          .filter(size(words) > 0)
           .select(col("lang"), size(words).cast("long").as("w"),
             length(regexp_replace(col("text"), "\\s+", ""))
               .cast("long").as("c"))
@@ -705,7 +715,9 @@ object RegistryR11 {
              |      '\s+'), x -> strlen(x) > 0)) AS BIGINT) AS w,
              |    CAST(strlen(regexp_replace(text, '\s+', '', 'g'))
              |      AS BIGINT) AS c
-             |  FROM documents WHERE strlen(text) > 0)
+             |  FROM documents
+             |  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+             |    x -> strlen(x) > 0)) > 0)
              |SELECT lang, count(*) AS docs,
              |  CAST(sum(w) AS BIGINT) AS words,
              |  CAST(sum(c) AS BIGINT) AS chars,
@@ -777,7 +789,11 @@ object RegistryR11 {
         val toks = expr(
           "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        val gramRows = t(s, dir, "documents")
+        // feeds signatures, the exact inverted-index join (twice) and
+        // sizes — plan-lifetime cache TRACKED in CacheScope.harness
+        // (released by the harness after the query)
+        val gramRows = graft.CacheScope.harness.track(
+          t(s, dir, "documents")
           .filter(col("doc_id") < 1500)
           .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
           .select(col("doc_id"), col("tok"),
@@ -786,10 +802,7 @@ object RegistryR11 {
           .filter(col("t2").isNotNull)
           .select(col("doc_id"),
             concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
-          .distinct()
-          // feeds signatures, the exact inverted-index join (twice) and
-          // sizes — plan-lifetime cache, released by harness clearCache()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .distinct())
         val p = lit(2147483647L)
         val sig = gramRows
           .select(col("doc_id"),

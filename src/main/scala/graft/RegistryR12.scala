@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Registry.t
+
+/** Round-12 widening: ExactSubstr-FULL maximal duplicate-span removal
+  * (the published suffix-array dedup semantics — the last missing member
+  * of the dedup family), JPEG/EXIF metadata extract + strip (the segment
+  * walk where real-world PII metadata actually lives), and the composed
+  * BPE-token packing chain (real tokenizer counts feeding the greedy
+  * packer — the actual pretraining data-prep shape).
+  */
+object RegistryR12 {
+
+  def entries: Seq[Q] = Seq(
+
+    // ---- D31: ExactSubstr-FULL — maximal duplicate-span REMOVAL
+    //      (llm/Dedup.exactSubstrDedup; Lee et al. 2021 semantics in the
+    //      token-window form): every 8-token window at every alignment
+    //      is fingerprinted, the globally-first occurrence of each
+    //      duplicated window survives, all other occurrences merge into
+    //      MAXIMAL per-doc spans (interval union) that are cut before
+    //      the text is rebuilt in order — d26 reports the windows, d22
+    //      cuts disjoint segments; this composes both into the strongest
+    //      published form: a long passage duplicated at ANY alignment
+    //      disappears from every copy but the first IN ONE PIECE. The
+    //      entire rewrite (window scan, winner election, interval union,
+    //      rebuild) replays in DuckDB. ---------------------------------
+    Q("d31_exact_substr",
+      (s, dir) => graft.llm.Dedup.exactSubstrDedup(
+          t(s, dir, "documents"), "text", "doc_id", w = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+             |  SELECT doc_id AS id, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |segs AS (
+             |  SELECT w.id, t.i AS span_idx,
+             |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+             |  FROM words w,
+             |    LATERAL (SELECT unnest(range(greatest(
+             |      len(w.ws) - 7, 0))) AS i) t),
+             |occ AS (
+             |  SELECT id, span_idx,
+             |    row_number() OVER (PARTITION BY h
+             |      ORDER BY id, span_idx) AS rn,
+             |    count(*) OVER (PARTITION BY h) AS cnt
+             |  FROM segs),
+             |losers AS (
+             |  SELECT id, span_idx AS s, span_idx + 8 AS e
+             |  FROM occ WHERE cnt > 1 AND rn > 1),
+             |isl AS (
+             |  SELECT id, s, e,
+             |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+             |        ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM losers),
+             |grp AS (
+             |  SELECT id, s, e,
+             |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM isl),
+             |spans AS (
+             |  SELECT id, g, min(s) AS s, max(e) AS e FROM grp
+             |  GROUP BY id, g),
+             |cutstats AS (
+             |  SELECT id, count(*) AS n_spans, sum(e - s) AS cut_tokens
+             |  FROM spans GROUP BY id),
+             |tok AS (
+             |  SELECT w.id, t.i AS idx, t.tk
+             |  FROM words w,
+             |    LATERAL (SELECT unnest(w.ws) AS tk,
+             |             unnest(range(len(w.ws))) AS i) t),
+             |kept AS (
+             |  SELECT tok.id, tok.idx, tok.tk
+             |  FROM tok LEFT JOIN spans sp
+             |    ON sp.id = tok.id AND tok.idx >= sp.s AND tok.idx < sp.e
+             |  WHERE sp.id IS NULL),
+             |agg AS (
+             |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+             |  FROM kept GROUP BY id)
+             |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |  CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans_cut,
+             |  CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS n_tokens_removed
+             |FROM documents d
+             |LEFT JOIN agg a ON a.id = d.doc_id
+             |LEFT JOIN cutstats c ON c.id = d.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- M15: JPEG/EXIF metadata extract + strip THROUGH real marker
+    //      and TIFF-IFD arithmetic — m12's compliance pass for the
+    //      format where real-world PII metadata actually lives: an
+    //      APP1/Exif segment (little-endian TIFF, ASCII artist +
+    //      description tags from source columns, inline AND
+    //      offset-addressed value layouts both exercised) is planted
+    //      after SOI, read back via the FF-marker segment walk + IFD
+    //      parse (SOF geometry on the same hash path), and the
+    //      APPn/COM strip proven LOSSLESS by md5-comparing
+    //      strip(planted) against strip(original) while the planted
+    //      byte cost replays analytically (4-octet segment frame +
+    //      6-octet Exif header + 8-octet TIFF header + 2 + 12/entry +
+    //      4 + out-of-line values only when NUL-terminated length
+    //      exceeds the 4-byte inline field). --------------------------
+    Q("m15_jpeg_exif",
+      (s, dir) => {
+        val mm = graft.llm.Multimodal
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("lang"),
+            concat(lit("doc-"), col("doc_id")).as("artist_v"))
+        val imgs = mm.withSyntheticJpegs(docs, "doc_id")
+        val withCols = imgs.join(docs, imgs("id") === docs("doc_id"))
+          .select(col("id"), col("payload"), col("artist_v"), col("lang"))
+        val planted = mm.withPlantedExif(withCols, "id", "payload",
+          Seq("artist" -> "artist_v", "description" -> "lang"))
+        val meta = mm.jpegExif(planted, "id", "payload")
+        val sp = mm.stripJpegMeta(planted, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("strip_md5"))
+        val so = mm.stripJpegMeta(imgs, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("orig_md5"),
+            col("bytes_saved").as("orig_saved"))
+        meta.join(sp, "id").join(so, "id")
+          .select(col("id").as("doc_id"), col("tag"), col("value"),
+            col("width"), col("height"),
+            (col("bytes_saved") - col("orig_saved")).as("planted_bytes"),
+            (col("strip_md5") === col("orig_md5")).as("restored"),
+            col("corrupt"))
+          .orderBy("doc_id", "tag")
+      },
+      Some("""WITH mj_d AS (
+             |  SELECT doc_id, lang,
+             |    'doc-' || CAST(doc_id AS VARCHAR) AS artist_v
+             |  FROM documents WHERE doc_id < 200),
+             |mj_kv AS (
+             |  SELECT doc_id, lang, artist_v, 'artist' AS tag,
+             |    artist_v AS value FROM mj_d
+             |  UNION ALL
+             |  SELECT doc_id, lang, artist_v, 'description', lang
+             |  FROM mj_d)
+             |SELECT doc_id, tag, value,
+             |  8 AS width, 8 AS height,
+             |  CAST(48
+             |    + CASE WHEN strlen(artist_v) + 1 > 4
+             |        THEN strlen(artist_v) + 1 ELSE 0 END
+             |    + CASE WHEN strlen(lang) + 1 > 4
+             |        THEN strlen(lang) + 1 ELSE 0 END
+             |    AS BIGINT) AS planted_bytes,
+             |  true AS restored, false AS corrupt
+             |FROM mj_kv ORDER BY doc_id, tag""".stripMargin))
+  )
+}

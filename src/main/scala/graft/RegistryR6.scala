@@ -982,7 +982,11 @@ object RegistryR6 {
         val toks = expr(
           "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        val gramRows = t(s, dir, "documents")
+        // referenced by signature, intersection (twice) and sizes —
+        // plan-lifetime cache TRACKED in CacheScope.harness (released by
+        // the harness after the query; embedders release it themselves)
+        val gramRows = graft.CacheScope.harness.track(
+          t(s, dir, "documents")
           .filter(col("doc_id") < 2000)
           .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
           .select(col("doc_id"), col("tok"),
@@ -991,10 +995,7 @@ object RegistryR6 {
           .filter(col("t2").isNotNull)
           .select(col("doc_id"),
             concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
-          .distinct()
-          // referenced by signature, intersection (twice) and sizes —
-          // plan-lifetime cache, released by the harness clearCache()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .distinct())
         // ONE md5 per distinct (doc, gram); the 32 seed hashes are pure
         // 64-bit integer arithmetic from the universal family.
         val p = lit(2147483647L)

@@ -31,8 +31,11 @@ object Verify {
           .write.mode("overwrite").parquet(s"$outDir/$name")
         catch { case _: Throwable => () }
       }
-      // Release blocks persisted inside operators (CombineData/Dedup own
-      // plan-lifetime caches) so the query sweep doesn't accumulate cache.
+      // Release blocks persisted inside operators so the query sweep
+      // doesn't accumulate cache: tracked plan-lifetime caches go through
+      // CacheScope.harness; clearCache() stays as the backstop for the
+      // remaining operator-owned persists (Dedup.minhashNearDups et al).
+      CacheScope.harness.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

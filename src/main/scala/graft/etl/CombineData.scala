@@ -29,24 +29,27 @@ object CombineData {
     * @param metrics   per-team metrics; reduced to latest-per-team unless
     *                  `faithful` (needs `dateCol` + `tieBreak` for a total
     *                  order — deterministic under parallelism)
+    * @param scope     tracks the plan-lifetime cache for explicit release
+    *                  by the scope's owner (harness default; Pipeline.run
+    *                  passes a per-run scope)
     */
   def combine(fixtures: DataFrame, metrics: DataFrame,
               teamCol: String, homeKey: String, awayKey: String,
               dateCol: String, tieBreakCols: Seq[String],
-              faithful: Boolean = false): DataFrame = {
+              faithful: Boolean = false,
+              scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
     // The reduced per-team dim feeds BOTH join legs; the home/away alias
     // projections differ, so Spark cannot reuse the broadcast exchange and
     // would compute the (expensive) upstream metrics twice. Persisting the
     // tiny dim computes it once. (Plan-audited: see Explain j01_combined.)
     // Lifecycle: the cached blocks outlive this call (the returned plan
-    // references them lazily), so long-lived sessions running many
-    // pipelines must release between jobs — Verify/Bench call
-    // `spark.catalog.clearCache()` per query for exactly this reason.
+    // references them lazily), so they register in `scope` and the owner
+    // releases them once the joined result is consumed.
     val m =
       if (faithful) metrics
-      else TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,
-        tieBreakCols.map(col))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scope.track(TeamMetrics.latestPerTeam(metrics, teamCol, dateCol,
+        tieBreakCols.map(col)))
     // join keys get unique names so the post-join drop is by-name
     // (dropping by Column reference silently no-ops once the attribute
     // is wrapped in a broadcast subtree)

@@ -27,17 +27,19 @@ object Ids {
     * group depends on partitioning).
     */
   def denseIds(df: DataFrame, orderCols: Seq[Column],
-               idName: String = "row_id"): DataFrame = {
+               idName: String = "row_id",
+               scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     // Persisted: the counts pass and the final pass MUST see the same
     // physical partitioning — re-evaluating the range shuffle twice
     // would let AQE (or fresh boundary sampling) repartition differently
-    // between them, silently corrupting the offsets. Cache lifecycle is
-    // caller-owned, same convention as minhashNearDups.
-    val ranged = df.repartitionByRange(parts, orderCols: _*)
-      .withColumn("__part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // between them, silently corrupting the offsets. The block outlives
+    // this call (the returned plan reads it lazily), so it registers in
+    // `scope` for the OWNER to release once the result is consumed.
+    val ranged = scope.track(df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__part", spark_partition_id()))
     // Tiny driver-side step: numPartitions (partition, count) pairs.
     val counts = ranged.groupBy(col("__part")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -60,24 +62,24 @@ object Ids {
     * WITHIN-partition running sum. Deterministic wherever the sampled
     * range boundaries land, provided `orderCols` is a total order.
     *
-    * Cache lifecycle is CALLER-OWNED (the [[denseIds]] /
-    * `minhashNearDups` convention): the ranged input persists
-    * MEMORY_AND_DISK because the offsets pass and the final pass must
-    * see one physical partitioning, and it cannot unpersist here — the
-    * returned frame still reads it lazily. A long-lived session calling
-    * this repeatedly clears via `spark.catalog.clearCache()` (or
-    * `unpersist` on the input's lineage) once the result is consumed.
+    * Cache lifecycle: the ranged input persists MEMORY_AND_DISK because
+    * the offsets pass and the final pass must see one physical
+    * partitioning, and it cannot unpersist here — the returned frame
+    * still reads it lazily. The block registers in `scope`
+    * ([[graft.CacheScope]]); the scope's owner releases it once the
+    * result is consumed (the harness does so after every query).
     */
   def runningTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
-                   totalName: String = "running_total"): DataFrame = {
+                   totalName: String = "running_total",
+                   scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     // persisted for the same reason as denseIds: the offsets pass and
     // the final pass must see one physical partitioning
-    val ranged = df.withColumn("__v", value.cast("long"))
+    val ranged = scope.track(df.withColumn("__v", value.cast("long"))
       .repartitionByRange(parts, orderCols: _*)
-      .withColumn("__part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("__part", spark_partition_id()))
     val sums = ranged.groupBy(col("__part"))
       .agg(sum(col("__v")).as("s"))
       .collect()

@@ -23,12 +23,16 @@ object Urls {
 
   /** Canonical form of `url` (`scheme://host/path?k=v&…`). Null in,
     * null out; a string with no `scheme://` prefix passes through the
-    * host/query steps with an empty scheme rather than throwing.
+    * host/query steps with an empty scheme rather than throwing, and the
+    * output then carries NO `://` prefix — so canonicalization is a
+    * fixed point for scheme-less inputs too (a leading bare `://`, the
+    * legacy canonical form of those, is consumed on re-parse rather than
+    * accreting `://://…` per application).
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val rest = regexp_replace(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)?://", "")
     val auth = regexp_extract(rest, "^([^/?]*)", 1)
     // RFC 3986 §6.2.2.1 lowercases only scheme and host — userinfo is
     // case-SENSITIVE (tokens, usernames); keep it verbatim up to the
@@ -46,7 +50,9 @@ object Urls {
     val params = array_join(
       array_sort(filter(split(query, "&"),
         p => !p.startsWith("utm_") && p =!= "")), "&")
-    concat(scheme, lit("://"), userinfo, host, path,
+    concat(
+      when(scheme =!= "", concat(scheme, lit("://"))).otherwise(lit("")),
+      userinfo, host, path,
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
 }

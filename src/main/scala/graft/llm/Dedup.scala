@@ -752,6 +752,88 @@ object Dedup {
         col("n_occurrences"))
   }
 
+  /** ExactSubstr-FULL: maximal duplicate-span REMOVAL — the published
+    * suffix-array dedup semantics (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better") in the token-window
+    * form: every `w`-token window at EVERY alignment is fingerprinted
+    * ([[dupSpans]]' stride-1 scan); for each fingerprint occurring more
+    * than once the GLOBALLY-FIRST occurrence (min (id, span_idx))
+    * survives and all others mark their token interval `[i, i+w)` for
+    * removal; per document the marked intervals merge into MAXIMAL spans
+    * (interval union — sort + running-max island pass); the spans are
+    * cut and the text rebuilt in token order. So a long passage
+    * duplicated at ANY alignment disappears from every copy but the
+    * first IN ONE PIECE — what [[segmentDedup]]'s disjoint segments and
+    * [[dupSpans]]' report both stop short of.
+    *
+    * Scale shape: window TEXT never shuffles — the scan projects to
+    * (id, span_idx, md5); winner election is one map-side-combinable
+    * `min(struct(id, span_idx))` per digest; the loser join carries
+    * digests + two longs; the island pass windows per `id` (partitioned,
+    * never global); the rebuild joins the per-doc span list (bounded by
+    * tokens/w) back and filters tokens with one array pass — docs
+    * without cuts take the no-op fast path. Cost is dominated by the
+    * stride-1 md5 scan, the price ExactSubstr pays in any engine.
+    *
+    * Output: (id, clean_text, n_spans_cut, n_tokens_removed).
+    */
+  def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
+                       w: Int = 8): DataFrame = {
+    require(w >= 1, s"exactSubstrDedup: w must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("words"))
+    // FULL w-token windows only, stride 1 (see dupSpans for why tails
+    // are excluded): (id, span_idx, digest) — never the window text.
+    val segs = words
+      .select(col("id"), posexplode(expr(
+        s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
+          s"i -> i + $w <= size(words)), " +
+          s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
+        .as(Seq("span_idx", "h")))
+    // Winner per duplicated digest: the globally-first (id, span_idx) —
+    // one aggregate, partial-combined map-side.
+    val winners = segs.groupBy("h")
+      .agg(min(struct(col("id"), col("span_idx"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    // Every other occurrence marks its token interval for removal.
+    val losers = segs.join(winners, "h")
+      .filter(!(col("id") === col("first.id") &&
+        col("span_idx") === col("first.span_idx")))
+      .select(col("id"), col("span_idx").cast("long").as("s"),
+        (col("span_idx") + w).cast("long").as("e"))
+    // Interval union per doc: sort, running max of prior ends, new
+    // island where a gap opens, then min/max per island = maximal span.
+    val ord = Window.partitionBy("id").orderBy("s", "e")
+    val spans = losers
+      .withColumn("prev_max",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "g")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val cuts = spans.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s")).as("n_tokens_removed"))
+    // Rebuild: drop tokens whose index falls in any cut span. Docs with
+    // no cuts (the vast majority) take the join-miss fast path.
+    words.join(cuts, Seq("id"), "left")
+      .select(col("id"),
+        when(col("cuts").isNull, array_join(col("words"), " "))
+          .otherwise(expr(
+            """array_join(transform(filter(
+              |  transform(words, (t, i) -> named_struct('t', t, 'i', CAST(i AS BIGINT))),
+              |  p -> NOT exists(cuts, c -> p.i >= c.s AND p.i < c.e)),
+              |  p -> p.t), ' ')""".stripMargin)).as("clean_text"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+  }
+
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segWords: Int = 10): DataFrame = {
     val segs = df

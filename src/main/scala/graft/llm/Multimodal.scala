@@ -1033,6 +1033,309 @@ object Multimodal {
       }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // JPEG segment surgery: EXIF metadata extraction + APPn/COM strip —
+  // the m12 compliance pass for the format where real-world PII
+  // metadata overwhelmingly lives (GPS coordinates, camera serials,
+  // author strings ride in the APP1/Exif TIFF IFD). Pure marker
+  // arithmetic on the public JPEG layout (FF-marker length-prefixed TLV
+  // segments up to SOS, entropy-coded tail after) and the public
+  // TIFF 6.0 IFD layout (byte-order II/MM, magic 42, 12-byte entries,
+  // ASCII values inline when count <= 4 else offset-addressed).
+  // Corrupt-is-data throughout: damage keeps the row with
+  // `corrupt = true`, never an executor exception.
+  // ------------------------------------------------------------------
+
+  /** EXIF ASCII tags this pass extracts/plants (TIFF 6.0 baseline ids).
+    * Fixed allow-list by design — the compliance pass targets the
+    * provenance/PII strings, not arbitrary vendor IFDs.
+    */
+  val ExifAsciiTags: Map[Int, String] = Map(
+    0x010e -> "description", 0x0110 -> "model", 0x0131 -> "software",
+    0x013b -> "artist", 0x8298 -> "copyright")
+  private val ExifTagIds: Map[String, Int] = ExifAsciiTags.map(_.swap)
+
+  /** Deterministic 8-bit grayscale gradient JPEG (same pixel recipe as
+    * [[syntheticGrayPng]], JPEG-encoded by the JDK's ImageIO). JPEG is
+    * lossy, but the strip-losslessness proof only ever compares
+    * strip(planted) against strip(original) of the SAME encode, so the
+    * encoder's bit choices cancel out of every gate.
+    */
+  def syntheticGrayJpeg(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + y * w + x) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a real JPEG payload per row (batched per-partition encode,
+    * the [[withSyntheticImages]] shape).
+    */
+  def withSyntheticJpegs(df: DataFrame, idCol: String,
+                         w: Int = 8, h: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), syntheticGrayJpeg(r.getLong(0), w, h)))
+    }(encoder)
+  }
+
+  /** Walk a JPEG's marker segments to SOS: (marker, offset, totalLen)
+    * triples, `marker = -1` for the entropy-coded tail (SOS data + EOI,
+    * copied verbatim — RST/stuffed-FF bytes inside are never parsed).
+    * Returns (segments decoded before any damage, corrupt).
+    */
+  private[llm] def jpegSegments(b: Array[Byte])
+      : (Seq[(Int, Int, Int)], Boolean) = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    try {
+      require(b.length >= 2 && (b(0) & 0xff) == 0xff &&
+        (b(1) & 0xff) == 0xd8, "not a JPEG")
+      out += ((0xd8, 0, 2))
+      var i = 2
+      var done = false
+      while (!done) {
+        require(i + 2 <= b.length && (b(i) & 0xff) == 0xff,
+          "bad marker prefix")
+        val m = b(i + 1) & 0xff
+        if (m == 0xd9) { out += ((m, i, 2)); done = true }        // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {         // TEM/RSTn
+          out += ((m, i, 2)); i += 2
+        } else {
+          require(i + 4 <= b.length, "truncated segment length")
+          val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+          require(len >= 2 && i + 2 + len <= b.length,
+            "truncated segment data")
+          out += ((m, i, 2 + len))
+          if (m == 0xda) {                                        // SOS
+            out += ((-1, i + 2 + len, b.length - (i + 2 + len)))
+            done = true
+          } else i += 2 + len
+        }
+      }
+      (out.toSeq, false)
+    } catch {
+      case scala.util.control.NonFatal(_) => (out.toSeq, true)
+    }
+  }
+
+  /** Build an APP1/Exif segment (little-endian TIFF, IFD0 only) holding
+    * the given (tagName, value) ASCII entries — entries sorted by tag id
+    * ascending as TIFF requires, values NUL-terminated, stored inline
+    * when the terminated length fits the 4-byte value field and in the
+    * value area past the IFD otherwise (both real EXIF layouts; the m15
+    * oracle's byte arithmetic distinguishes them).
+    */
+  private[llm] def buildExifApp1(tags: Seq[(String, String)]): Array[Byte] = {
+    val entries = tags.map { case (name, v) =>
+      (ExifTagIds.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown EXIF tag: $name")),
+        v.getBytes("ISO-8859-1") :+ 0.toByte)
+    }.sortBy(_._1)
+    val n = entries.size
+    val buf = new java.io.ByteArrayOutputStream(64)
+    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    buf.write("Exif".getBytes("US-ASCII")); buf.write(0); buf.write(0)
+    buf.write('I'); buf.write('I'); w16(42); w32(8)    // TIFF header, IFD0 @8
+    w16(n)
+    var valueOff = 8 + 2 + 12 * n + 4                  // value area start
+    entries.foreach { case (tag, bytes) =>
+      w16(tag); w16(2)                                 // type 2 = ASCII
+      w32(bytes.length)                                // count incl. NUL
+      if (bytes.length <= 4) {
+        bytes.foreach(b => buf.write(b & 0xff))
+        (bytes.length until 4).foreach(_ => buf.write(0))
+      } else { w32(valueOff); valueOff += bytes.length }
+    }
+    w32(0)                                             // no IFD1
+    entries.foreach { case (_, bytes) =>
+      if (bytes.length > 4) buf.write(bytes)
+    }
+    val payload = buf.toByteArray
+    val len = payload.length + 2
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Insert an APP1/Exif segment (built from `kvCols` row values)
+    * immediately after SOI — the [[withPlantedText]] twin for JPEG.
+    */
+  def withPlantedExif(df: DataFrame, idCol: String, payloadCol: String,
+                      kvCols: Seq[(String, String)]): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val cols = col(idCol).cast("long") +: col(payloadCol) +:
+      kvCols.map(kv => col(kv._2).cast("string"))
+    df.select(cols: _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val jpeg = r.getAs[Array[Byte]](1)
+          val seg = buildExifApp1(kvCols.zipWithIndex.map {
+            case ((k, _), i) => k -> r.getString(2 + i)
+          })
+          Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+        }
+      }(enc)
+  }
+
+  /** Parse the [[ExifAsciiTags]] entries out of one APP1/Exif payload
+    * (both byte orders; inline and offset-addressed ASCII values).
+    * Throws on structural damage — the caller latches `corrupt`.
+    */
+  private def parseExifAscii(b: Array[Byte], segOff: Int,
+                             segLen: Int): Seq[(String, String)] = {
+    val base = segOff + 4 + 6                          // past marker+len+Exif\0\0
+    val end = segOff + segLen
+    require(end <= b.length && base + 8 <= end, "truncated Exif body")
+    val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException("bad TIFF byte order")
+    }
+    def r16(i: Int): Int = {
+      require(i + 2 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    def r32(i: Int): Int = {
+      require(i + 4 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      else ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    }
+    require(r16(base + 2) == 42, "bad TIFF magic")
+    val ifd = base + r32(base + 4)
+    val n = r16(ifd)
+    (0 until n).flatMap { k =>
+      val e = ifd + 2 + 12 * k
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      val count = r32(e + 4)
+      ExifAsciiTags.get(tag) match {
+        case Some(name) if typ == 2 && count > 0 =>
+          val off = if (count <= 4) e + 8 else base + r32(e + 8)
+          require(off >= base && off + count <= end, "ASCII value OOB")
+          val raw = new String(b, off, count, "ISO-8859-1")
+          val z = raw.indexOf(0.toChar)
+          Some(name -> (if (z < 0) raw else raw.substring(0, z)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Per-image EXIF metadata frame — the [[pngMeta]] twin for JPEG: one
+    * row per extracted ASCII tag (images without any keep ONE row with
+    * NULL tag/value), SOF geometry on every row, `bytes_saved` = octets
+    * an APPn/COM strip would shed, `corrupt` latched from the marker
+    * walk AND from any damaged Exif body. Output: (id, width, height,
+    * tag, value, bytes_saved, corrupt).
+    */
+  def jpegExif(df: DataFrame, idCol: String,
+               payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("tag", StringType),
+      StructField("value", StringType),
+      StructField("bytes_saved", LongType),
+      StructField("corrupt", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val jpeg = r.getAs[Array[Byte]](1)
+          val (segs, walkCorrupt) = jpegSegments(
+            if (jpeg == null) Array.emptyByteArray else jpeg)
+          // SOF0..SOF15 carry geometry; C4/C8/CC are DHT/JPG/DAC
+          val sof = segs.find(s => s._1 >= 0xc0 && s._1 <= 0xcf &&
+            s._1 != 0xc4 && s._1 != 0xc8 && s._1 != 0xcc && s._3 >= 9)
+          val (w, h) = sof match {
+            case Some((_, off, _)) =>
+              ((((jpeg(off + 7) & 0xff) << 8) | (jpeg(off + 8) & 0xff))
+                .asInstanceOf[Integer],
+                ((((jpeg(off + 5) & 0xff) << 8) | (jpeg(off + 6) & 0xff))
+                  .asInstanceOf[Integer]))
+            case None => (null: Integer, null: Integer)
+          }
+          val saved = segs
+            .filter(s => (s._1 >= 0xe1 && s._1 <= 0xef) || s._1 == 0xfe)
+            .map(_._3.toLong).sum.asInstanceOf[java.lang.Long]
+          var corrupt = walkCorrupt
+          val tags = segs
+            .filter { case (m, off, len) =>
+              m == 0xe1 && len >= 10 &&
+                new String(jpeg, off + 4, 4, "US-ASCII") == "Exif"
+            }
+            .flatMap { case (_, off, len) =>
+              try parseExifAscii(jpeg, off, len)
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  corrupt = true; Nil
+              }
+            }
+          if (tags.isEmpty)
+            Iterator.single(Row(id, w, h, null, null, saved, corrupt))
+          else tags.iterator.map { case (k, v) =>
+            Row(id, w, h, k, v, saved, corrupt)
+          }
+        }
+      }(enc)
+  }
+
+  /** Strip APP1..APP15 + COM segments (JFIF APP0 and everything the
+    * decoder needs survive; pixels untouched — the entropy-coded tail is
+    * copied verbatim). Corrupt input comes back unchanged (the audit
+    * flag belongs to [[jpegExif]]; a strip must never invent bytes).
+    * Output: (id, payload, bytes_saved).
+    */
+  def stripJpegMeta(df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("bytes_saved", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val jpeg = r.getAs[Array[Byte]](1)
+          val bytes = if (jpeg == null) Array.emptyByteArray else jpeg
+          val (segs, corrupt) = jpegSegments(bytes)
+          val out =
+            if (corrupt) bytes
+            else {
+              val buf = new java.io.ByteArrayOutputStream(bytes.length)
+              segs.foreach { case (m, off, len) =>
+                if (!((m >= 0xe1 && m <= 0xef) || m == 0xfe))
+                  buf.write(bytes, off, len)
+              }
+              buf.toByteArray
+            }
+          Row(r.getLong(0), out, (bytes.length - out.length).toLong)
+        }
+      }(enc)
+  }
+
   /** Plant `tEXt` chunks from row columns onto an existing PNG payload:
     * `kvCols` maps each keyword to the (string) column holding its
     * value. Batched per partition like the other encode passes.

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Dedup
+
+/** ExactSubstr-FULL maximal duplicate-span removal
+  * (llm/Dedup.exactSubstrDedup): the Lee-et-al-2021 semantics the d31
+  * registry oracle replays, pinned on constructed corpora — misaligned
+  * long passage removed in one piece, partial-overlap merge,
+  * first-occurrence survival, partition invariance.
+  */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, p: String) = (1 to n).map(i => s"$p$i")
+
+  test("misaligned long passage is removed from the copy IN ONE PIECE") {
+    // the 20-token passage sits at offset 5 in doc 0 and offset 11 in
+    // doc 1 — no alignment congruence, every stride-1 window still hits
+    val passage = words(20, "dup")
+    val doc0 = (words(5, "a") ++ passage ++ words(5, "b")).mkString(" ")
+    val doc1 = (words(11, "c") ++ passage ++ words(4, "d")).mkString(" ")
+    val out = Dedup.exactSubstrDedup(
+      Seq((0L, doc0), (1L, doc1)).toDF("doc_id", "text"),
+      "text", "doc_id", w = 8).orderBy("id").collect()
+    // first occurrence (doc 0) survives byte-identical
+    assert(out(0).getString(1) == doc0)
+    assert(out(0).getLong(2) == 0L)
+    // the copy loses the WHOLE passage as one maximal span
+    assert(out(1).getString(1) ==
+      (words(11, "c") ++ words(4, "d")).mkString(" "))
+    assert(out(1).getLong(2) == 1L)       // one merged span, not 13
+    assert(out(1).getLong(3) == 20L)      // all 20 passage tokens cut
+  }
+
+  test("partially-overlapping duplicated regions merge into one span") {
+    // doc 2 duplicates doc 0's tokens 0..11 AND doc 1's tokens 4..15 of
+    // a 16-token run — the loser windows overlap mid-run and must union
+    val run = words(16, "z")
+    val doc0 = run.take(12).mkString(" ")          // source of windows 0..4
+    val doc1 = run.drop(4).mkString(" ")           // source of windows 4..8
+    val doc2 = run.mkString(" ")                   // contains BOTH, overlapping
+    val out = Dedup.exactSubstrDedup(
+      Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text"),
+      "text", "doc_id", w = 8).orderBy("id").collect()
+    val d2 = out(2)
+    assert(d2.getLong(2) == 1L, "overlapping spans must merge")
+    assert(d2.getLong(3) == 16L)
+    assert(d2.getString(1) == "")
+  }
+
+  test("within-doc repeat: first occurrence survives, later copy cut") {
+    val passage = words(10, "r")
+    val doc = (passage ++ words(6, "mid") ++ passage).mkString(" ")
+    val out = Dedup.exactSubstrDedup(
+      Seq((7L, doc)).toDF("doc_id", "text"),
+      "text", "doc_id", w = 8).collect()(0)
+    assert(out.getString(1) ==
+      (passage ++ words(6, "mid")).mkString(" "))
+    assert(out.getLong(2) == 1L && out.getLong(3) == 10L)
+  }
+
+  test("docs shorter than w and unique docs pass through untouched") {
+    val out = Dedup.exactSubstrDedup(
+      Seq((0L, "tiny doc"), (1L, words(12, "u").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", w = 8).orderBy("id").collect()
+    assert(out(0).getString(1) == "tiny doc")
+    assert(out(1).getString(1) == words(12, "u").mkString(" "))
+    assert(out.forall(_.getLong(3) == 0L))
+  }
+
+  test("partition invariance: result identical under any partitioning") {
+    val passage = words(25, "p")
+    val docs = (0L to 19L).map { i =>
+      val filler = words(5, s"f$i")
+      (i, (filler ++ (if (i % 3 == 0) passage else words(25, s"q$i")) ++
+        filler).mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Dedup.exactSubstrDedup(docs, "text", "doc_id", w = 8)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.exactSubstrDedup(docs.repartition(13), "text", "doc_id",
+      w = 8).orderBy("id").collect().toSeq
+    assert(a == b)
+    // the id-0 copy of the shared passage survives; later ones are cut
+    val byId = a.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(0L) == 0L)
+    assert((3L to 19L by 3L).forall(byId(_) == 25L))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+
+/** JPEG/EXIF segment surgery (llm/Multimodal jpegExif / stripJpegMeta /
+  * withPlantedExif): plant→extract→strip byte-exact, inline vs
+  * offset-addressed ASCII layouts, big-endian TIFF, truncated-segment
+  * audit, COM strip, pixels untouched.
+  */
+class JpegExifSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Array[Byte])*) =
+    rows.toDF("id", "payload")
+
+  private val base = Multimodal.syntheticGrayJpeg(7L)
+
+  test("plant → extract → strip is byte-exact and lossless") {
+    val planted = Multimodal.withPlantedExif(
+      df((7L, base)).withColumn("a", lit("the author"))
+        .withColumn("d", lit("en")),
+      "id", "payload", Seq("artist" -> "a", "description" -> "d"))
+    val tags = Multimodal.jpegExif(planted, "id", "payload")
+      .orderBy("tag").collect()
+    assert(tags.map(r => (r.getString(3), r.getString(4))).toSeq ==
+      Seq("artist" -> "the author", "description" -> "en"))
+    assert(tags.forall(!_.getBoolean(6)))            // corrupt = false
+    assert(tags.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8)) // SOF
+    // strip(planted) == strip(original) BYTE-exact, and the planted
+    // bytes_saved delta is the full APP1 cost: 48 + |"the author"|+1
+    // (out-of-line) + 0 ("en"+NUL = 3 <= 4, inline)
+    val sp = Multimodal.stripJpegMeta(planted, "id", "payload").collect()(0)
+    val so = Multimodal.stripJpegMeta(df((7L, base)), "id", "payload")
+      .collect()(0)
+    assert(java.util.Arrays.equals(
+      sp.getAs[Array[Byte]](1), so.getAs[Array[Byte]](1)))
+    assert(sp.getLong(2) - so.getLong(2) == 48L + 11L)
+    // pixels untouched: the stripped payload still decodes to 8x8
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sp.getAs[Array[Byte]](1)))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+  }
+
+  test("inline (<=4 incl. NUL) and offset-addressed ASCII both round-trip") {
+    val planted = Multimodal.withPlantedExif(
+      df((1L, base)).withColumn("a", lit("abc"))      // 4 bytes -> inline
+        .withColumn("d", lit("abcdef")),              // 7 bytes -> offset
+      "id", "payload", Seq("artist" -> "a", "description" -> "d"))
+    val tags = Multimodal.jpegExif(planted, "id", "payload")
+      .orderBy("tag").collect()
+    assert(tags.map(r => (r.getString(3), r.getString(4))).toSeq ==
+      Seq("artist" -> "abc", "description" -> "abcdef"))
+  }
+
+  test("big-endian (MM) TIFF parses identically") {
+    // hand-built MM APP1: one artist tag, value offset-addressed
+    val v = "Moto".getBytes("ISO-8859-1") :+ 0.toByte // 5 bytes
+    val buf = new java.io.ByteArrayOutputStream()
+    def w16(x: Int): Unit = { buf.write((x >> 8) & 0xff); buf.write(x & 0xff) }
+    def w32(x: Int): Unit = { w16((x >> 16) & 0xffff); w16(x & 0xffff) }
+    buf.write("Exif".getBytes); buf.write(0); buf.write(0)
+    buf.write('M'); buf.write('M'); w16(42); w32(8)
+    w16(1)                                            // one entry
+    w16(0x013b); w16(2); w32(v.length); w32(8 + 2 + 12 + 4)
+    w32(0)                                            // next IFD
+    buf.write(v)
+    val payload = buf.toByteArray
+    val len = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    val jpeg = base.take(2) ++ seg ++ base.drop(2)
+    val tags = Multimodal.jpegExif(df((2L, jpeg)), "id", "payload").collect()
+    assert(tags.map(r => (r.getString(3), r.getString(4))).toSeq ==
+      Seq("artist" -> "Moto"))
+    assert(!tags(0).getBoolean(6))
+  }
+
+  test("truncated segment and non-JPEG bytes audit as corrupt, no throw") {
+    val planted = Multimodal.withPlantedExif(
+      df((3L, base)).withColumn("a", lit("someone")),
+      "id", "payload", Seq("artist" -> "a")).collect()(0)
+    val cut = planted.getAs[Array[Byte]](1).take(20)  // mid-APP1
+    val out = Multimodal.jpegExif(
+      df((3L, cut), (4L, "not a jpeg".getBytes)), "id", "payload")
+      .orderBy("id").collect()
+    assert(out.forall(_.getBoolean(6)))               // corrupt latched
+    assert(out.forall(_.isNullAt(3)))                 // no tags invented
+    // strip never invents bytes on corrupt input
+    val st = Multimodal.stripJpegMeta(df((3L, cut)), "id", "payload")
+      .collect()(0)
+    assert(java.util.Arrays.equals(st.getAs[Array[Byte]](1), cut))
+    assert(st.getLong(2) == 0L)
+  }
+
+  test("COM segments are counted and stripped; APP0 survives") {
+    val comment = "scanner v1.2".getBytes("ISO-8859-1")
+    val len = comment.length + 2
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ comment
+    val jpeg = base.take(2) ++ com ++ base.drop(2)
+    val meta = Multimodal.jpegExif(df((5L, jpeg)), "id", "payload")
+      .collect()(0)
+    assert(meta.getLong(5) >= com.length.toLong)      // bytes_saved
+    val st = Multimodal.stripJpegMeta(df((5L, jpeg)), "id", "payload")
+      .collect()(0)
+    assert(java.util.Arrays.equals(st.getAs[Array[Byte]](1),
+      Multimodal.stripJpegMeta(df((5L, base)), "id", "payload")
+        .collect()(0).getAs[Array[Byte]](1)))
+    // APP0/JFIF still present in the stripped bytes
+    val stripped = st.getAs[Array[Byte]](1)
+    assert((stripped(2) & 0xff) == 0xff && (stripped(3) & 0xff) == 0xe0)
+  }
+}

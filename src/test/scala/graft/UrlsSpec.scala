@@ -48,9 +48,12 @@ class UrlsSpec extends SparkSpec {
       "http://User:Pw@host.com/p?a=2&b=1")
   }
 
-  test("scheme-less and null inputs never throw") {
-    assert(canon("example.com/path?b=2&a=1") ==
-      "://example.com/path?a=1&b=2")
+  test("scheme-less inputs canonicalize to a FIXED POINT, never throw") {
+    val once = canon("Example.com/path?b=2&a=1")
+    assert(once == "example.com/path?a=1&b=2")
+    assert(canon(once) == once)      // no '://' accretion on re-apply
+    // the legacy '://'-prefixed canonical form re-converges too
+    assert(canon("://example.com/x") == "example.com/x")
     val n = Seq(Option.empty[String]).toDF("u")
       .select(Urls.canonicalizeUrl(col("u")).as("c")).collect()(0)
     assert(n.isNullAt(0))
