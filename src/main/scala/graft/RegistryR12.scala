@@ -147,6 +147,62 @@ object RegistryR12 {
              |        THEN strlen(lang) + 1 ELSE 0 END
              |    AS BIGINT) AS planted_bytes,
              |  true AS restored, false AS corrupt
-             |FROM mj_kv ORDER BY doc_id, tag""".stripMargin))
+             |FROM mj_kv ORDER BY doc_id, tag""".stripMargin)),
+
+    // ---- L17: pack by REAL tokenizer counts — the actual pretraining
+    //      data-prep chain, composed from proven members: the corpus is
+    //      BPE-encoded (t23's portable fit+encode — merges re-derived
+    //      independently on the oracle side) and the greedy per-block
+    //      packer fills 512-BPE-token bins from those counts (l06's
+    //      fold over packByCount). l06/t09/l07 all count WHITESPACE
+    //      tokens; the bins a trainer fills are tokenizer-sized — this
+    //      entry closes that gap with the whole chain (training rounds,
+    //      per-word encode, counts, greedy walk) on one hash path. ----
+    Q("l17_pack_bpe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val merges = graft.llm.Bpe.fit(docs, "text", numMerges = 8,
+          maxVocabWords = 200)
+        val counts = graft.llm.Bpe
+          .encodePortable(docs, "doc_id", "text", merges)
+          .select(col("id").as("doc_id"),
+            col("n_bpe_tokens").cast("long").as("n_tokens"))
+        graft.llm.CorpusPipeline.packByCount(counts,
+            capacity = 512, blockSize = 16)
+          .select(col("doc_id"), col("block"),
+            col("bin").cast("long").as("bin"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ctes = graft.llm.Bpe.portableCtes("documents", "doc_id",
+          "text", maxDocId = 100L, numMerges = 8, maxVocabWords = 200)
+        s"""WITH RECURSIVE ${ctes.mkString(",\n")},
+           |bp_counts AS (
+           |  SELECT d.id AS doc_id,
+           |    CAST(coalesce(sum(len(e.toks)), 0) AS BIGINT) AS nt
+           |  FROM bp_d d
+           |  LEFT JOIN bp_w0 o ON o.id = d.id
+           |  LEFT JOIN bp_enc e ON e.w = o.w
+           |  GROUP BY 1),
+           |pk_n AS (
+           |  SELECT doc_id, doc_id // 16 AS block, nt,
+           |    row_number() OVER (PARTITION BY doc_id // 16
+           |      ORDER BY doc_id) AS rn
+           |  FROM bp_counts),
+           |pk_p AS (
+           |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+           |  FROM pk_n WHERE rn = 1
+           |  UNION ALL
+           |  SELECT n.doc_id, n.block, n.nt, n.rn,
+           |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+           |      THEN p.bin ELSE p.bin + 1 END,
+           |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+           |      THEN p.bt + n.nt ELSE n.nt END
+           |  FROM pk_p p JOIN pk_n n
+           |    ON n.block = p.block AND n.rn = p.rn + 1)
+           |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
+           |  nt AS n_tokens
+           |FROM pk_p ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent probe for the algorithmically-superlinear family —
+  * the measurement BENCH_NOTES.md's "sf1 scaling probe" records: each
+  * heavy OPERATOR runs on the same input shape at sf0.1 and at the
+  * 10x probe tables (`tools/gen_scale_probe.py`), and this main prints
+  * one JSON line per (probe, dir) with wall seconds AND total shuffle
+  * records — so the observed exponent separates "CPU got 10x work"
+  * (fine) from "the shuffle grew superlinearly" (a plan problem).
+  *
+  * Probes deliberately run the operators UNBOUNDED (or on a constant
+  * FRACTION of the corpus) where the registry entries pin a constant
+  * absolute slice: the registry bound is the audit-valve posture, the
+  * probe measures how cost grows when the INPUT grows.
+  *
+  * Usage: runMain graft.ScaleProbe <dir1> <dir2> ...
+  */
+object ScaleProbe {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** The d20-shape portable LSH candidate pipeline (signatures + bands +
+    * bucket self-join), on a constant FRACTION of the corpus.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val maxId = 2L * d.count() / 5L // 40% — d20's fraction at sf0.1
+    val toks = expr(
+      "filter(split(lower(trim(text)), '\\\\s+'), x -> length(x) > 0)")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val gramRows = d.filter(col("doc_id") < maxId)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+      .distinct()
+    val p = lit(2147483647L)
+    val sig = gramRows
+      .select(col("doc_id"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % p).as("g"))
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(31))).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        (((lit(2654435761L) * (col("seed") + 1) % p) * col("g")
+          + lit(40503L) * (col("seed") + 1) % p) % p).as("h"))
+      .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+    val bands = sig
+      .groupBy(col("doc_id"), (col("seed") / 4).cast("int").as("band"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh").cast("string")), "-").as("sig"))
+    bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  def probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // d26 shape: stride-1 window fingerprints over the FULL corpus
+    "d26_dup_spans" -> ((s, dir) =>
+      graft.llm.Dedup.dupSpans(docs(s, dir), "text", "doc_id", 8, 1)),
+    // d31 shape: full ExactSubstr rewrite over the FULL corpus
+    "d31_exact_substr" -> ((s, dir) =>
+      graft.llm.Dedup.exactSubstrDedup(docs(s, dir), "text", "doc_id", 8)),
+    // g03 shape: degree-oriented wedge join over the FULL event stream
+    "g03_triangles" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      val edges = eventsTable(s, dir)
+        .select(col("user_id").as("src"),
+          lead(col("user_id"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.graph.Triangles.count(edges)
+    }),
+    // d08/d14 shape: gram-index near-dup pairs + connected components on
+    // a constant 10% FRACTION (the registry pins 10% of sf0.1 = 500)
+    "d08_cc_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val maxId = d.count() / 10L
+      val slice = d.filter(col("doc_id") < maxId)
+      graft.llm.Dedup.connectedComponents(
+        slice.select(col("doc_id").as("id")),
+        graft.llm.Dedup.exactNgramNearDups(slice, "text", "doc_id", 3, 0.5))
+    }),
+    // d20 shape: portable MinHash signatures -> banded bucket join on a
+    // constant 40% fraction (d20's own fraction at sf0.1)
+    "d20_lsh_candidates" -> ((s, dir) => lshCandidates(s, dir))
+  )
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <dir1> <dir2> ...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    args.foreach { dir =>
+      probes.foreach { case (name, fn) =>
+        CacheScope.harness.release()
+        spark.catalog.clearCache()
+        shuffleRecords.set(0L)
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; settle before reading
+        // (listenerBus is private[spark]; a short quiesce is enough for
+        // a single-JVM probe whose job just completed)
+        Thread.sleep(800)
+        val line =
+          f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows,"shuffle_records":${shuffleRecords.get}}"""
+        println(line)
+        out += line
+      }
+    }
+    spark.stop()
+    out.foreach(println)
+  }
+}

@@ -230,6 +230,29 @@ object Bpe {
                         maxDocId: Long, numMerges: Int = 8,
                         maxVocabWords: Int = 200,
                         passes: Int = 6): String = {
+    val ctes = portableCtes(table, idCol, textCol, maxDocId, numMerges,
+      maxVocabWords, passes)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT d.id AS doc_id,
+       |  CAST(coalesce(sum(len(e.toks)), 0) AS INTEGER) AS n_bpe_tokens,
+       |  coalesce(string_agg(array_to_string(e.toks, ' '), ' '
+       |      ORDER BY o.i), '') AS tokens_str
+       |FROM bp_d d
+       |LEFT JOIN bp_w0 o ON o.id = d.id
+       |LEFT JOIN bp_enc e ON e.w = o.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The CTE chain behind [[portableOracleSql]] (training + per-word
+    * encode, ending in `bp_enc(w, toks)`; the doc slice is `bp_d(id,
+    * txt)` and the word fan-out `bp_w0(id, w, i)`) — exposed so composed
+    * oracles (l17's BPE-count packing) can append their own CTEs to the
+    * SAME independently-re-derived merge sequence.
+    */
+  def portableCtes(table: String, idCol: String, textCol: String,
+                   maxDocId: Long, numMerges: Int = 8,
+                   maxVocabWords: Int = 200,
+                   passes: Int = 6): Seq[String] = {
     val sep = "chr(31)"
     def passSql(prev: String, best: String, out: String): String =
       s"""$out AS MATERIALIZED (
@@ -301,14 +324,6 @@ object Bpe {
                |  SELECT w, list_filter(string_split(s, $sep),
                |    x -> x <> '') AS toks
                |  FROM $cur)""".stripMargin
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT d.id AS doc_id,
-       |  CAST(coalesce(sum(len(e.toks)), 0) AS INTEGER) AS n_bpe_tokens,
-       |  coalesce(string_agg(array_to_string(e.toks, ' '), ' '
-       |      ORDER BY o.i), '') AS tokens_str
-       |FROM bp_d d
-       |LEFT JOIN bp_w0 o ON o.id = d.id
-       |LEFT JOIN bp_enc e ON e.w = o.w
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+    ctes.toSeq
   }
 }

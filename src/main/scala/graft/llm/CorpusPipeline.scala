@@ -261,10 +261,23 @@ object CorpusPipeline {
     */
   def packSequences(docs: DataFrame, capacity: Int, blockSize: Int = 256,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    packByCount(docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__pack_nt")),
+      capacity, blockSize, idCol, "__pack_nt")
+
+  /** [[packSequences]] over a PRECOMPUTED per-doc token count — the
+    * composition point for real tokenizers: whitespace counts are the
+    * quick proxy, but the bins a trainer actually fills are BPE-token
+    * sized, so the l17 chain feeds `Bpe.encodePortable`'s counts here.
+    * Same greedy per-block fold, same determinism contract.
+    */
+  def packByCount(counts: DataFrame, capacity: Int, blockSize: Int = 256,
+                  idCol: String = "doc_id",
+                  countCol: String = "n_tokens"): DataFrame = {
     require(capacity > 0 && blockSize > 0)
-    val withN = docs.select(col(idCol).as("id"),
-        TextAnalysis.tokenCount(col(textCol)).as("nt"))
+    val withN = counts.select(col(idCol).as("id"),
+        col(countCol).cast("long").as("nt"))
       .withColumn("block", floor(col("id") / blockSize).cast("long"))
     withN.groupBy("block")
       .agg(sort_array(collect_list(struct(col("id"), col("nt")))).as("ds"))

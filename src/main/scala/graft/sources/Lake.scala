@@ -104,6 +104,36 @@ object Lake {
     writer.mode("overwrite").parquet(dstDir)
   }
 
+  /** Bloom-filtered write — the data-skipping layout for POINT lookups
+    * on high-cardinality keys that no sort order serves (doc_id probes
+    * on a time-clustered table, url-hash lookups): a per-row-group
+    * parquet bloom filter lets the reader skip row groups that provably
+    * don't contain the probed value even when every row group's min/max
+    * RANGE covers it (the case where [[writeClustered]]'s stats are
+    * useless — the key is interleaved across files). Dictionary encoding
+    * is disabled for the bloom columns: at lake scale a high-cardinality
+    * key's dictionary pages blow past their size cap anyway (falling
+    * back to plain encoding with NO skipping structure), and parquet
+    * readers prefer the dictionary over the bloom when both exist —
+    * so the bloom is the structure that actually serves the probe.
+    * `expectedNdv` sizes the filter (~1.1 bytes/key at the default 1%
+    * FPP); undersizing inflates false positives, never correctness.
+    * `LakeSpec` proves the skip from the reader's own scan metrics.
+    */
+  def writeBloomFiltered(df: DataFrame, dir: String,
+                         bloomCols: Seq[String], expectedNdv: Long,
+                         nFiles: Int = 0): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomFiltered: no bloom columns")
+    require(expectedNdv > 0, s"expectedNdv must be positive: $expectedNdv")
+    val base = (if (nFiles > 0) df.repartition(nFiles) else df).write
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.mode("overwrite").parquet(dir)
+  }
+
   /** Sort-clustered write — the data-skipping layout for NON-partition
     * columns: `repartitionByRange` gives every output file a disjoint
     * value range of the cluster keys, and `sortWithinPartitions` orders

@@ -152,6 +152,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(binTotals.forall(t => t <= 10 || t == 12L))
   }
 
+  test("packByCount generalizes packSequences (identical on word counts)" +
+      " and packs real BPE counts") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = (0L until 40L).map(i =>
+      (i, words(2 + (i % 7).toInt, s"d$i"))).toDF("doc_id", "text")
+    val viaText = CorpusPipeline.packSequences(docs, capacity = 12,
+      blockSize = 8).orderBy("doc_id").collect().toSeq
+    val counts = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val viaCount = CorpusPipeline.packByCount(counts, capacity = 12,
+      blockSize = 8).orderBy("doc_id").collect().toSeq
+    assert(viaText == viaCount)
+    // the l17 composition: BPE counts exceed word counts (chars+EOW
+    // units), and the same fold packs them within capacity
+    val merges = graft.llm.Bpe.fit(docs, "text", numMerges = 4,
+      maxVocabWords = 50)
+    val bpeCounts = graft.llm.Bpe
+      .encodePortable(docs, "doc_id", "text", merges)
+      .select(col("id").as("doc_id"),
+        col("n_bpe_tokens").cast("long").as("n_tokens"))
+    val packed = CorpusPipeline.packByCount(bpeCounts, capacity = 64,
+      blockSize = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val nt = bpeCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed.forall(r => r._4 == nt(r._1)))
+    for (((_, _), rs) <- packed.groupBy(r => (r._2, r._3))) {
+      val total = rs.map(_._4).sum
+      assert(total <= 64 || (rs.length == 1 && rs.head._4 > 64))
+    }
+  }
+
   test("packSequences properties hold on random corpora") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 3) {

@@ -163,6 +163,46 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/clustered").count() == src.count())
   }
 
+  test("bloom-filtered write: point probe on an interleaved key skips " +
+      "row groups the plain layout must decode") {
+    val dir = Files.createTempDirectory("graft-lake-bloom").toString
+    // high-cardinality key, deliberately INTERLEAVED across files so
+    // every row group's [min,max] covers any probe — min/max stats
+    // can't skip anything; only the bloom can
+    val rows = spark.range(0, 50000)
+      .select(md5(concat(lit("k"), col("id"))).as("key"),
+        col("id").as("v"))
+    val probe = // a key that exists, planted mid-range
+      "k31337"
+    val probeKey = org.apache.commons.codec.digest.DigestUtils.md5Hex("k31337")
+    // plain layout: same file count, same per-column dictionary setting,
+    // NO bloom — the delta below is attributable to the bloom alone
+    rows.repartition(8).write
+      .option("parquet.enable.dictionary#key", "false")
+      .mode("overwrite").parquet(s"$dir/plain")
+    Lake.writeBloomFiltered(rows, s"$dir/bloom", Seq("key"),
+      expectedNdv = 50000L, nFiles = 8)
+    def decodedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("key") === probeKey)
+      assert(q.count() == 1)             // probe actually hits
+      val df = spark.read.parquet(path).filter(col("key") === probeKey)
+      df.collect()
+      // the SCAN's output rows = rows decoded from surviving row groups
+      // (vectorized reader filters at row-group granularity; the
+      // residual Filter node above the scan drops the rest)
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val plain = decodedRows(s"$dir/plain")
+    val bloom = decodedRows(s"$dir/bloom")
+    // plain decodes every row group (interleaved key defeats min/max);
+    // bloom decodes only the group holding the key (+ false positives)
+    assert(plain == 50000L, s"plain layout should decode all: $plain")
+    assert(bloom < plain / 2,
+      s"bloom should skip most row groups: bloom=$bloom plain=$plain")
+    assert(probe.nonEmpty)
+  }
+
   test("dynamic overwrite replaces only the partitions present") {
     val dir = Files.createTempDirectory("graft-lake").toString
     Lake.writePartitioned(Lake.withMonth(fact, "date"), dir, Seq("month"))
