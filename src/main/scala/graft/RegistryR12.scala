@@ -173,7 +173,64 @@ object RegistryR12 {
             col("bin").cast("long").as("bin"), col("n_tokens"))
           .orderBy("doc_id")
       },
-      Some {
+      oracleL17),
+
+    // ---- M16: JPEG GPS coordinate extraction — the concrete PII the
+    //      EXIF family exists to catch (m15 strips the segment; this
+    //      reads WHAT it contained, the audit a takedown/compliance
+    //      pass needs): GPS coordinates planted as a real GPSInfo IFD
+    //      (IFD0 pointer tag 0x8825 → GPS IFD with ref-ASCII +
+    //      3-slot RATIONAL lat/lon, denominator 1e6 so micro-degrees
+    //      survive exactly), parsed back through the same TIFF walk,
+    //      geofence flag + analytic planted-byte cost + strip
+    //      losslessness all on the hash path. ------------------------
+    Q("m16_jpeg_gps",
+      (s, dir) => {
+        val mm = graft.llm.Multimodal
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            (col("doc_id") * 1003 % 180000000L - 90000000L)
+              .as("lat_micro_p"),
+            (col("doc_id") * 2017 % 360000000L - 180000000L)
+              .as("lon_micro_p"))
+        val imgs = mm.withSyntheticJpegs(docs, "doc_id")
+        val withCols = imgs.join(docs, imgs("id") === docs("doc_id"))
+          .select(col("id"), col("payload"),
+            col("lat_micro_p"), col("lon_micro_p"))
+        val planted = mm.withPlantedGps(withCols, "id", "payload",
+          "lat_micro_p", "lon_micro_p")
+        val gps = mm.jpegGps(planted, "id", "payload")
+        val sp = mm.stripJpegMeta(planted, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("strip_md5"),
+            col("bytes_saved"))
+        val so = mm.stripJpegMeta(imgs, "id", "payload")
+          .select(col("id"), md5(col("payload")).as("orig_md5"),
+            col("bytes_saved").as("orig_saved"))
+        gps.join(sp, "id").join(so, "id")
+          .select(col("id").as("doc_id"),
+            col("lat_micro"), col("lon_micro"),
+            (abs(col("lat_micro")) < 45000000L &&
+              abs(col("lon_micro")) < 90000000L).as("in_bbox"),
+            (col("bytes_saved") - col("orig_saved")).as("planted_bytes"),
+            (col("strip_md5") === col("orig_md5")).as("restored"),
+            col("corrupt"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST((doc_id * 1003) % 180000000 - 90000000 AS BIGINT)
+             |    AS lat_micro,
+             |  CAST((doc_id * 2017) % 360000000 - 180000000 AS BIGINT)
+             |    AS lon_micro,
+             |  abs((doc_id * 1003) % 180000000 - 90000000) < 45000000
+             |    AND abs((doc_id * 2017) % 360000000 - 180000000)
+             |      < 90000000 AS in_bbox,
+             |  CAST(138 AS BIGINT) AS planted_bytes,
+             |  true AS restored, false AS corrupt
+             |FROM documents WHERE doc_id < 200
+             |ORDER BY doc_id""".stripMargin))
+  )
+
+  private val oracleL17: Option[String] = Some {
         val ctes = graft.llm.Bpe.portableCtes("documents", "doc_id",
           "text", maxDocId = 100L, numMerges = 8, maxVocabWords = 200)
         s"""WITH RECURSIVE ${ctes.mkString(",\n")},
@@ -203,6 +260,5 @@ object RegistryR12 {
            |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
            |  nt AS n_tokens
            |FROM pk_p ORDER BY doc_id""".stripMargin
-      })
-  )
+  }
 }

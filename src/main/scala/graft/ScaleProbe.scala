@@ -126,7 +126,15 @@ object ScaleProbe {
         spark.catalog.clearCache()
         shuffleRecords.set(0L)
         val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
+        // force EVERY output column: a bare count() lets Catalyst
+        // eliminate cardinality-preserving joins (d31's rebuild join
+        // vanished and the probe measured an empty plan)
+        val df = fn(spark, dir)
+        val r = df
+          .agg(count(lit(1)).as("n"),
+            sum(xxhash64(df.columns.map(col): _*)).as("chk"))
+          .first()
+        val rows = r.getLong(0)
         val sec = (System.nanoTime() - t0) / 1e9
         // listener events drain asynchronously; settle before reading
         // (listenerBus is private[spark]; a short quiesce is enough for

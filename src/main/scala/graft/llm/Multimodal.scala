@@ -1241,6 +1241,183 @@ object Multimodal {
     }
   }
 
+  /** Build an APP1/Exif segment holding ONLY a GPS IFD (little-endian):
+    * IFD0 carries the GPSInfo pointer (tag 0x8825), the GPS IFD carries
+    * LatitudeRef/Latitude/LongitudeRef/Longitude with the coordinate as
+    * a single degree-slot RATIONAL of denominator 1e6 (a real layout —
+    * decimal-degree writers use it), so micro-degrees survive EXACTLY
+    * and the m16 oracle replays them as integers.
+    */
+  private[llm] def buildGpsApp1(latMicro: Long, lonMicro: Long): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(160)
+    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    buf.write("Exif".getBytes("US-ASCII")); buf.write(0); buf.write(0)
+    buf.write('I'); buf.write('I'); w16(42); w32(8L)
+    // IFD0: one entry — the GPSInfo IFD pointer
+    val gpsIfd = 8 + 2 + 12 + 4
+    w16(1); w16(0x8825); w16(4); w32(1L); w32(gpsIfd.toLong)
+    w32(0L)
+    // GPS IFD: 4 entries + next + value area (two 3-slot RATIONALs)
+    val valBase = gpsIfd + 2 + 4 * 12 + 4
+    w16(4)
+    def refEntry(tag: Int, c: Char): Unit = {
+      w16(tag); w16(2); w32(2L)                       // ASCII "N\0" inline
+      buf.write(c); buf.write(0); buf.write(0); buf.write(0)
+    }
+    def ratEntry(tag: Int, off: Int): Unit = {
+      w16(tag); w16(5); w32(3L); w32(off.toLong)      // RATIONAL x3
+    }
+    refEntry(1, if (latMicro < 0) 'S' else 'N')
+    ratEntry(2, valBase)
+    refEntry(3, if (lonMicro < 0) 'W' else 'E')
+    ratEntry(4, valBase + 24)
+    w32(0L)
+    Seq(latMicro, lonMicro).foreach { m =>
+      w32(math.abs(m)); w32(1000000L)                 // degrees = |m|/1e6
+      w32(0L); w32(1L); w32(0L); w32(1L)              // minutes, seconds = 0
+    }
+    val payload = buf.toByteArray
+    val len = payload.length + 2
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Plant a GPS Exif segment from integer micro-degree columns. */
+  def withPlantedGps(df: DataFrame, idCol: String, payloadCol: String,
+                     latMicroCol: String, lonMicroCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol),
+        col(latMicroCol).cast("long"), col(lonMicroCol).cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val jpeg = r.getAs[Array[Byte]](1)
+          val seg = buildGpsApp1(r.getLong(2), r.getLong(3))
+          Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+        }
+      }(enc)
+  }
+
+  /** Parse GPS coordinates out of one APP1/Exif payload: follows the
+    * IFD0 GPSInfo pointer, reads the ref ASCII + the 3-slot RATIONAL,
+    * converts to EXACT integer micro-degrees when the components divide
+    * exactly (deg*1e6 + min*1e6/60 + sec*1e6/3600 — null when any
+    * division is inexact: a lossy coordinate must not silently round).
+    * Throws on structural damage — caller latches `corrupt`.
+    */
+  private def parseExifGps(b: Array[Byte], segOff: Int,
+                           segLen: Int): Option[(Long, Long)] = {
+    val base = segOff + 4 + 6
+    val end = segOff + segLen
+    require(end <= b.length && base + 8 <= end, "truncated Exif body")
+    val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException("bad TIFF byte order")
+    }
+    def r16(i: Int): Int = {
+      require(i + 2 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    def r32(i: Int): Long = {
+      require(i + 4 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
+    require(r16(base + 2) == 42, "bad TIFF magic")
+    val ifd0 = base + r32(base + 4).toInt
+    val n0 = r16(ifd0)
+    val gpsPtr = (0 until n0).collectFirst {
+      case k if r16(ifd0 + 2 + 12 * k) == 0x8825 =>
+        r32(ifd0 + 2 + 12 * k + 8)
+    }
+    gpsPtr.flatMap { off =>
+      val g = base + off.toInt
+      val ng = r16(g)
+      var latRef = 'N'; var lonRef = 'E'
+      var lat: Option[Long] = None
+      var lon: Option[Long] = None
+      def rational3(voff: Int): Option[Long] = {
+        // deg/min/sec each (num, den); micro-degrees = num*1e6/(den*k)
+        // with k = 1/60/3600 — kept EXACT (None on any inexact divide:
+        // a lossy coordinate must not silently round)
+        def part(i: Int, k: Long): Option[Long] = {
+          val num = r32(voff + i * 8); val den = r32(voff + i * 8 + 4)
+          val d = den * k
+          if (d == 0) { if (num == 0) Some(0L) else None }
+          else {
+            val t = num * 1000000L
+            if (t % d == 0) Some(t / d) else None
+          }
+        }
+        for (d <- part(0, 1L); m <- part(1, 60L); s <- part(2, 3600L))
+          yield d + m + s
+      }
+      (0 until ng).foreach { k =>
+        val e = g + 2 + 12 * k
+        val tag = r16(e); val typ = r16(e + 2); val count = r32(e + 4)
+        tag match {
+          case 1 if typ == 2 => latRef = (b(e + 8) & 0xff).toChar
+          case 3 if typ == 2 => lonRef = (b(e + 8) & 0xff).toChar
+          case 2 if typ == 5 && count == 3 =>
+            lat = rational3(base + r32(e + 8).toInt)
+          case 4 if typ == 5 && count == 3 =>
+            lon = rational3(base + r32(e + 8).toInt)
+          case _ => ()
+        }
+      }
+      for (la <- lat; lo <- lon) yield
+        ((if (latRef == 'S') -la else la), (if (lonRef == 'W') -lo else lo))
+    }
+  }
+
+  /** Per-image GPS frame — the PII-extraction pass (the coordinates the
+    * m15 strip removes): (id, lat_micro, lon_micro, corrupt); images
+    * without GPS keep their row with nulls.
+    */
+  def jpegGps(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lat_micro", LongType),
+      StructField("lon_micro", LongType),
+      StructField("corrupt", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val jpeg = r.getAs[Array[Byte]](1)
+          val (segs, walkCorrupt) = jpegSegments(
+            if (jpeg == null) Array.emptyByteArray else jpeg)
+          var corrupt = walkCorrupt
+          val gps = segs
+            .filter { case (m, off, len) =>
+              m == 0xe1 && len >= 10 &&
+                new String(jpeg, off + 4, 4, "US-ASCII") == "Exif"
+            }
+            .flatMap { case (_, off, len) =>
+              try parseExifGps(jpeg, off, len)
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  corrupt = true; None
+              }
+            }.headOption
+          gps match {
+            case Some((la, lo)) =>
+              Row(id, java.lang.Long.valueOf(la),
+                java.lang.Long.valueOf(lo), corrupt)
+            case None => Row(id, null, null, corrupt)
+          }
+        }
+      }(enc)
+  }
+
   /** Per-image EXIF metadata frame — the [[pngMeta]] twin for JPEG: one
     * row per extracted ASCII tag (images without any keep ONE row with
     * NULL tag/value), SOF geometry on every row, `bytes_saved` = octets

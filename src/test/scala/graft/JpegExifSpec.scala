@@ -94,6 +94,64 @@ class JpegExifSpec extends SparkSpec {
     assert(st.getLong(2) == 0L)
   }
 
+  test("GPS plant -> extract round-trips micro-degrees exactly, " +
+      "all four sign quadrants") {
+    val cases = Seq(
+      (0L, 51501234L, -73999999L),   // N, W
+      (1L, -33865000L, 151209000L),  // S, E
+      (2L, 0L, 0L), (3L, -90000000L, -180000000L))
+    val planted = Multimodal.withPlantedGps(
+      cases.toDF("id", "la", "lo")
+        .join(df(cases.map(c => (c._1, base)): _*), "id"),
+      "id", "payload", "la", "lo")
+    val out = Multimodal.jpegGps(planted, "id", "payload")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == cases.map(c => (c._1, c._2, c._3, false)))
+    // an un-planted image keeps its row with null coordinates
+    val none = Multimodal.jpegGps(df((9L, base)), "id", "payload")
+      .collect()(0)
+    assert(none.isNullAt(1) && none.isNullAt(2) && !none.getBoolean(3))
+  }
+
+  test("GPS deg/min/sec rationals convert exactly; inexact -> null") {
+    def gpsSeg(parts: Seq[(Long, Long)]): Array[Byte] = {
+      // one-entry IFD0 (GPSInfo ptr) + GPS IFD with lat ref + lat only
+      val buf = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      buf.write("Exif".getBytes); buf.write(0); buf.write(0)
+      buf.write('I'); buf.write('I'); w16(42); w32(8L)
+      val gpsIfd = 8 + 2 + 12 + 4
+      w16(1); w16(0x8825); w16(4); w32(1L); w32(gpsIfd.toLong)
+      w32(0L)
+      val valBase = gpsIfd + 2 + 4 * 12 + 4
+      w16(4)
+      w16(1); w16(2); w32(2L); buf.write('N'); buf.write(0); buf.write(0); buf.write(0)
+      w16(2); w16(5); w32(3L); w32(valBase.toLong)
+      w16(3); w16(2); w32(2L); buf.write('E'); buf.write(0); buf.write(0); buf.write(0)
+      w16(4); w16(5); w32(3L); w32(valBase.toLong + 24)
+      w32(0L)
+      parts.foreach { case (n, d) => w32(n); w32(d) }     // lat d/m/s
+      Seq((7L, 1L), (0L, 1L), (0L, 1L)).foreach { case (n, d) => w32(n); w32(d) }
+      val payload = buf.toByteArray
+      val len = payload.length + 2
+      Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    }
+    def withSeg(seg: Array[Byte]) = base.take(2) ++ seg ++ base.drop(2)
+    // 12 deg 30 min 36 sec = 12.510000 deg exactly
+    val exact = Multimodal.jpegGps(
+      df((0L, withSeg(gpsSeg(Seq((12L, 1L), (30L, 1L), (36L, 1L)))))),
+      "id", "payload").collect()(0)
+    assert(exact.getLong(1) == 12510000L && exact.getLong(2) == 7000000L)
+    // 1/7 of a second cannot be exact micro-degrees -> null, not rounded
+    val inexact = Multimodal.jpegGps(
+      df((1L, withSeg(gpsSeg(Seq((12L, 1L), (0L, 1L), (1L, 7L)))))),
+      "id", "payload").collect()(0)
+    assert(inexact.isNullAt(1))
+  }
+
   test("COM segments are counted and stripped; APP0 survives") {
     val comment = "scanner v1.2".getBytes("ISO-8859-1")
     val len = comment.length + 2

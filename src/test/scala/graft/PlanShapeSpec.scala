@@ -363,6 +363,28 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("d31 ExactSubstr: digest-only election, per-doc island window, " +
+      "no cartesian") {
+    // The window TEXT must never shuffle: the election groupBy and the
+    // loser join carry md5 digests + two longs; the interval-union
+    // window partitions by doc id (never global); the rebuild is an
+    // equi-join on id. A cartesian or a partition-less window here
+    // would be the 100 TB killer.
+    val df = SparkEntry.queries("d31_exact_substr")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(800))
+    // winner election is partial-aggregated (map-side min/count per
+    // digest) so a hot window content pre-combines before the exchange
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      plan.take(1200))
+    // every Window in the plan is partitioned (the island pass keys on id)
+    val windows = "Window .*".r.findAllIn(plan).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(w => w.contains("id#")),
+      windows.mkString("\n").take(600))
+  }
+
   test("every partition-less Window in the registry sits above a bounded input") {
     // The blessed pattern for a global rank is limit-then-window (o01 /
     // t16 / the nCells and ksub centroid indexers): the single-task
