@@ -33,7 +33,8 @@ object RegistryR12 {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some("""WITH words AS (
-             |  SELECT doc_id AS id, string_split(text, ' ') AS ws
+             |  SELECT doc_id AS id,
+             |    string_split(coalesce(text, ''), ' ') AS ws
              |  FROM documents),
              |segs AS (
              |  SELECT w.id, t.i AS span_idx,

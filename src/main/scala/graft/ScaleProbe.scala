@@ -119,7 +119,6 @@ object ScaleProbe {
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     })
-    val out = scala.collection.mutable.ArrayBuffer[String]()
     args.foreach { dir =>
       probes.foreach { case (name, fn) =>
         CacheScope.harness.release()
@@ -143,10 +142,8 @@ object ScaleProbe {
         val line =
           f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows,"shuffle_records":${shuffleRecords.get}}"""
         println(line)
-        out += line
       }
     }
     spark.stop()
-    out.foreach(println)
   }
 }

@@ -778,19 +778,26 @@ object Dedup {
     * Output: (id, clean_text, n_spans_cut, n_tokens_removed).
     */
   def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
-                       w: Int = 8): DataFrame = {
+                       w: Int = 8,
+                       scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
     require(w >= 1, s"exactSubstrDedup: w must be >= 1, got $w")
     import org.apache.spark.sql.expressions.Window
+    // null text behaves as empty (the Bpe/encodePortable convention) so
+    // the rebuilt clean_text is '' on both engines, never NULL vs ''
     val words = df.select(col(idCol).as("id"),
-      split(col(textCol), " ").as("words"))
+      split(coalesce(col(textCol), lit("")), " ").as("words"))
     // FULL w-token windows only, stride 1 (see dupSpans for why tails
     // are excluded): (id, span_idx, digest) — never the window text.
-    val segs = words
+    // The fingerprint scan is the dominant cost and BOTH the winner
+    // election and the loser join consume it — tracked plan-lifetime
+    // cache (scope-released) so the md5 pass runs once, not twice.
+    val segs = scope.track(words
       .select(col("id"), posexplode(expr(
         s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
           s"i -> i + $w <= size(words)), " +
           s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
-        .as(Seq("span_idx", "h")))
+        .as(Seq("span_idx", "h"))))
     // Winner per duplicated digest: the globally-first (id, span_idx) —
     // one aggregate, partial-combined map-side.
     val winners = segs.groupBy("h")

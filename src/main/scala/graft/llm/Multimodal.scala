@@ -1133,6 +1133,67 @@ object Multimodal {
     }
   }
 
+  /** Little-endian TIFF byte writer — the ONE copy of the w16/w32
+    * helpers the Exif and GPS segment builders share.
+    */
+  private final class TiffWriter {
+    private val buf = new java.io.ByteArrayOutputStream(96)
+    def w8(v: Int): Unit = buf.write(v & 0xff)
+    def raw(bs: Array[Byte]): Unit = buf.write(bs, 0, bs.length)
+    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
+    }
+    def header(): Unit = {                              // Exif\0\0 + TIFF
+      raw("Exif".getBytes("US-ASCII")); w8(0); w8(0)
+      w8('I'); w8('I'); w16(42); w32(8L)                // IFD0 @ offset 8
+    }
+    def bytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** Frame a TIFF payload as an APP1 JPEG segment — bounds-checked:
+    * a JPEG segment length is 16-bit, so an oversized payload (a plant
+    * from a huge value column) fails FAST here instead of wrapping the
+    * length field and surfacing later as corrupt=true.
+    */
+  private def app1Segment(payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length + 2
+    require(len <= 0xffff,
+      s"APP1 payload too large for a JPEG segment: $len bytes")
+    Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Bounds-checked TIFF reader over `b[base, end)` — both byte orders;
+    * the ONE copy of the r16/r32 helpers the Exif and GPS parsers share.
+    * Constructor throws on a damaged preamble (caller latches corrupt).
+    */
+  private final class TiffReader(b: Array[Byte], val base: Int, val end: Int) {
+    require(end <= b.length && base + 8 <= end, "truncated Exif body")
+    val le: Boolean = (b(base) & 0xff, b(base + 1) & 0xff) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException("bad TIFF byte order")
+    }
+    def r16(i: Int): Int = {
+      require(i >= base && i + 2 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    }
+    def r32(i: Int): Long = {
+      require(i >= base && i + 4 <= end, "truncated TIFF read")
+      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
+    def byteAt(i: Int): Int = {
+      require(i >= base && i < end, "truncated TIFF read")
+      b(i) & 0xff
+    }
+    require(r16(base + 2) == 42, "bad TIFF magic")
+  }
+
   /** Build an APP1/Exif segment (little-endian TIFF, IFD0 only) holding
     * the given (tagName, value) ASCII entries — entries sorted by tag id
     * ascending as TIFF requires, values NUL-terminated, stored inline
@@ -1147,29 +1208,23 @@ object Multimodal {
         v.getBytes("ISO-8859-1") :+ 0.toByte)
     }.sortBy(_._1)
     val n = entries.size
-    val buf = new java.io.ByteArrayOutputStream(64)
-    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
-    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
-    buf.write("Exif".getBytes("US-ASCII")); buf.write(0); buf.write(0)
-    buf.write('I'); buf.write('I'); w16(42); w32(8)    // TIFF header, IFD0 @8
-    w16(n)
+    val w = new TiffWriter
+    w.header()
+    w.w16(n)
     var valueOff = 8 + 2 + 12 * n + 4                  // value area start
     entries.foreach { case (tag, bytes) =>
-      w16(tag); w16(2)                                 // type 2 = ASCII
-      w32(bytes.length)                                // count incl. NUL
+      w.w16(tag); w.w16(2)                             // type 2 = ASCII
+      w.w32(bytes.length.toLong)                       // count incl. NUL
       if (bytes.length <= 4) {
-        bytes.foreach(b => buf.write(b & 0xff))
-        (bytes.length until 4).foreach(_ => buf.write(0))
-      } else { w32(valueOff); valueOff += bytes.length }
+        bytes.foreach(b => w.w8(b & 0xff))
+        (bytes.length until 4).foreach(_ => w.w8(0))
+      } else { w.w32(valueOff.toLong); valueOff += bytes.length }
     }
-    w32(0)                                             // no IFD1
+    w.w32(0L)                                          // no IFD1
     entries.foreach { case (_, bytes) =>
-      if (bytes.length > 4) buf.write(bytes)
+      if (bytes.length > 4) w.raw(bytes)
     }
-    val payload = buf.toByteArray
-    val len = payload.length + 2
-    Array[Byte](0xff.toByte, 0xe1.toByte,
-      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    app1Segment(w.bytes)
   }
 
   /** Insert an APP1/Exif segment (built from `kvCols` row values)
@@ -1201,40 +1256,20 @@ object Multimodal {
     */
   private def parseExifAscii(b: Array[Byte], segOff: Int,
                              segLen: Int): Seq[(String, String)] = {
-    val base = segOff + 4 + 6                          // past marker+len+Exif\0\0
-    val end = segOff + segLen
-    require(end <= b.length && base + 8 <= end, "truncated Exif body")
-    val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
-      case ('I', 'I') => true
-      case ('M', 'M') => false
-      case _ => throw new IllegalArgumentException("bad TIFF byte order")
-    }
-    def r16(i: Int): Int = {
-      require(i + 2 <= end, "truncated TIFF read")
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-    }
-    def r32(i: Int): Int = {
-      require(i + 4 <= end, "truncated TIFF read")
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-      else ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-    }
-    require(r16(base + 2) == 42, "bad TIFF magic")
-    val ifd = base + r32(base + 4)
-    val n = r16(ifd)
+    val t = new TiffReader(b, segOff + 4 + 6, segOff + segLen)
+    val ifd = t.base + t.r32(t.base + 4).toInt
+    val n = t.r16(ifd)
     (0 until n).flatMap { k =>
       val e = ifd + 2 + 12 * k
-      val tag = r16(e)
-      val typ = r16(e + 2)
-      val count = r32(e + 4)
+      val tag = t.r16(e)
+      val typ = t.r16(e + 2)
+      val count = t.r32(e + 4).toInt
       ExifAsciiTags.get(tag) match {
         case Some(name) if typ == 2 && count > 0 =>
-          val off = if (count <= 4) e + 8 else base + r32(e + 8)
-          require(off >= base && off + count <= end, "ASCII value OOB")
+          val off = if (count <= 4) e + 8 else t.base + t.r32(e + 8).toInt
+          require(off >= t.base && off + count <= t.end, "ASCII value OOB")
           val raw = new String(b, off, count, "ISO-8859-1")
-          val z = raw.indexOf(0.toChar)
+          val z = raw.indexOf(0.toChar) // value ends at its NUL terminator
           Some(name -> (if (z < 0) raw else raw.substring(0, z)))
         case _ => None
       }
@@ -1249,38 +1284,32 @@ object Multimodal {
     * and the m16 oracle replays them as integers.
     */
   private[llm] def buildGpsApp1(latMicro: Long, lonMicro: Long): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(160)
-    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
-    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
-    buf.write("Exif".getBytes("US-ASCII")); buf.write(0); buf.write(0)
-    buf.write('I'); buf.write('I'); w16(42); w32(8L)
+    val w = new TiffWriter
+    w.header()
     // IFD0: one entry — the GPSInfo IFD pointer
     val gpsIfd = 8 + 2 + 12 + 4
-    w16(1); w16(0x8825); w16(4); w32(1L); w32(gpsIfd.toLong)
-    w32(0L)
+    w.w16(1); w.w16(0x8825); w.w16(4); w.w32(1L); w.w32(gpsIfd.toLong)
+    w.w32(0L)
     // GPS IFD: 4 entries + next + value area (two 3-slot RATIONALs)
     val valBase = gpsIfd + 2 + 4 * 12 + 4
-    w16(4)
+    w.w16(4)
     def refEntry(tag: Int, c: Char): Unit = {
-      w16(tag); w16(2); w32(2L)                       // ASCII "N\0" inline
-      buf.write(c); buf.write(0); buf.write(0); buf.write(0)
+      w.w16(tag); w.w16(2); w.w32(2L)                 // ASCII "N\0" inline
+      w.w8(c); w.w8(0); w.w8(0); w.w8(0)
     }
     def ratEntry(tag: Int, off: Int): Unit = {
-      w16(tag); w16(5); w32(3L); w32(off.toLong)      // RATIONAL x3
+      w.w16(tag); w.w16(5); w.w32(3L); w.w32(off.toLong) // RATIONAL x3
     }
     refEntry(1, if (latMicro < 0) 'S' else 'N')
     ratEntry(2, valBase)
     refEntry(3, if (lonMicro < 0) 'W' else 'E')
     ratEntry(4, valBase + 24)
-    w32(0L)
+    w.w32(0L)
     Seq(latMicro, lonMicro).foreach { m =>
-      w32(math.abs(m)); w32(1000000L)                 // degrees = |m|/1e6
-      w32(0L); w32(1L); w32(0L); w32(1L)              // minutes, seconds = 0
+      w.w32(math.abs(m)); w.w32(1000000L)             // degrees = |m|/1e6
+      w.w32(0L); w.w32(1L); w.w32(0L); w.w32(1L)      // minutes, seconds = 0
     }
-    val payload = buf.toByteArray
-    val len = payload.length + 2
-    Array[Byte](0xff.toByte, 0xe1.toByte,
-      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    app1Segment(w.bytes)
   }
 
   /** Plant a GPS Exif segment from integer micro-degree columns. */
@@ -1310,27 +1339,9 @@ object Multimodal {
     */
   private def parseExifGps(b: Array[Byte], segOff: Int,
                            segLen: Int): Option[(Long, Long)] = {
-    val base = segOff + 4 + 6
-    val end = segOff + segLen
-    require(end <= b.length && base + 8 <= end, "truncated Exif body")
-    val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
-      case ('I', 'I') => true
-      case ('M', 'M') => false
-      case _ => throw new IllegalArgumentException("bad TIFF byte order")
-    }
-    def r16(i: Int): Int = {
-      require(i + 2 <= end, "truncated TIFF read")
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-    }
-    def r32(i: Int): Long = {
-      require(i + 4 <= end, "truncated TIFF read")
-      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    }
-    require(r16(base + 2) == 42, "bad TIFF magic")
+    val t = new TiffReader(b, segOff + 4 + 6, segOff + segLen)
+    import t.{r16, r32}
+    val base = t.base
     val ifd0 = base + r32(base + 4).toInt
     val n0 = r16(ifd0)
     val gpsPtr = (0 until n0).collectFirst {
@@ -1363,8 +1374,8 @@ object Multimodal {
         val e = g + 2 + 12 * k
         val tag = r16(e); val typ = r16(e + 2); val count = r32(e + 4)
         tag match {
-          case 1 if typ == 2 => latRef = (b(e + 8) & 0xff).toChar
-          case 3 if typ == 2 => lonRef = (b(e + 8) & 0xff).toChar
+          case 1 if typ == 2 => latRef = t.byteAt(e + 8).toChar
+          case 3 if typ == 2 => lonRef = t.byteAt(e + 8).toChar
           case 2 if typ == 5 && count == 3 =>
             lat = rational3(base + r32(e + 8).toInt)
           case 4 if typ == 5 && count == 3 =>

@@ -172,9 +172,8 @@ class LakeSpec extends SparkSpec {
     val rows = spark.range(0, 50000)
       .select(md5(concat(lit("k"), col("id"))).as("key"),
         col("id").as("v"))
-    val probe = // a key that exists, planted mid-range
-      "k31337"
-    val probeKey = org.apache.commons.codec.digest.DigestUtils.md5Hex("k31337")
+    val probe = "k31337" // a key that exists, planted mid-range
+    val probeKey = org.apache.commons.codec.digest.DigestUtils.md5Hex(probe)
     // plain layout: same file count, same per-column dictionary setting,
     // NO bloom — the delta below is attributable to the bloom alone
     rows.repartition(8).write
@@ -200,7 +199,6 @@ class LakeSpec extends SparkSpec {
     assert(plain == 50000L, s"plain layout should decode all: $plain")
     assert(bloom < plain / 2,
       s"bloom should skip most row groups: bloom=$bloom plain=$plain")
-    assert(probe.nonEmpty)
   }
 
   test("dynamic overwrite replaces only the partitions present") {
