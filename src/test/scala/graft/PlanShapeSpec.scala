@@ -385,6 +385,55 @@ class PlanShapeSpec extends SparkSpec {
       windows.mkString("\n").take(600))
   }
 
+  test("whole surface: Expand only in grouping/unpivot/sliding shapes; " +
+      "cross joins only against one-row sides") {
+    // Machine-checks the two anti-pattern sweeps the round-11 audit did
+    // by hand: (1) Expand multiplies its input — it belongs ONLY to the
+    // shapes that are defined by it (rollup/cube/grouping-sets/unpivot/
+    // sliding windows); a multi-distinct rewrite sneaking an Expand into
+    // an ordinary aggregate fails here (the a31 trap, now whole-surface).
+    // (2) A condition-less Join is a cartesian — legal ONLY when one
+    // side provably collapses to one-row-ish (a grouping-less aggregate,
+    // OneRowRelation, or a product of such — the scalar-broadcast
+    // pattern), or when the author DECLARED a bounded side with an
+    // explicit broadcast() hint (codebooks, fit frames, bounded query
+    // sets — the n13/d24/l15 audit shapes). An accidental un-hinted
+    // crossJoin against unbounded data fails here.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val expandBlessed = Set("a17_rollup", "a18_cube", "a23_grouping_sets",
+      "p05_unpivot", "w06_sliding_window", "x32_sql_unpivot")
+    def oneRowish(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: OneRowRelation => true
+      case j: Join => oneRowish(j.left) && oneRowish(j.right)
+      case _: LeafNode => false
+      case other if other.children.nonEmpty => other.children.forall(oneRowish)
+      case _ => false
+    }
+    def hintedBroadcast(j: Join): Boolean =
+      j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+        j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+    val badExpand = scala.collection.mutable.ArrayBuffer.empty[String]
+    val badCross = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case _: Expand if !expandBlessed(name) => badExpand += name
+        case j: Join if j.condition.isEmpty &&
+            !(oneRowish(j.left) || oneRowish(j.right) ||
+              hintedBroadcast(j)) =>
+          badCross += s"$name: ${j.simpleString(80)}"
+        case _ => ()
+      }
+      CacheScope.harness.release()
+      spark.catalog.clearCache() // operators persist plan-lifetime caches
+    }
+    assert(badExpand.isEmpty,
+      "Expand outside the blessed shapes:\n" + badExpand.distinct.mkString("\n"))
+    assert(badCross.isEmpty,
+      "cartesian without a one-row side:\n" + badCross.mkString("\n"))
+  }
+
   test("every partition-less Window in the registry sits above a bounded input") {
     // The blessed pattern for a global rank is limit-then-window (o01 /
     // t16 / the nCells and ksub centroid indexers): the single-task
