@@ -90,6 +90,103 @@ object RegistryR12 {
              |LEFT JOIN cutstats c ON c.id = d.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- D32: INCREMENTAL ExactSubstr-full (llm/Dedup
+    //      .exactSubstrIncremental) — the steady-state form of d31 the
+    //      way d12 is of d01: a new batch (doc_id >= 400) is rewritten
+    //      against the prior corpus (doc_id < 400) WITHOUT touching it.
+    //      A batch window whose fingerprint exists anywhere in the
+    //      prior corpus is cut from every batch occurrence (the prior
+    //      copy is by definition first); batch-only duplicates get the
+    //      d31 first-occurrence election. The prior corpus collapses to
+    //      its distinct window digests (at scale: the persisted
+    //      window-digest index, probed by one semi + one anti join).
+    //      When prior ids precede batch ids this EQUALS the full-corpus
+    //      d31 restricted to the batch — spec-pinned. -----------------
+    Q("d32_exact_substr_incr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.llm.Dedup.exactSubstrIncremental(
+            docs.filter(col("doc_id") >= 400),
+            docs.filter(col("doc_id") < 400),
+            "text", "doc_id", w = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH words_b AS (
+             |  SELECT doc_id AS id,
+             |    string_split(coalesce(text, ''), ' ') AS ws
+             |  FROM documents WHERE doc_id >= 400),
+             |words_p AS (
+             |  SELECT doc_id AS id,
+             |    string_split(coalesce(text, ''), ' ') AS ws
+             |  FROM documents WHERE doc_id < 400),
+             |segs_b AS (
+             |  SELECT w.id, t.i AS span_idx,
+             |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+             |  FROM words_b w,
+             |    LATERAL (SELECT unnest(range(greatest(
+             |      len(w.ws) - 7, 0))) AS i) t),
+             |prior_h AS (
+             |  SELECT DISTINCT
+             |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+             |  FROM words_p w,
+             |    LATERAL (SELECT unnest(range(greatest(
+             |      len(w.ws) - 7, 0))) AS i) t),
+             |from_prior AS (
+             |  SELECT id, span_idx AS s, span_idx + 8 AS e FROM segs_b
+             |  WHERE h IN (SELECT h FROM prior_h)),
+             |batch_only AS (
+             |  SELECT id, span_idx,
+             |    row_number() OVER (PARTITION BY h
+             |      ORDER BY id, span_idx) AS rn,
+             |    count(*) OVER (PARTITION BY h) AS cnt
+             |  FROM segs_b WHERE h NOT IN (SELECT h FROM prior_h)),
+             |batch_losers AS (
+             |  SELECT id, span_idx AS s, span_idx + 8 AS e
+             |  FROM batch_only WHERE cnt > 1 AND rn > 1),
+             |losers AS (SELECT * FROM from_prior
+             |           UNION ALL SELECT * FROM batch_losers),
+             |isl AS (
+             |  SELECT id, s, e,
+             |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+             |        ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM losers),
+             |grp AS (
+             |  SELECT id, s, e,
+             |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM isl),
+             |spans AS (
+             |  SELECT id, g, min(s) AS s, max(e) AS e FROM grp
+             |  GROUP BY id, g),
+             |cutstats AS (
+             |  SELECT id, count(*) AS n_spans, sum(e - s) AS cut_tokens
+             |  FROM spans GROUP BY id),
+             |tok AS (
+             |  SELECT w.id, t.i AS idx, t.tk
+             |  FROM words_b w,
+             |    LATERAL (SELECT unnest(w.ws) AS tk,
+             |             unnest(range(len(w.ws))) AS i) t),
+             |kept AS (
+             |  SELECT tok.id, tok.idx, tok.tk
+             |  FROM tok LEFT JOIN spans sp
+             |    ON sp.id = tok.id AND tok.idx >= sp.s AND tok.idx < sp.e
+             |  WHERE sp.id IS NULL),
+             |agg AS (
+             |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+             |  FROM kept GROUP BY id)
+             |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             |  CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans_cut,
+             |  CAST(coalesce(c.cut_tokens, 0) AS BIGINT)
+             |    AS n_tokens_removed
+             |FROM documents d
+             |LEFT JOIN agg a ON a.id = d.doc_id
+             |LEFT JOIN cutstats c ON c.id = d.doc_id
+             |WHERE d.doc_id >= 400
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- M15: JPEG/EXIF metadata extract + strip THROUGH real marker
     //      and TIFF-IFD arithmetic — m12's compliance pass for the
     //      format where real-world PII metadata actually lives: an

@@ -810,6 +810,71 @@ object Dedup {
         col("span_idx") === col("first.span_idx")))
       .select(col("id"), col("span_idx").cast("long").as("s"),
         (col("span_idx") + w).cast("long").as("e"))
+    maximalSpanRebuild(words, losers)
+  }
+
+  /** ExactSubstr-full, INCREMENTAL — the steady-state form ([[d12
+    * incrementalDedup]] : [[exactDedup]] :: this : [[exactSubstrDedup]]):
+    * a NEW batch is rewritten against the PRIOR corpus without touching
+    * it. A batch window whose fingerprint exists ANYWHERE in the prior
+    * corpus is cut from every batch occurrence (the prior copy is by
+    * definition first); windows duplicated only WITHIN the batch get the
+    * [[exactSubstrDedup]] first-occurrence election. When every prior id
+    * precedes every batch id, the result equals the full-corpus rewrite
+    * restricted to the batch (spec-pinned).
+    *
+    * Scale shape: the prior corpus collapses to its DISTINCT window
+    * digests (one map-side-combinable aggregate — at corpus scale this
+    * is the persisted window-digest index a production build maintains
+    * incrementally; it shuffles digests only) and the batch probes it
+    * with one left-semi + one left-anti join. The prior TEXT is never
+    * rewritten, re-shuffled, or even fully rescanned when the digest
+    * index is supplied pre-built.
+    */
+  def exactSubstrIncremental(batch: DataFrame, prior: DataFrame,
+                             textCol: String, idCol: String, w: Int = 8,
+                             scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    require(w >= 1, s"exactSubstrIncremental: w must be >= 1, got $w")
+    def toWords(df: DataFrame) = df.select(col(idCol).as("id"),
+      split(coalesce(col(textCol), lit("")), " ").as("words"))
+    def toSegs(words: DataFrame) = words
+      .select(col("id"), posexplode(expr(
+        s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
+          s"i -> i + $w <= size(words)), " +
+          s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
+        .as(Seq("span_idx", "h")))
+    val words = toWords(batch)
+    // both the prior probe (semi + anti) and the within-batch election
+    // consume the batch scan — tracked once, scope-released
+    val segs = scope.track(toSegs(words))
+    val priorH = toSegs(toWords(prior)).select("h").distinct()
+    // any batch occurrence of a prior window is a loser
+    val fromPrior = segs.join(priorH, Seq("h"), "left_semi")
+      .select(col("id"), col("span_idx").cast("long").as("s"),
+        (col("span_idx") + w).cast("long").as("e"))
+    // batch-only digests: the full-corpus election within the batch
+    val batchOnly = segs.join(priorH, Seq("h"), "left_anti")
+    val winners = batchOnly.groupBy("h")
+      .agg(min(struct(col("id"), col("span_idx"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val batchLosers = batchOnly.join(winners, "h")
+      .filter(!(col("id") === col("first.id") &&
+        col("span_idx") === col("first.span_idx")))
+      .select(col("id"), col("span_idx").cast("long").as("s"),
+        (col("span_idx") + w).cast("long").as("e"))
+    // the two loser sets are disjoint by digest — plain union
+    maximalSpanRebuild(words, fromPrior.unionAll(batchLosers))
+  }
+
+  /** Shared tail of the ExactSubstr family: merge loser windows into
+    * maximal per-doc spans (interval union) and rebuild the text.
+    * `words` = (id, words array); `losers` = (id, s, e) token intervals.
+    */
+  private def maximalSpanRebuild(words: DataFrame,
+                                 losers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Interval union per doc: sort, running max of prior ends, new
     // island where a gap opens, then min/max per island = maximal span.
     val ord = Window.partitionBy("id").orderBy("s", "e")

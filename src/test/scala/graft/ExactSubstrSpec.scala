@@ -71,6 +71,52 @@ class ExactSubstrSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) == 0L))
   }
 
+  test("incremental: batch copy of a prior passage is cut; prior untouched") {
+    val passage = words(20, "shared")
+    val prior = Seq(
+      (0L, (words(4, "p0") ++ passage ++ words(4, "p1")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (words(7, "b0") ++ passage ++ words(3, "b1")).mkString(" ")),
+      (11L, words(15, "only").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrIncremental(batch, prior,
+      "text", "doc_id", w = 8).orderBy("id").collect()
+    assert(out(0).getString(1) ==
+      (words(7, "b0") ++ words(3, "b1")).mkString(" "))
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 20L)
+    assert(out(1).getString(1) == words(15, "only").mkString(" "))
+    // only batch rows come back — the prior corpus is never rewritten
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+  }
+
+  test("incremental: batch-only duplicates get the first-occurrence " +
+      "election; equals full-corpus d31 restricted to the batch") {
+    val passage = words(18, "dup")
+    val prior = (0L to 4L).map(i =>
+      (i, words(25, s"pr$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (words(5, "a") ++ passage).mkString(" ")),
+      (11L, (passage ++ words(5, "c")).mkString(" ")),
+      (12L, words(12, "z").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incr = Dedup.exactSubstrIncremental(batch, prior,
+        "text", "doc_id", w = 8)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 10 (first occurrence in batch order) keeps the passage
+    assert(incr(0)._2 == (words(5, "a") ++ passage).mkString(" "))
+    assert(incr(1)._2 == words(5, "c").mkString(" "))
+    assert(incr(1)._4 == 18L)
+    // equivalence: full-corpus rewrite over prior+batch, restricted to
+    // the batch ids (prior ids all precede batch ids)
+    val full = Dedup.exactSubstrDedup(prior.unionAll(batch),
+        "text", "doc_id", w = 8)
+      .filter(col("id") >= 10L).orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(incr == full)
+  }
+
   test("partition invariance: result identical under any partitioning") {
     val passage = words(25, "p")
     val docs = (0L to 19L).map { i =>
