@@ -459,6 +459,7 @@ class PlanShapeSpec extends SparkSpec {
           offenders += s"$name: ${w.simpleString(80)}"
         case _ => ()
       }
+      CacheScope.harness.release()
       spark.catalog.clearCache() // operators persist plan-lifetime caches
     }
     assert(offenders.isEmpty,
