@@ -325,8 +325,125 @@ object RegistryR12 {
              |  CAST(138 AS BIGINT) AS planted_bytes,
              |  true AS restored, false AS corrupt
              |FROM documents WHERE doc_id < 200
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L18: dedup → tokenize → pack, END TO END — the published
+    //      data-prep chain (Lee et al. dedup BEFORE tokenization) as
+    //      one composed hash gate: d31's ExactSubstr rewrite cleans the
+    //      slice, the BPE tokenizer FITS AND ENCODES on the CLEANED
+    //      text (merge sequence re-derived from clean text on the
+    //      oracle side — duplicated passages no longer vote in
+    //      training), and the greedy packer fills 512-BPE-token bins
+    //      from the post-dedup counts. Every stage transition is on
+    //      the hash path: a drift anywhere (a span survived, a merge
+    //      flipped, a bin seam moved) breaks the gate. ---------------
+    Q("l18_dedup_tokenize_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        val clean = graft.llm.Dedup
+          .exactSubstrDedup(docs, "text", "doc_id", w = 8)
+          .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        val merges = graft.llm.Bpe.fit(clean, "text", numMerges = 8,
+          maxVocabWords = 200)
+        val counts = graft.llm.Bpe
+          .encodePortable(clean, "doc_id", "text", merges)
+          .select(col("id").as("doc_id"),
+            col("n_bpe_tokens").cast("long").as("n_tokens"))
+        graft.llm.CorpusPipeline.packByCount(counts,
+            capacity = 512, blockSize = 32)
+          .select(col("doc_id"), col("block"),
+            col("bin").cast("long").as("bin"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      oracleL18)
   )
+
+  /** l18 oracle: the d31 rewrite CTEs (es_*) feed `clean_docs`, the BPE
+    * chain re-derives its merges from the CLEANED text, and the greedy
+    * pack walks the BPE counts — three proven oracles composed into one
+    * WITH RECURSIVE statement.
+    */
+  private val oracleL18: Option[String] = Some {
+    val bpe = graft.llm.Bpe.portableCtes("clean_docs", "doc_id",
+      "text", maxDocId = 300L, numMerges = 8, maxVocabWords = 200)
+    s"""WITH RECURSIVE es_words AS (
+       |  SELECT doc_id AS id,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents WHERE doc_id < 300),
+       |es_segs AS (
+       |  SELECT w.id, t.i AS span_idx,
+       |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+       |  FROM es_words w,
+       |    LATERAL (SELECT unnest(range(greatest(
+       |      len(w.ws) - 7, 0))) AS i) t),
+       |es_occ AS (
+       |  SELECT id, span_idx,
+       |    row_number() OVER (PARTITION BY h ORDER BY id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM es_segs),
+       |es_losers AS (
+       |  SELECT id, span_idx AS s, span_idx + 8 AS e
+       |  FROM es_occ WHERE cnt > 1 AND rn > 1),
+       |es_isl AS (
+       |  SELECT id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+       |        ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM es_losers),
+       |es_grp AS (
+       |  SELECT id, s, e,
+       |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM es_isl),
+       |es_spans AS (
+       |  SELECT id, g, min(s) AS s, max(e) AS e FROM es_grp
+       |  GROUP BY id, g),
+       |es_tok AS (
+       |  SELECT w.id, t.i AS idx, t.tk
+       |  FROM es_words w,
+       |    LATERAL (SELECT unnest(w.ws) AS tk,
+       |             unnest(range(len(w.ws))) AS i) t),
+       |es_kept AS (
+       |  SELECT es_tok.id, es_tok.idx, es_tok.tk
+       |  FROM es_tok LEFT JOIN es_spans sp
+       |    ON sp.id = es_tok.id AND es_tok.idx >= sp.s
+       |      AND es_tok.idx < sp.e
+       |  WHERE sp.id IS NULL),
+       |es_agg AS (
+       |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+       |  FROM es_kept GROUP BY id),
+       |clean_docs AS (
+       |  SELECT w.id AS doc_id, coalesce(a.clean_text, '') AS text
+       |  FROM es_words w LEFT JOIN es_agg a ON a.id = w.id),
+       |${bpe.mkString(",\n")},
+       |bp_counts AS (
+       |  SELECT d.id AS doc_id,
+       |    CAST(coalesce(sum(len(e.toks)), 0) AS BIGINT) AS nt
+       |  FROM bp_d d
+       |  LEFT JOIN bp_w0 o ON o.id = d.id
+       |  LEFT JOIN bp_enc e ON e.w = o.w
+       |  GROUP BY 1),
+       |pk_n AS (
+       |  SELECT doc_id, doc_id // 32 AS block, nt,
+       |    row_number() OVER (PARTITION BY doc_id // 32
+       |      ORDER BY doc_id) AS rn
+       |  FROM bp_counts),
+       |pk_p AS (
+       |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+       |  FROM pk_n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.doc_id, n.block, n.nt, n.rn,
+       |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+       |      THEN p.bin ELSE p.bin + 1 END,
+       |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+       |      THEN p.bt + n.nt ELSE n.nt END
+       |  FROM pk_p p JOIN pk_n n
+       |    ON n.block = p.block AND n.rn = p.rn + 1)
+       |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
+       |  nt AS n_tokens
+       |FROM pk_p ORDER BY doc_id""".stripMargin
+  }
 
   private val oracleL17: Option[String] = Some {
         val ctes = graft.llm.Bpe.portableCtes("documents", "doc_id",
