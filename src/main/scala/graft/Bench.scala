@@ -1,6 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Force EVERY output column through an xxhash64 checksum aggregate —
+    * the ScaleProbe drive, now the bench protocol too. A bare count()
+    * lets Catalyst eliminate cardinality-preserving joins (d22/d31/d32's
+    * rebuild join vanished and their bench rows priced a partial plan);
+    * the checksum materializes the full output the correctness gate
+    * writes. Map/variant-bearing columns ride through to_json (xxhash64
+    * rejects MapType); the JSON render still forces their computation.
+    */
+  def forceAll(df: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => unhashable(f.dataType))
+      case a: ArrayType => unhashable(a.elementType)
+      case _ => false
+    }
+    val cols: Array[Column] = df.schema.fields.map { f =>
+      if (unhashable(f.dataType)) to_json(col(f.name)) else col(f.name)
+    }
+    df.agg(count(lit(1)).as("n"), sum(xxhash64(cols: _*)).as("chk")).first()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,7 +76,7 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          forceAll(fn(spark, sfDir))
           val dt = (System.nanoTime() - t0) / 1e9
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
           worst(name) = math.max(worst.getOrElse(name, 0.0), dt)

@@ -53,6 +53,19 @@ object CacheScope {
   /** Default scope for registry queries. The harness mains release it
     * between queries; long-lived embedders release it (or pass a scope
     * of their own) once each result is consumed.
+    *
+    * CONTRACT (correctness, not just memory): this is a process-global
+    * mutable scope. For operators whose persist pins a partitioning the
+    * RESULT depends on (`Ids.denseIds`/`runningTotal` pin a range
+    * exchange; recomputing it after release could reorder offsets), a
+    * harness-default result must be FULLY CONSUMED before any
+    * `harness.release()` — a release while a returned-but-unconsumed
+    * plan is alive silently recomputes the exchange. Concurrent suites
+    * or sessions sharing one JVM must NOT interleave harness releases
+    * with each other's live plans; they should pass an explicitly owned
+    * scope instead (as `Pipeline.run` does). The single-threaded
+    * Verify/Bench/AnsiSweep mains satisfy this by construction: each
+    * query is materialized to completion before the next release.
     */
   val harness = new CacheScope
 }

@@ -135,10 +135,19 @@ object ScaleProbe {
           .first()
         val rows = r.getLong(0)
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; settle before reading
-        // (listenerBus is private[spark]; a short quiesce is enough for
-        // a single-JVM probe whose job just completed)
-        Thread.sleep(800)
+        // listener events drain asynchronously; poll until the counter
+        // is stable for two consecutive 200 ms reads (a fixed sleep
+        // undercounts nondeterministically on a loaded host —
+        // listenerBus.waitUntilEmpty is private[spark], so poll-stable
+        // is the public-API equivalent), bounded at 30 s
+        var prev = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 30000) {
+          Thread.sleep(200); waited += 200
+          val cur = shuffleRecords.get
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
         val line =
           f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows,"shuffle_records":${shuffleRecords.get}}"""
         println(line)

@@ -1111,6 +1111,17 @@ object Multimodal {
       while (!done) {
         require(i + 2 <= b.length && (b(i) & 0xff) == 0xff,
           "bad marker prefix")
+        // Legal 0xFF fill bytes may pad before a marker id (ITU T.81
+        // B.1.1.2) — skip the run instead of reading the second 0xFF
+        // as the marker id (which latched corrupt and turned the strip
+        // into a silent no-op on such real-world files). The run rides
+        // as its own pseudo-segment (marker -2) so real offsets stay
+        // marker-anchored and the strip rebuild keeps fill bytes
+        // verbatim (-2 never matches the APPn/COM strip predicate).
+        val fillStart = i
+        while (i + 2 <= b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+        if (i > fillStart) out += ((-2, fillStart, i - fillStart))
+        require(i + 2 <= b.length, "truncated marker")
         val m = b(i + 1) & 0xff
         if (m == 0xd9) { out += ((m, i, 2)); done = true }        // EOI
         else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {         // TEM/RSTn
@@ -1242,10 +1253,17 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val jpeg = r.getAs[Array[Byte]](1)
-          val seg = buildExifApp1(kvCols.zipWithIndex.map {
-            case ((k, _), i) => k -> r.getString(2 + i)
-          })
-          Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+          // corrupt-is-data: a null payload passes through unchanged and
+          // null tag values coalesce to "" (the extractors' convention —
+          // jpegExif/stripJpegMeta null-guard theirs the same way)
+          if (jpeg == null) Row(r.getLong(0), null)
+          else {
+            val seg = buildExifApp1(kvCols.zipWithIndex.map {
+              case ((k, _), i) =>
+                k -> (if (r.isNullAt(2 + i)) "" else r.getString(2 + i))
+            })
+            Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+          }
         }
       }(enc)
   }
@@ -1324,8 +1342,16 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val jpeg = r.getAs[Array[Byte]](1)
-          val seg = buildGpsApp1(r.getLong(2), r.getLong(3))
-          Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+          // corrupt-is-data: null payload passes through; null
+          // coordinates coalesce to 0 micro-degrees (the extractors'
+          // null-guard convention)
+          if (jpeg == null) Row(r.getLong(0), null)
+          else {
+            val seg = buildGpsApp1(
+              if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3))
+            Row(r.getLong(0), jpeg.take(2) ++ seg ++ jpeg.drop(2))
+          }
         }
       }(enc)
   }
