@@ -411,6 +411,159 @@ object TextAnalysis {
           col("n_grams")).as("novelty"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM LM — the published perplexity-
+    * filter recipe (CCNet thresholds on KN models; [[bigramLmScores]]'
+    * add-one bigram is the proxy form): train on `train`, score `score`
+    * — the honest held-out shape, so backoff genuinely executes
+    * (unseen trigram → discounted continuation; unseen context →
+    * lower order; OOV word → uniform floor).
+    *
+    * Model (fixed discount D = 3/4, exact in binary):
+    *   P(w3|w1,w2) = [max(c(w123)-D,0) + D·N1+(w12·)·P_mid] / c(w12·)
+    *   P_mid(w3|w2) = [max(N1+(·w23)-D,0) + D·N1+(w2·)·P_low] / N1+(·w2·)
+    *   P_low(w3)   = (N1+(·w3) + 1) / (N1+(··) + V + 1)
+    * with all N1+ type counts derived from ONE trigram-type table and
+    * the +1/(+V+1) floor giving OOV words nonzero mass (no zero-prob
+    * log). Unseen (w1,w2) context ⇒ P = P_mid; unseen w2 ⇒ P = P_low.
+    *
+    * Hash-exactness (the t19 posture): every count is an exact BIGINT;
+    * each probability is ONE fixed-shape expression over casts of those
+    * integers (correctly-rounded IEEE ops, bit-identical across
+    * engines); ln rounds to 9 dp; the per-doc sum is DECIMAL.
+    *
+    * Scale: train collapses to trigram-TYPE stats tables (counts only,
+    * text shuffles once into the type groupBy); scoring is key joins of
+    * the scored trigram stream against those tables plus one broadcast
+    * one-row global frame. Docs with <3 tokens surface with
+    * n_trigrams = 0 and NULL score.
+    */
+  def knTrigramScores(train: DataFrame, score: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("ws"))
+    def tris(df: DataFrame) = toks(df).filter(size(col("ws")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> struct(element_at(ws, i + 1) AS w1, " +
+          "element_at(ws, i + 2) AS w2, element_at(ws, i + 3) AS w3))"))
+        .as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val tri = tris(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val ctx = tri.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n1ctx"))
+    val mid = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid"))
+    val mctx = mid.groupBy("w2")
+      .agg(sum(col("n1mid")).as("nmidctx"), count(lit(1)).as("nfol"))
+    val low = mid.groupBy("w3").agg(count(lit(1)).as("n1low"))
+    val glob = mid.agg(count(lit(1)).as("ntot")).crossJoin(
+      toks(train).select(explode(col("ws")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val joined = tris(score)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(mctx, Seq("w2"), "left")
+      .join(low, Seq("w3"), "left")
+      .crossJoin(broadcast(glob))
+    // expression SHAPE mirrored verbatim in the oracle — association
+    // order matters for bit-identity
+    val pLow = (coalesce(col("n1low"), lit(0L)) + 1).cast("double") /
+      (col("ntot") + col("v") + 1).cast("double")
+    val pMid = when(col("nmidctx").isNull, pLow).otherwise(
+      (greatest(coalesce(col("n1mid"), lit(0L)).cast("double") - 0.75,
+        lit(0.0)) +
+        lit(0.75) * col("nfol").cast("double") * pLow) /
+        col("nmidctx").cast("double"))
+    val p3 = when(col("c2ctx").isNull, pMid).otherwise(
+      (greatest(coalesce(col("c3"), lit(0L)).cast("double") - 0.75,
+        lit(0.0)) +
+        lit(0.75) * col("n1ctx").cast("double") * pMid) /
+        col("c2ctx").cast("double"))
+    val scored = joined
+      .select(col("id"), round(log(p3), 9).cast("decimal(12,9)").as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 9)
+          .as("avg_logp"))
+    score.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_logp"))
+  }
+
+  /** DuckDB replay of [[knTrigramScores]]: CTEs ending in
+    * `kn_out(id, n_trigrams, avg_logp)` over `table` rows, trained on
+    * `trainPred` and scored on `scorePred` — exposed so composed
+    * oracles (the perplexity-bucket recompose) extend the same chain.
+    */
+  def knOracleCtes(table: String, idCol: String, textCol: String,
+                   trainPred: String, scorePred: String): Seq[String] = {
+    def toksCte(name: String, pred: String) =
+      s"""$name AS (
+         |  SELECT $idCol AS id, list_filter(
+         |    string_split_regex(trim(lower($textCol)), '\\s+'),
+         |    x -> strlen(x) > 0) AS ws
+         |  FROM $table WHERE $pred)""".stripMargin
+    def triCte(name: String, src: String) =
+      s"""$name AS (
+         |  SELECT id, ws[t.i + 1] AS w1, ws[t.i + 2] AS w2,
+         |    ws[t.i + 3] AS w3
+         |  FROM $src,
+         |    LATERAL (SELECT unnest(range(len(ws) - 2)) AS i) t)""".stripMargin
+    val pLow = "CAST(coalesce(l.n1low, 0) + 1 AS DOUBLE) " +
+      "/ CAST(g.ntot + g.v + 1 AS DOUBLE)"
+    val pMid = s"""CASE WHEN x.nmidctx IS NULL THEN $pLow
+                  |  ELSE (greatest(CAST(coalesce(m.n1mid, 0) AS DOUBLE)
+                  |      - 0.75, 0.0)
+                  |    + 0.75 * CAST(x.nfol AS DOUBLE) * ($pLow))
+                  |    / CAST(x.nmidctx AS DOUBLE) END""".stripMargin
+    val p3 = s"""CASE WHEN c.c2ctx IS NULL THEN ($pMid)
+                |  ELSE (greatest(CAST(coalesce(t.c3, 0) AS DOUBLE)
+                |      - 0.75, 0.0)
+                |    + 0.75 * CAST(c.n1ctx AS DOUBLE) * ($pMid))
+                |    / CAST(c.c2ctx AS DOUBLE) END""".stripMargin
+    Seq(
+      toksCte("kn_tr", trainPred),
+      toksCte("kn_sc", scorePred),
+      triCte("kn_tg", "kn_tr"),
+      "kn_tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM kn_tg " +
+        "GROUP BY 1, 2, 3)",
+      "kn_ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx, " +
+        "count(*) AS n1ctx FROM kn_tri GROUP BY 1, 2)",
+      "kn_mid AS (SELECT w2, w3, count(*) AS n1mid FROM kn_tri " +
+        "GROUP BY 1, 2)",
+      "kn_mctx AS (SELECT w2, CAST(sum(n1mid) AS BIGINT) AS nmidctx, " +
+        "count(*) AS nfol FROM kn_mid GROUP BY 1)",
+      "kn_low AS (SELECT w3, count(*) AS n1low FROM kn_mid GROUP BY 1)",
+      """kn_gl AS (
+        |  SELECT (SELECT count(*) FROM kn_mid) AS ntot,
+        |    (SELECT count(DISTINCT w) FROM
+        |      (SELECT unnest(ws) AS w FROM kn_tr)) AS v)""".stripMargin,
+      triCte("kn_sg", "kn_sc"),
+      s"""kn_p AS (
+         |  SELECT s.id, CAST(round(ln($p3), 9) AS DECIMAL(12,9)) AS lp
+         |  FROM kn_sg s
+         |  LEFT JOIN kn_tri t
+         |    ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+         |  LEFT JOIN kn_ctx c ON c.w1 = s.w1 AND c.w2 = s.w2
+         |  LEFT JOIN kn_mid m ON m.w2 = s.w2 AND m.w3 = s.w3
+         |  LEFT JOIN kn_mctx x ON x.w2 = s.w2
+         |  LEFT JOIN kn_low l ON l.w3 = s.w3
+         |  CROSS JOIN kn_gl g)""".stripMargin,
+      """kn_agg AS (
+        |  SELECT id, count(*) AS n_trigrams,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 9) AS avg_logp
+        |  FROM kn_p GROUP BY 1)""".stripMargin,
+      s"""kn_out AS (
+         |  SELECT d.$idCol AS id,
+         |    CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |    a.avg_logp
+         |  FROM $table d LEFT JOIN kn_agg a ON a.id = d.$idCol
+         |  WHERE d.$idCol IN (SELECT id FROM kn_sc))""".stripMargin)
+  }
+
   /** DuckDB replay of [[ngramNovelty]] (n = 3) over `table`. */
   def ngramNoveltyOracleSql(table: String, idCol: String,
                             textCol: String): String =

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextAnalysis
+
+/** Kneser-Ney trigram LM: short-doc and unseen-ngram edges, backoff
+  * ordering, and (near-)normalization of the smoothed distribution.
+  */
+class KnTrigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "a b c a b c a b c d e f"),
+    (2L, "a b c d e f a b d"),
+    (3L, "x y z x y z")).toDF("doc_id", "text")
+
+  private def score(docs: Seq[(Long, String)]) =
+    TextAnalysis.knTrigramScores(train,
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.toString.toDouble)))
+      .toMap
+
+  test("short docs surface with zero trigrams and NULL score") {
+    val out = score(Seq((10L, "a b"), (11L, ""), (12L, "a b c")))
+    assert(out(10L) == ((0L, None)))
+    assert(out(11L) == ((0L, None)))
+    assert(out(12L)._1 == 1L && out(12L)._2.isDefined)
+  }
+
+  test("backoff ordering: seen > unseen-in-context > unseen context > OOV") {
+    val out = score(Seq(
+      (20L, "a b c"),   // frequent seen trigram
+      (21L, "a b f"),   // seen context (a,b), unseen continuation
+      (22L, "c a x"),   // seen words, unseen context (c,a) middle backoff
+      (23L, "q q q")))  // fully OOV — uniform floor only
+    val lp = (id: Long) => out(id)._2.get
+    // seen trigram beats an unseen continuation in the same context,
+    // which beats a weaker (middle-backoff) context. The fully-OOV
+    // floor is NOT comparable on a tiny corpus: 1/(ntot+V+1) can
+    // exceed a twice-discounted backoff product — assert only that it
+    // stays below the seen path and finite.
+    assert(lp(20L) > lp(21L), s"${lp(20L)} vs ${lp(21L)}")
+    assert(lp(21L) > lp(22L), s"${lp(21L)} vs ${lp(22L)}")
+    assert(lp(20L) > lp(23L))
+    // every path yields a FINITE negative log-prob (no zero-prob log)
+    Seq(20L, 21L, 22L, 23L).foreach(id =>
+      assert(lp(id) < 0 && !lp(id).isNegInfinity))
+  }
+
+  test("smoothed distribution (nearly) normalizes over the vocabulary") {
+    // sum over all vocab w3 of P(w3 | a, b): each probe doc holds one
+    // trigram, so exp(avg_logp) recovers its probability (9-dp round)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "x", "y", "z")
+    val probes = vocab.zipWithIndex.map { case (w, i) =>
+      (100L + i, s"a b $w")
+    }
+    val out = score(probes)
+    val mass = probes.map { case (id, _) => math.exp(out(id)._2.get) }.sum
+    // < 1 (the held-out floor keeps OOV mass aside), but close
+    assert(mass > 0.9 && mass <= 1.0 + 1e-9, mass.toString)
+  }
+}
