@@ -152,6 +152,227 @@ object RegistryR13 {
            |    ELSE 'tail' END AS bucket
            |FROM kb_scored s LEFT JOIN kb_th t ON t.source = s.source
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- D33: ExactSubstr against the MAINTAINED window-digest index —
+    //      closes the incremental family (d12/d19/t18/a33 all have a
+    //      persisted-index member; d32 re-derived its prior digests per
+    //      call): the index is BUILT ONCE from the prior corpus
+    //      (distinct digests through the bloom-filtered point-probe
+    //      layout — writeBloomFiltered's exact use case), batch 1
+    //      rewrites against it with prior TEXT never scanned, the
+    //      batch's own digests FOLD IN incrementally (append-only
+    //      new-distinct — prior index files never rewrite), and batch 2
+    //      rewrites against the UPDATED index. Two-batch chained result
+    //      provably equals the from-scratch rewrite restricted to the
+    //      batches (ExactSubstrSpec); the oracle replays both batches
+    //      from first principles. NB the entry runs eager steps (index
+    //      build, batch-1 pin, fold) when invoked — it IS a maintenance
+    //      pipeline, not a single plan. -------------------------------
+    Q("d33_exact_substr_indexed",
+      (s, dir) => {
+        val dd = graft.llm.Dedup
+        val docs = t(s, dir, "documents")
+        val idx = Registry.scratchDir("d33_idx") + "/digests"
+        val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+        val b2 = docs.filter(col("doc_id") >= 450)
+        dd.buildDigestIndex(docs.filter(col("doc_id") < 400),
+          "text", "doc_id", 8, idx, expectedNdv = 100000L)
+        // COMMIT batch 1's rewrite before its digests fold in — the
+        // production ordering (rewrite lands in the lake, then the
+        // index maintains). A cache pin is NOT enough here: the fold's
+        // append triggers recacheByPath on the index dir, which blows
+        // away any cached plan reading it and silently re-evaluates
+        // batch 1 against the post-fold index (= batch 1 dedups
+        // against its own digests, emptying every doc).
+        val out1 = Registry.scratchDir("d33_out") + "/b1"
+        dd.exactSubstrWithIndex(b1, dd.readDigestIndex(s, idx),
+            "text", "doc_id", 8)
+          .write.mode("overwrite").parquet(out1)
+        val r1 = s.read.parquet(out1)
+        dd.appendDigests(s, b1, "text", "doc_id", 8, idx,
+          expectedNdv = 100000L)
+        val r2 = dd.exactSubstrWithIndex(b2, dd.readDigestIndex(s, idx),
+          "text", "doc_id", 8)
+        r1.unionAll(r2).withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        val c1 = exactSubstrIncrOracle("i1", "doc_id < 400",
+          "doc_id >= 400 AND doc_id < 450")
+        val c2 = exactSubstrIncrOracle("i2", "doc_id < 450",
+          "doc_id >= 450")
+        s"""WITH ${(c1 ++ c2).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT * FROM i1res UNION ALL SELECT * FROM i2res)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- D34: ExactSubstr with the CHAR-threshold fidelity knob —
+    //      Lee et al. dedup at >=50 CHARACTERS; d31's w=8 token windows
+    //      approximate it, so short incidental 8-word collisions could
+    //      cut where the published threshold would not. minSpanChars
+    //      post-filters the MERGED spans by character length (token
+    //      lengths + single-space gaps — one array-slice fold over the
+    //      bounded span frame): at threshold 200 this corpus keeps 8 of
+    //      24 merged spans that d31 cuts. --------------------------
+    Q("d34_exact_substr_chars",
+      (s, dir) => graft.llm.Dedup.exactSubstrDedup(
+          t(s, dir, "documents"), "text", "doc_id", w = 8,
+          minSpanChars = 200L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(exactSubstrCharsOracle(minSpanChars = 200L)))
   )
+
+  /** The d32-shape incremental-ExactSubstr DuckDB replay, prefix-
+    * parameterized so d33 chains two batches in one statement. Emits
+    * CTEs ending in `{p}res(doc_id, clean_text, n_spans_cut,
+    * n_tokens_removed)`.
+    */
+  private def exactSubstrIncrOracle(p: String, priorPred: String,
+                                    batchPred: String): Seq[String] = Seq(
+    s"""${p}words_b AS (
+       |  SELECT doc_id AS id,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents WHERE $batchPred)""".stripMargin,
+    s"""${p}words_p AS (
+       |  SELECT doc_id AS id,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents WHERE $priorPred)""".stripMargin,
+    s"""${p}segs_b AS (
+       |  SELECT w.id, t.i AS span_idx,
+       |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+       |  FROM ${p}words_b w,
+       |    LATERAL (SELECT unnest(range(greatest(
+       |      len(w.ws) - 7, 0))) AS i) t)""".stripMargin,
+    s"""${p}prior_h AS (
+       |  SELECT DISTINCT
+       |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+       |  FROM ${p}words_p w,
+       |    LATERAL (SELECT unnest(range(greatest(
+       |      len(w.ws) - 7, 0))) AS i) t)""".stripMargin,
+    s"""${p}from_prior AS (
+       |  SELECT id, span_idx AS s, span_idx + 8 AS e FROM ${p}segs_b
+       |  WHERE h IN (SELECT h FROM ${p}prior_h))""".stripMargin,
+    s"""${p}batch_only AS (
+       |  SELECT id, span_idx,
+       |    row_number() OVER (PARTITION BY h
+       |      ORDER BY id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM ${p}segs_b
+       |  WHERE h NOT IN (SELECT h FROM ${p}prior_h))""".stripMargin,
+    s"""${p}losers AS (
+       |  SELECT * FROM ${p}from_prior
+       |  UNION ALL
+       |  SELECT id, span_idx AS s, span_idx + 8 AS e
+       |  FROM ${p}batch_only WHERE cnt > 1 AND rn > 1)""".stripMargin,
+    s"""${p}isl AS (
+       |  SELECT id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+       |        ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ${p}losers)""".stripMargin,
+    s"""${p}grp AS (
+       |  SELECT id, s, e,
+       |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM ${p}isl)""".stripMargin,
+    s"""${p}spans AS (
+       |  SELECT id, g, min(s) AS s, max(e) AS e FROM ${p}grp
+       |  GROUP BY id, g)""".stripMargin,
+    s"""${p}cutstats AS (
+       |  SELECT id, count(*) AS n_spans, sum(e - s) AS cut_tokens
+       |  FROM ${p}spans GROUP BY id)""".stripMargin,
+    s"""${p}tok AS (
+       |  SELECT w.id, t.i AS idx, t.tk
+       |  FROM ${p}words_b w,
+       |    LATERAL (SELECT unnest(w.ws) AS tk,
+       |             unnest(range(len(w.ws))) AS i) t)""".stripMargin,
+    s"""${p}kept AS (
+       |  SELECT k.id, k.idx, k.tk
+       |  FROM ${p}tok k LEFT JOIN ${p}spans sp
+       |    ON sp.id = k.id AND k.idx >= sp.s AND k.idx < sp.e
+       |  WHERE sp.id IS NULL)""".stripMargin,
+    s"""${p}agg AS (
+       |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+       |  FROM ${p}kept GROUP BY id)""".stripMargin,
+    s"""${p}res AS (
+       |  SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |    CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans_cut,
+       |    CAST(coalesce(c.cut_tokens, 0) AS BIGINT)
+       |      AS n_tokens_removed
+       |  FROM documents d
+       |  LEFT JOIN ${p}agg a ON a.id = d.doc_id
+       |  LEFT JOIN ${p}cutstats c ON c.id = d.doc_id
+       |  WHERE $batchPred)""".stripMargin)
+
+  /** d31's full-corpus replay with the minSpanChars post-filter on the
+    * merged spans (char length = token lengths + single-space gaps).
+    */
+  private def exactSubstrCharsOracle(minSpanChars: Long): String =
+    s"""WITH words AS (
+       |  SELECT doc_id AS id,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents),
+       |segs AS (
+       |  SELECT w.id, t.i AS span_idx,
+       |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+       |  FROM words w,
+       |    LATERAL (SELECT unnest(range(greatest(
+       |      len(w.ws) - 7, 0))) AS i) t),
+       |occ AS (
+       |  SELECT id, span_idx,
+       |    row_number() OVER (PARTITION BY h
+       |      ORDER BY id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM segs),
+       |losers AS (
+       |  SELECT id, span_idx AS s, span_idx + 8 AS e
+       |  FROM occ WHERE cnt > 1 AND rn > 1),
+       |isl AS (
+       |  SELECT id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+       |        ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM losers),
+       |grp AS (
+       |  SELECT id, s, e,
+       |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl),
+       |merged AS (
+       |  SELECT id, g, min(s) AS s, max(e) AS e FROM grp
+       |  GROUP BY id, g),
+       |tok AS (
+       |  SELECT w.id, t.i AS idx, t.tk
+       |  FROM words w,
+       |    LATERAL (SELECT unnest(w.ws) AS tk,
+       |             unnest(range(len(w.ws))) AS i) t),
+       |spans AS (
+       |  SELECT m.id, m.s, m.e
+       |  FROM merged m JOIN tok t
+       |    ON t.id = m.id AND t.idx >= m.s AND t.idx < m.e
+       |  GROUP BY m.id, m.s, m.e
+       |  HAVING sum(strlen(t.tk)) + (m.e - m.s - 1) >= $minSpanChars),
+       |cutstats AS (
+       |  SELECT id, count(*) AS n_spans, sum(e - s) AS cut_tokens
+       |  FROM spans GROUP BY id),
+       |kept AS (
+       |  SELECT tok.id, tok.idx, tok.tk
+       |  FROM tok LEFT JOIN spans sp
+       |    ON sp.id = tok.id AND tok.idx >= sp.s AND tok.idx < sp.e
+       |  WHERE sp.id IS NULL),
+       |agg AS (
+       |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+       |  FROM kept GROUP BY id)
+       |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |  CAST(coalesce(c.n_spans, 0) AS BIGINT) AS n_spans_cut,
+       |  CAST(coalesce(c.cut_tokens, 0) AS BIGINT) AS n_tokens_removed
+       |FROM documents d
+       |LEFT JOIN agg a ON a.id = d.doc_id
+       |LEFT JOIN cutstats c ON c.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -778,26 +778,20 @@ object Dedup {
     * Output: (id, clean_text, n_spans_cut, n_tokens_removed).
     */
   def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
-                       w: Int = 8,
+                       w: Int = 8, minSpanChars: Long = 0L,
                        scope: graft.CacheScope = graft.CacheScope.harness)
       : DataFrame = {
     require(w >= 1, s"exactSubstrDedup: w must be >= 1, got $w")
     import org.apache.spark.sql.expressions.Window
     // null text behaves as empty (the Bpe/encodePortable convention) so
     // the rebuilt clean_text is '' on both engines, never NULL vs ''
-    val words = df.select(col(idCol).as("id"),
-      split(coalesce(col(textCol), lit("")), " ").as("words"))
+    val words = toWords(df, textCol, idCol)
     // FULL w-token windows only, stride 1 (see dupSpans for why tails
     // are excluded): (id, span_idx, digest) — never the window text.
     // The fingerprint scan is the dominant cost and BOTH the winner
     // election and the loser join consume it — tracked plan-lifetime
     // cache (scope-released) so the md5 pass runs once, not twice.
-    val segs = scope.track(words
-      .select(col("id"), posexplode(expr(
-        s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
-          s"i -> i + $w <= size(words)), " +
-          s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
-        .as(Seq("span_idx", "h"))))
+    val segs = scope.track(toSegs(words, w))
     // Winner per duplicated digest: the globally-first (id, span_idx) —
     // one aggregate, partial-combined map-side.
     val winners = segs.groupBy("h")
@@ -810,7 +804,98 @@ object Dedup {
         col("span_idx") === col("first.span_idx")))
       .select(col("id"), col("span_idx").cast("long").as("s"),
         (col("span_idx") + w).cast("long").as("e"))
-    maximalSpanRebuild(words, losers)
+    maximalSpanRebuild(words, losers, minSpanChars)
+  }
+
+  /** (id, words) projection shared by the ExactSubstr family — null
+    * text behaves as empty.
+    */
+  private[llm] def toWords(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      split(coalesce(col(textCol), lit("")), " ").as("words"))
+
+  /** Stride-1 FULL-window fingerprint scan: (id, span_idx, h) — never
+    * the window text (see [[dupSpans]] for the tail-window exclusion).
+    */
+  private[llm] def toSegs(words: DataFrame, w: Int): DataFrame =
+    words.select(col("id"), posexplode(expr(
+      s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
+        s"i -> i + $w <= size(words)), " +
+        s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
+      .as(Seq("span_idx", "h")))
+
+  /** The DISTINCT window-digest frame of a corpus — the CONTENT of the
+    * persisted index [[exactSubstrWithIndex]] probes (one map-side-
+    * combinable aggregate; digests only, text never shuffles).
+    */
+  def windowDigests(df: DataFrame, textCol: String, idCol: String,
+                    w: Int = 8): DataFrame =
+    toSegs(toWords(df, textCol, idCol), w).select("h").distinct()
+
+  /** Build the persisted window-digest index: distinct digests written
+    * through [[graft.sources.Lake.writeBloomFiltered]] — point probes
+    * on a high-cardinality hash key are exactly the bloom layout's use
+    * case (no sort order serves them; min/max stats are useless on
+    * md5s interleaved across files).
+    */
+  def buildDigestIndex(df: DataFrame, textCol: String, idCol: String,
+                       w: Int, dir: String, expectedNdv: Long): Unit =
+    graft.sources.Lake.writeBloomFiltered(
+      windowDigests(df, textCol, idCol, w), dir, Seq("h"), expectedNdv)
+
+  def readDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Fold a batch's digests into the index INCREMENTALLY: probe the
+    * existing index for the batch's distinct digests and APPEND only
+    * the misses as new files — prior index files are never rewritten,
+    * rescanned for content, or compacted here (the index is a set, so
+    * append-only new-distinct IS the maintenance operation).
+    */
+  def appendDigests(spark: org.apache.spark.sql.SparkSession,
+                    df: DataFrame, textCol: String, idCol: String,
+                    w: Int, dir: String, expectedNdv: Long): Unit = {
+    val fresh = windowDigests(df, textCol, idCol, w)
+      .join(readDigestIndex(spark, dir), Seq("h"), "left_anti")
+    graft.sources.Lake.writeBloomFiltered(fresh, dir, Seq("h"),
+      expectedNdv, mode = "append")
+  }
+
+  /** ExactSubstr-full against a PRE-BUILT window-digest index — the
+    * steady-state form [[exactSubstrIncremental]]'s doc describes: the
+    * prior corpus is represented ONLY by its digest index (built once
+    * via [[buildDigestIndex]], maintained via [[appendDigests]]); the
+    * batch probes it with one left-semi + one left-anti join and prior
+    * TEXT is never scanned at all.
+    */
+  def exactSubstrWithIndex(batch: DataFrame, index: DataFrame,
+                           textCol: String, idCol: String, w: Int = 8,
+                           scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    require(w >= 1, s"exactSubstrWithIndex: w must be >= 1, got $w")
+    val words = toWords(batch, textCol, idCol)
+    // both the index probe (semi + anti) and the within-batch election
+    // consume the batch scan — tracked once, scope-released
+    val segs = scope.track(toSegs(words, w))
+    val priorH = index.select("h")
+    // any batch occurrence of an indexed window is a loser
+    val fromPrior = segs.join(priorH, Seq("h"), "left_semi")
+      .select(col("id"), col("span_idx").cast("long").as("s"),
+        (col("span_idx") + w).cast("long").as("e"))
+    // batch-only digests: the full-corpus election within the batch
+    val batchOnly = segs.join(priorH, Seq("h"), "left_anti")
+    val winners = batchOnly.groupBy("h")
+      .agg(min(struct(col("id"), col("span_idx"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val batchLosers = batchOnly.join(winners, "h")
+      .filter(!(col("id") === col("first.id") &&
+        col("span_idx") === col("first.span_idx")))
+      .select(col("id"), col("span_idx").cast("long").as("s"),
+        (col("span_idx") + w).cast("long").as("e"))
+    // the two loser sets are disjoint by digest — plain union
+    maximalSpanRebuild(words, fromPrior.unionAll(batchLosers))
   }
 
   /** ExactSubstr-full, INCREMENTAL — the steady-state form ([[d12
@@ -834,51 +919,29 @@ object Dedup {
   def exactSubstrIncremental(batch: DataFrame, prior: DataFrame,
                              textCol: String, idCol: String, w: Int = 8,
                              scope: graft.CacheScope = graft.CacheScope.harness)
-      : DataFrame = {
-    require(w >= 1, s"exactSubstrIncremental: w must be >= 1, got $w")
-    def toWords(df: DataFrame) = df.select(col(idCol).as("id"),
-      split(coalesce(col(textCol), lit("")), " ").as("words"))
-    def toSegs(words: DataFrame) = words
-      .select(col("id"), posexplode(expr(
-        s"transform(filter(sequence(0, greatest(size(words) - 1, 0)), " +
-          s"i -> i + $w <= size(words)), " +
-          s"i -> md5(array_join(slice(words, i + 1, $w), ' ')))"))
-        .as(Seq("span_idx", "h")))
-    val words = toWords(batch)
-    // both the prior probe (semi + anti) and the within-batch election
-    // consume the batch scan — tracked once, scope-released
-    val segs = scope.track(toSegs(words))
-    val priorH = toSegs(toWords(prior)).select("h").distinct()
-    // any batch occurrence of a prior window is a loser
-    val fromPrior = segs.join(priorH, Seq("h"), "left_semi")
-      .select(col("id"), col("span_idx").cast("long").as("s"),
-        (col("span_idx") + w).cast("long").as("e"))
-    // batch-only digests: the full-corpus election within the batch
-    val batchOnly = segs.join(priorH, Seq("h"), "left_anti")
-    val winners = batchOnly.groupBy("h")
-      .agg(min(struct(col("id"), col("span_idx"))).as("first"),
-        count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-    val batchLosers = batchOnly.join(winners, "h")
-      .filter(!(col("id") === col("first.id") &&
-        col("span_idx") === col("first.span_idx")))
-      .select(col("id"), col("span_idx").cast("long").as("s"),
-        (col("span_idx") + w).cast("long").as("e"))
-    // the two loser sets are disjoint by digest — plain union
-    maximalSpanRebuild(words, fromPrior.unionAll(batchLosers))
-  }
+      : DataFrame =
+    exactSubstrWithIndex(batch, windowDigests(prior, textCol, idCol, w),
+      textCol, idCol, w, scope)
 
   /** Shared tail of the ExactSubstr family: merge loser windows into
     * maximal per-doc spans (interval union) and rebuild the text.
     * `words` = (id, words array); `losers` = (id, s, e) token intervals.
+    *
+    * `minSpanChars` is the published-fidelity knob: Lee et al. dedup at
+    * ≥50 CHARACTERS while the w-token windows approximate it — a merged
+    * span whose character length (token lengths + single-space gaps)
+    * falls below the threshold is NOT cut, so short incidental w-word
+    * collisions survive where the published threshold would keep them.
+    * The filter runs on the MERGED spans (cheap: spans are bounded by
+    * tokens/w and the length is one array-slice fold); 0 disables it.
     */
-  private def maximalSpanRebuild(words: DataFrame,
-                                 losers: DataFrame): DataFrame = {
+  private def maximalSpanRebuild(words: DataFrame, losers: DataFrame,
+                                 minSpanChars: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Interval union per doc: sort, running max of prior ends, new
     // island where a gap opens, then min/max per island = maximal span.
     val ord = Window.partitionBy("id").orderBy("s", "e")
-    val spans = losers
+    val merged = losers
       .withColumn("prev_max",
         max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -888,6 +951,15 @@ object Dedup {
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("id", "g")
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val spans =
+      if (minSpanChars <= 0L) merged
+      else merged.join(words, Seq("id"))
+        .withColumn("chars",
+          expr("aggregate(slice(words, CAST(s AS INT) + 1, " +
+            "CAST(e - s AS INT)), 0L, (acc, x) -> acc + length(x))") +
+            (col("e") - col("s") - 1))
+        .filter(col("chars") >= minSpanChars)
+        .select("id", "s", "e")
     val cuts = spans.groupBy("id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         count(lit(1)).as("n_spans_cut"),

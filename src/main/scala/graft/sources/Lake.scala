@@ -122,7 +122,8 @@ object Lake {
     */
   def writeBloomFiltered(df: DataFrame, dir: String,
                          bloomCols: Seq[String], expectedNdv: Long,
-                         nFiles: Int = 0): Unit = {
+                         nFiles: Int = 0,
+                         mode: String = "overwrite"): Unit = {
     require(bloomCols.nonEmpty, "writeBloomFiltered: no bloom columns")
     require(expectedNdv > 0, s"expectedNdv must be positive: $expectedNdv")
     val base = (if (nFiles > 0) df.repartition(nFiles) else df).write
@@ -131,7 +132,7 @@ object Lake {
         .option(s"parquet.bloom.filter.expected.ndv#$c",
           expectedNdv.toString)
         .option(s"parquet.enable.dictionary#$c", "false")
-    }.mode("overwrite").parquet(dir)
+    }.mode(mode).parquet(dir)
   }
 
   /** Sort-clustered write — the data-skipping layout for NON-partition

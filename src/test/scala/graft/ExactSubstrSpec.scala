@@ -134,4 +134,86 @@ class ExactSubstrSpec extends SparkSpec {
     assert(byId(0L) == 0L)
     assert((3L to 19L by 3L).forall(byId(_) == 25L))
   }
+
+  test("maintained index: two chained batches equal from-scratch d31 " +
+      "restricted to the batches; prior text never rescans") {
+    val passage = words(20, "sh")
+    val prior = Seq(
+      (0L, (words(4, "p0") ++ passage ++ words(4, "p1")).mkString(" ")),
+      (1L, words(30, "pp").mkString(" "))).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, (words(3, "b0") ++ passage).mkString(" ")),       // vs prior
+      (11L, words(16, "b1").mkString(" "))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, (words(16, "b1") ++ words(2, "t")).mkString(" ")), // vs b1!
+      (21L, (passage ++ words(2, "u")).mkString(" ")),         // vs prior
+      (22L, words(9, "fresh").mkString(" "))).toDF("doc_id", "text")
+    val dir = Registry.scratchDir("spec_d33") + "/idx"
+    Dedup.buildDigestIndex(prior, "text", "doc_id", 8, dir, 10000L)
+    val r1 = Dedup.exactSubstrWithIndex(b1,
+        Dedup.readDigestIndex(spark, dir), "text", "doc_id", 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    Dedup.appendDigests(spark, b1, "text", "doc_id", 8, dir, 10000L)
+    val idx2 = Dedup.readDigestIndex(spark, dir)
+    val r2df = Dedup.exactSubstrWithIndex(b2, idx2, "text", "doc_id", 8)
+    val r2 = r2df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // chained == from-scratch over prior ∪ b1 ∪ b2, restricted
+    val full = Dedup.exactSubstrDedup(prior.unionAll(b1).unionAll(b2),
+        "text", "doc_id", w = 8)
+      .filter(col("id") >= 10L).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert((r1 ++ r2).sortBy(_._1).toSeq == full.sortBy(_._1).toSeq)
+    // b2's cross-batch duplicate (doc 20 repeats b1's doc 11) was cut
+    // by the FOLDED index alone — prior text appears nowhere in the
+    // probe plan (the only scans are the batch rows and the digest
+    // parquet; batch text rides an in-memory LocalRelation here, so a
+    // file scan of prior text would be visible)
+    assert(r2.find(_._1 == 20L).get._4 == 16L)
+    val scans = r2df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(
+      f.location.rootPaths.forall(_.toString.contains(dir)),
+      f.location.rootPaths.mkString(",")))
+    // the fold was INCREMENTAL: the index dir gained files, it was not
+    // rewritten (the build's files survive untouched)
+    assert(idx2.count() >
+      Dedup.windowDigests(prior, "text", "doc_id", 8).count())
+  }
+
+  test("minSpanChars keeps short-char collisions the published " +
+      "threshold would keep, still cuts long spans") {
+    // an 8-token collision of 1-char words: span chars = 8 + 7 = 15
+    val shortRun = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    // an 8-token collision of 9-char words: span chars = 72 + 7 = 79
+    val longRun = words(8, "longword")
+    val docs = Seq(
+      (0L, (shortRun ++ words(4, "x")).mkString(" ")),
+      (1L, (words(4, "y") ++ shortRun).mkString(" ")),
+      (2L, (longRun ++ words(4, "z")).mkString(" ")),
+      (3L, (words(4, "w") ++ longRun).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "text", "doc_id", w = 8,
+        minSpanChars = 50L)
+      .orderBy("id").collect()
+    // the 15-char collision survives in BOTH copies (below threshold)
+    assert(out(1).getString(1) == (words(4, "y") ++ shortRun)
+      .mkString(" "))
+    assert(out(1).getLong(2) == 0L)
+    // the 79-char span still cuts from the later copy only
+    assert(out(3).getString(1) == words(4, "w").mkString(" "))
+    assert(out(3).getLong(3) == 8L)
+    assert(out(2).getLong(2) == 0L)
+    // threshold 0 (default) cuts both — the knob alone changed it
+    val strict = Dedup.exactSubstrDedup(docs, "text", "doc_id", w = 8)
+      .orderBy("id").collect()
+    assert(strict(1).getLong(3) == 8L)
+  }
 }
