@@ -222,8 +222,232 @@ object RegistryR13 {
           minSpanChars = 200L)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
-      Some(exactSubstrCharsOracle(minSpanChars = 200L)))
+      Some(exactSubstrCharsOracle(minSpanChars = 200L))),
+
+    // ---- L19: the FULL prep DAG — l18 stops at packing; the
+    //      production chain ends with training-order layout. One hash
+    //      gate over: ExactSubstr dedup (d31) → BPE fit+encode on the
+    //      CLEANED text (t23) → 512-BPE-token packing (l17) →
+    //      curriculum phase on the cleaned text (l11's integer gates,
+    //      bin phase = min over its docs — conservative curriculum) →
+    //      deterministic shuffle key per bin (o08's 60-bit md5 recipe).
+    //      The training order is EMITTED AS SORT KEYS (bin_phase desc,
+    //      pri) — the l11 posture: range-sort file layout at 100 TB,
+    //      no global row_number window. An ordering bug anywhere
+    //      (phase inversion, seed drift, moved bin seam) breaks this
+    //      single entry. ---------------------------------------------
+    Q("l19_full_prep_dag",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        val clean = graft.llm.Dedup
+          .exactSubstrDedup(docs, "text", "doc_id", w = 8)
+          .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        val merges = graft.llm.Bpe.fit(clean, "text", numMerges = 8,
+          maxVocabWords = 200)
+        val counts = graft.llm.Bpe
+          .encodePortable(clean, "doc_id", "text", merges)
+          .select(col("id").as("doc_id"),
+            col("n_bpe_tokens").cast("long").as("n_tokens"))
+        val packed = graft.llm.CorpusPipeline.packByCount(counts,
+          capacity = 512, blockSize = 32)
+        val phase = clean.select(col("doc_id"),
+          graft.llm.TextAnalysis.qualityPhase(col("text")).as("phase"))
+        val binPhase = packed.join(phase, "doc_id")
+          .groupBy("block", "bin")
+          .agg(min(col("phase")).as("bin_phase"))
+          .withColumn("pri", expr(
+            "CAST(conv(substring(md5(concat(CAST(block AS STRING), " +
+              "':', CAST(bin AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        packed.join(phase, "doc_id")
+          .join(binPhase, Seq("block", "bin"))
+          .select(col("doc_id"), col("block"),
+            col("bin").cast("long").as("bin"), col("n_tokens"),
+            col("phase"), col("bin_phase"), col("pri"))
+          .orderBy("doc_id")
+      },
+      oracleL19),
+
+    // ---- L20: fertility-DRIVEN per-language token budgets — t24
+    //      measures fertility, l07 takes budgets as constants; a
+    //      multilingual mix derives them: equal CHARACTER allowance
+    //      per language (20,000 chars) converts to a TOKEN budget via
+    //      the language's measured words-per-char ratio —
+    //      budget_tokens = (20000 · words_lang) div chars_lang, exact
+    //      BIGINT from t24's integer sums — then l07's hash-ordered
+    //      running-sum prefix keeps each language inside ITS budget.
+    //      Token-cheap (low-fertility) languages keep more docs for
+    //      the same information allowance — the published
+    //      multilingual-mix correction. ------------------------------
+    Q("l20_fertility_budget",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val wordsE = expr(
+          "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+        val base = docs.select(col("doc_id"), col("lang"),
+          size(wordsE).cast("long").as("nt"),
+          length(regexp_replace(col("text"), "\\s+", ""))
+            .cast("long").as("nc"))
+        val bud = base.filter(col("nt") > 0)
+          .groupBy("lang")
+          .agg(sum("nt").as("words"), sum("nc").as("chars"))
+          .filter(col("chars") > 0)
+          .select(col("lang"),
+            expr("CAST((20000 * words) div chars AS BIGINT)")
+              .as("budget_tokens"))
+        val w = Window.partitionBy("lang")
+          .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(100000L)),
+            col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("cum_tokens", sum(col("nt")).over(w))
+          .join(broadcast(bud), "lang")
+          .filter(col("cum_tokens") <= col("budget_tokens"))
+          .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+            col("cum_tokens"), col("budget_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fb_n AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split_regex(trim(text),
+             |      '\s+'), x -> strlen(x) > 0)) AS BIGINT) AS nt,
+             |    CAST(strlen(regexp_replace(text, '\s+', '', 'g'))
+             |      AS BIGINT) AS nc
+             |  FROM documents),
+             |fb_bud AS (
+             |  SELECT lang,
+             |    CAST((20000 * sum(nt)) // sum(nc) AS BIGINT)
+             |      AS budget_tokens
+             |  FROM fb_n WHERE nt > 0
+             |  GROUP BY lang HAVING sum(nc) > 0),
+             |fb_cum AS (
+             |  SELECT doc_id, lang, nt,
+             |    CAST(sum(nt) OVER (PARTITION BY lang
+             |      ORDER BY (doc_id * 2654435761) % 100000, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_tokens
+             |  FROM fb_n)
+             |SELECT c.doc_id, c.lang, c.nt AS n_tokens, c.cum_tokens,
+             |  b.budget_tokens
+             |FROM fb_cum c JOIN fb_bud b ON b.lang = c.lang
+             |WHERE c.cum_tokens <= b.budget_tokens
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** l19 oracle: the l18 chain (d31 rewrite → BPE from clean text →
+    * greedy pack) extended with the curriculum phase on the cleaned
+    * text and the per-bin deterministic shuffle key — the whole
+    * training-layout DAG in one replay.
+    */
+  private val oracleL19: Option[String] = Some {
+    val bpe = graft.llm.Bpe.portableCtes("clean_docs", "doc_id",
+      "text", maxDocId = 300L, numMerges = 8, maxVocabWords = 200)
+    s"""WITH RECURSIVE es_words AS (
+       |  SELECT doc_id AS id,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents WHERE doc_id < 300),
+       |es_segs AS (
+       |  SELECT w.id, t.i AS span_idx,
+       |    md5(array_to_string(w.ws[t.i+1:t.i+8], ' ')) AS h
+       |  FROM es_words w,
+       |    LATERAL (SELECT unnest(range(greatest(
+       |      len(w.ws) - 7, 0))) AS i) t),
+       |es_occ AS (
+       |  SELECT id, span_idx,
+       |    row_number() OVER (PARTITION BY h ORDER BY id, span_idx) AS rn,
+       |    count(*) OVER (PARTITION BY h) AS cnt
+       |  FROM es_segs),
+       |es_losers AS (
+       |  SELECT id, span_idx AS s, span_idx + 8 AS e
+       |  FROM es_occ WHERE cnt > 1 AND rn > 1),
+       |es_isl AS (
+       |  SELECT id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+       |        ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM es_losers),
+       |es_grp AS (
+       |  SELECT id, s, e,
+       |    sum(brk) OVER (PARTITION BY id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM es_isl),
+       |es_spans AS (
+       |  SELECT id, g, min(s) AS s, max(e) AS e FROM es_grp
+       |  GROUP BY id, g),
+       |es_tok AS (
+       |  SELECT w.id, t.i AS idx, t.tk
+       |  FROM es_words w,
+       |    LATERAL (SELECT unnest(w.ws) AS tk,
+       |             unnest(range(len(w.ws))) AS i) t),
+       |es_kept AS (
+       |  SELECT es_tok.id, es_tok.idx, es_tok.tk
+       |  FROM es_tok LEFT JOIN es_spans sp
+       |    ON sp.id = es_tok.id AND es_tok.idx >= sp.s
+       |      AND es_tok.idx < sp.e
+       |  WHERE sp.id IS NULL),
+       |es_agg AS (
+       |  SELECT id, string_agg(tk, ' ' ORDER BY idx) AS clean_text
+       |  FROM es_kept GROUP BY id),
+       |clean_docs AS (
+       |  SELECT w.id AS doc_id, coalesce(a.clean_text, '') AS text
+       |  FROM es_words w LEFT JOIN es_agg a ON a.id = w.id),
+       |${bpe.mkString(",\n")},
+       |bp_counts AS (
+       |  SELECT d.id AS doc_id,
+       |    CAST(coalesce(sum(len(e.toks)), 0) AS BIGINT) AS nt
+       |  FROM bp_d d
+       |  LEFT JOIN bp_w0 o ON o.id = d.id
+       |  LEFT JOIN bp_enc e ON e.w = o.w
+       |  GROUP BY 1),
+       |pk_n AS (
+       |  SELECT doc_id, doc_id // 32 AS block, nt,
+       |    row_number() OVER (PARTITION BY doc_id // 32
+       |      ORDER BY doc_id) AS rn
+       |  FROM bp_counts),
+       |pk_p AS (
+       |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+       |  FROM pk_n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.doc_id, n.block, n.nt, n.rn,
+       |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+       |      THEN p.bin ELSE p.bin + 1 END,
+       |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+       |      THEN p.bt + n.nt ELSE n.nt END
+       |  FROM pk_p p JOIN pk_n n
+       |    ON n.block = p.block AND n.rn = p.rn + 1),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(n BETWEEN 10 AND 100000 AS INT)
+       |      + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
+       |      + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT) AS INT)
+       |      AS phase
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> strlen(x) > 0)) AS BIGINT) AS n,
+       |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |        AS BIGINT) AS npunct,
+       |      CAST(strlen(text) AS BIGINT) AS nchars,
+       |      CAST(len(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'),
+       |        x -> x IN ('the','a','an','and','or','of','to','in',
+       |                   'is','it'))) AS BIGINT) AS nsw
+       |    FROM clean_docs)),
+       |binph AS (
+       |  SELECT p.block, p.bin, min(ph.phase) AS bin_phase
+       |  FROM pk_p p JOIN ph ON ph.doc_id = p.doc_id
+       |  GROUP BY 1, 2),
+       |binkey AS (
+       |  SELECT block, bin, bin_phase,
+       |    CAST(concat('0x', substr(md5(CAST(block AS VARCHAR) || ':'
+       |      || CAST(bin AS VARCHAR)), 1, 15)) AS BIGINT) AS pri
+       |  FROM binph)
+       |SELECT k.doc_id, k.block, CAST(k.bin AS BIGINT) AS bin,
+       |  k.nt AS n_tokens, ph.phase, b.bin_phase, b.pri
+       |FROM pk_p k
+       |JOIN ph ON ph.doc_id = k.doc_id
+       |JOIN binkey b ON b.block = k.block AND b.bin = k.bin
+       |ORDER BY 1""".stripMargin
+  }
 
   /** The d32-shape incremental-ExactSubstr DuckDB replay, prefix-
     * parameterized so d33 chains two batches in one statement. Emits
