@@ -103,7 +103,29 @@ object ScaleProbe {
     }),
     // d20 shape: portable MinHash signatures -> banded bucket join on a
     // constant 40% fraction (d20's own fraction at sf0.1)
-    "d20_lsh_candidates" -> ((s, dir) => lshCandidates(s, dir))
+    "d20_lsh_candidates" -> ((s, dir) => lshCandidates(s, dir)),
+    // d06/d08 df-cap VALVE measurement (round-12 probe finding: under
+    // the fixed synthetic vocabulary, candidates-per-gram grow linearly
+    // with corpus size, so the pair join goes quadratic at the next 10x
+    // unless the cap bites). Same 10% slice as d08_cc_neardup, pairs
+    // frame only (CC excluded so shuffle records isolate the valve):
+    // uncapped vs maxGramDf=8 — the cap is chosen to be a NO-OP at
+    // sf0.1 (max gram df there is 7) and to engage exactly where the
+    // growth would go quadratic: rows = true pairs found (the
+    // conservative-miss accounting), shuffle = the valve's effect.
+    "d06_pairs_uncapped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val maxId = d.count() / 10L
+      graft.llm.Dedup.exactNgramNearDups(
+        d.filter(col("doc_id") < maxId), "text", "doc_id", 3, 0.5)
+    }),
+    "d06_pairs_capped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val maxId = d.count() / 10L
+      graft.llm.Dedup.exactNgramNearDups(
+        d.filter(col("doc_id") < maxId), "text", "doc_id", 3, 0.5,
+        maxGramDf = 8)
+    })
   )
 
   def main(args: Array[String]): Unit = {
@@ -119,8 +141,12 @@ object ScaleProbe {
           shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     })
+    // dev iteration filter (comma-separated probe-name prefixes)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     args.foreach { dir =>
-      probes.foreach { case (name, fn) =>
+      probes.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+        .foreach { case (name, fn) =>
         CacheScope.harness.release()
         spark.catalog.clearCache()
         shuffleRecords.set(0L)
