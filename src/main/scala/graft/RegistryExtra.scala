@@ -364,10 +364,17 @@ object RegistryExtra {
     Q("a16_sketch_audit",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        li.agg(
+        // countDistinct SPLIT from the other aggregates (the a31
+        // multi-distinct trap: one Aggregate mixing a distinct with
+        // non-distinct aggs rewrites to an Expand whose percentile
+        // buffers ride a SortAggregate over the doubled relation —
+        // ~10 s at sf0.1; two clean one-row aggregates cross-joined
+        // read the scan twice but each pass is hash-aggregated)
+        val distinctSide = li.agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        val sketchSide = li.agg(
             // rsd 0.02; the audit bound below is 3×rsd
             approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orders"),
-            countDistinct(col("l_orderkey")).as("exact_orders"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
               .as("approx_median_price"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
@@ -376,6 +383,7 @@ object RegistryExtra {
             // median dominate at small n)
             expr("percentile(l_extendedprice, 0.48)").as("p48"),
             expr("percentile(l_extendedprice, 0.52)").as("p52"))
+        distinctSide.crossJoin(sketchSide)
           .select(col("exact_orders"),
             (abs(col("hll_orders") - col("exact_orders")) /
               col("exact_orders") <= 0.06).as("hll_within_3rsd"),

@@ -192,25 +192,31 @@ object TextAnalysis {
     * prose near zero. Exact integer counts, one double division; per-row
     * expression, so it runs shuffle-free at scan speed.
     */
-  def duplicateNgramFraction(text: Column, n: Int = 3): Column = {
-    val grams = slidingNgrams(text, n)
-    val total = size(grams)
-    ((total - size(array_distinct(grams))).cast("double") /
-      greatest(total, lit(1)).cast("double"))
-  }
+  def duplicateNgramFraction(text: Column, n: Int = 3): Column =
+    // gram array bound ONCE as a lambda variable: referencing the
+    // slidingNgrams tree in several places would inline and re-evaluate
+    // the whole gram build per reference (the BENCH_NOTES round-11
+    // HOF-inlining trap)
+    element_at(transform(array(slidingNgrams(text, n)), gs =>
+      (size(gs) - size(array_distinct(gs))).cast("double") /
+        greatest(size(gs), lit(1)).cast("double")), 1)
 
   /** Fraction of all bigram occurrences taken by the single most frequent
     * bigram (Gopher's "top n-gram fraction" family, n=2): a chant-like
     * doc ("buy now buy now …") approaches 1. O(distinct·total) per row —
     * bounded by doc length, no shuffle.
     */
-  def topBigramFraction(text: Column): Column = {
-    val bg = slidingNgrams(text, 2)
-    val top = array_max(transform(array_distinct(bg),
-      b => size(filter(bg, x => x === b))))
-    (coalesce(top, lit(0)).cast("double") /
-      greatest(size(bg), lit(1)).cast("double"))
-  }
+  def topBigramFraction(text: Column): Column =
+    // the bigram array MUST be a lambda variable here: the inner
+    // filter(bg, ...) sits inside a per-distinct-gram lambda, so an
+    // inlined slidingNgrams tree re-built the whole gram array PER
+    // DISTINCT GRAM — O(distinct x total x gram-build) per row, 19.8 s
+    // at sf0.1 once the checksum bench drive stopped project-pruning
+    // this column (count() had hidden the cost since round 1)
+    element_at(transform(array(slidingNgrams(text, 2)), bg =>
+      coalesce(array_max(transform(array_distinct(bg),
+          b => size(filter(bg, x => x === b)))), lit(0)).cast("double") /
+        greatest(size(bg), lit(1)).cast("double")), 1)
 
   // ---------------------------------------------- corpus vocabulary
 
