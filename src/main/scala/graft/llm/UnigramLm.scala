@@ -211,6 +211,26 @@ object UnigramLm {
     }(enc)
   }
 
+  /** Persist a fitted vocabulary as a parquet artifact — the tokenizer
+    * is trained ONCE and every later encode job loads the artifact
+    * (the d33/a33 persisted-member posture applied to the tokenizer
+    * family; [[loadVocab]] restores the exact (piece, cnt, score)
+    * list, so encode-after-load is bit-identical to encode-after-fit).
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[(String, Long, Long)], dir: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "cnt", "score_micronats")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Seq[(String, Long, Long)] =
+    spark.read.parquet(dir)
+      .select("piece", "cnt", "score_micronats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
   // --------------------------------------------------------------------
   // DuckDB replay — the ENTIRE fit (seeding, both EM rounds, prune) and
   // encode re-derived independently, so the hash gate proves the whole

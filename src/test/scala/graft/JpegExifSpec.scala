@@ -170,4 +170,62 @@ class JpegExifSpec extends SparkSpec {
     val stripped = st.getAs[Array[Byte]](1)
     assert((stripped(2) & 0xff) == 0xff && (stripped(3) & 0xff) == 0xe0)
   }
+
+  test("legal 0xFF fill bytes before a marker do not latch corrupt; " +
+      "the strip still removes metadata") {
+    // fill run before a COM segment (ITU T.81 B.1.1.2): previously the
+    // second 0xFF read as the marker id -> corrupt=true -> the strip
+    // silently returned the payload unchanged (a PII-strip miss)
+    val comment = "gps was here".getBytes("ISO-8859-1")
+    val len = comment.length + 2
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ comment
+    val fill = Array.fill(3)(0xff.toByte)
+    val jpeg = base.take(2) ++ fill ++ com ++ base.drop(2)
+    val meta = Multimodal.jpegExif(df((9L, jpeg)), "id", "payload")
+      .collect()(0)
+    assert(!meta.getBoolean(6), "fill bytes must not read as corrupt")
+    assert(meta.getInt(1) == 8 && meta.getInt(2) == 8) // SOF still parsed
+    val st = Multimodal.stripJpegMeta(df((9L, jpeg)), "id", "payload")
+      .collect()(0)
+    // the COM segment is GONE (no silent miss) and the result decodes
+    assert(st.getLong(2) >= com.length.toLong)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(st.getAs[Array[Byte]](1)))
+    assert(img != null && img.getWidth == 8)
+    // fill bytes BETWEEN kept segments are preserved verbatim (the -2
+    // pseudo-segment): fill before SOI's successor on a metadata-free
+    // payload round-trips byte-exact through the walk
+    val keepFill = base.take(2) ++ fill ++ base.drop(2)
+    val st2 = Multimodal.stripJpegMeta(df((10L, keepFill)), "id",
+      "payload").collect()(0)
+    assert(java.util.Arrays.equals(st2.getAs[Array[Byte]](1), keepFill))
+  }
+
+  test("planters pass null payloads through and coalesce null values " +
+      "(corrupt-is-data, no executor NPE)") {
+    val in = Seq((1L, base, "a", "b"), (2L, null, "a", "b"),
+      (3L, base, null, null))
+      .toDF("id", "payload", "v1", "v2")
+    val planted = Multimodal.withPlantedExif(in, "id", "payload",
+      Seq("artist" -> "v1", "description" -> "v2")).orderBy("id").collect()
+    assert(planted(1).isNullAt(1))                 // null payload rides
+    assert(planted(0).getAs[Array[Byte]](1).length > base.length)
+    // null values coalesce to "" — the tags come back empty, not NPE
+    val tags = Multimodal.jpegExif(
+        Multimodal.withPlantedExif(in.filter(col("id") === 3L), "id",
+          "payload", Seq("artist" -> "v1")), "id", "payload").collect()
+    assert(tags.exists(r => r.getString(3) == "artist" &&
+      r.getString(4) == ""))
+    val gin = Seq((1L, base, Some(1000L), Some(2000L)),
+      (2L, null, Some(1L), Some(2L)), (3L, base, None, None))
+      .toDF("id", "payload", "la", "lo")
+    val g = Multimodal.withPlantedGps(gin, "id", "payload", "la", "lo")
+      .orderBy("id").collect()
+    assert(g(1).isNullAt(1))
+    val coords = Multimodal.jpegGps(
+      Multimodal.withPlantedGps(gin.filter(col("id") === 3L), "id",
+        "payload", "la", "lo"), "id", "payload").collect()(0)
+    assert(coords.getLong(1) == 0L && coords.getLong(2) == 0L)
+  }
 }

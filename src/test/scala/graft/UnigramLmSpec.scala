@@ -68,6 +68,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(enc.values.flatten.forall(pieceSet.contains))
   }
 
+  test("persisted vocabulary: encode after load == encode after fit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val vocab = UnigramLm.fit(docs, "text", Params())
+    val dir = Registry.scratchDir("spec_ugvocab") + "/v"
+    UnigramLm.saveVocab(spark, vocab, dir)
+    val loaded = UnigramLm.loadVocab(spark, dir)
+    assert(loaded == vocab)
+    val a = UnigramLm.encode(docs, "doc_id", "text", vocab, Params())
+      .select("id", "pieces").as[(Long, Seq[String])].collect().toMap
+    val b = UnigramLm.encode(docs, "doc_id", "text", loaded, Params())
+      .select("id", "pieces").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+  }
+
   test("em reassigns mass: final counts cover the weighted corpus") {
     val freq = Seq(("aaab", 8L), ("aab", 4L))
     val p = Params(vocabSize = 6, maxPieceLen = 3)
