@@ -125,6 +125,36 @@ object ScaleProbe {
       graft.llm.Dedup.exactNgramNearDups(
         d.filter(col("doc_id") < maxId), "text", "doc_id", 3, 0.5,
         maxGramDf = 8)
+    }),
+    // t30 shape: KN trigram stats fitted AND scored over the FULL
+    // corpus — measures the trigram-TYPE table's growth (the design
+    // claim: stats tables are type-bounded, so they saturate under a
+    // bounded vocabulary while the scored stream grows linearly)
+    "t30_kn_trigram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.llm.TextAnalysis.knTrigramScores(d, d, "doc_id", "text")
+    }),
+    // d33 shape: digest-index BUILD on 90% + one batch (10%) rewritten
+    // against it — the steady-state maintenance cost (build dominates;
+    // the probe-side joins carry digests only)
+    "d33_index_rewrite" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = 9L * d.count() / 10L
+      graft.llm.Dedup.exactSubstrWithIndex(
+        d.filter(col("doc_id") >= cut),
+        graft.llm.Dedup.windowDigests(
+          d.filter(col("doc_id") < cut), "text", "doc_id", 8),
+        "text", "doc_id", 8)
+    }),
+    // t29 shape: unigram-LM fit (bounded driver EM over the word-freq
+    // table) + full-corpus Viterbi encode — the encode pass should be
+    // linear and the fit constant (the frequent-word table saturates)
+    "t29_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = graft.llm.UnigramLm.fit(d, "text",
+        graft.llm.UnigramLm.Params())
+      graft.llm.UnigramLm.encode(d, "doc_id", "text", vocab,
+        graft.llm.UnigramLm.Params())
     })
   )
 
