@@ -11,7 +11,12 @@ object Bench {
     * writes. Map/variant-bearing columns ride through to_json (xxhash64
     * rejects MapType); the JSON render still forces their computation.
     */
-  def forceAll(df: DataFrame): Unit = {
+  def forceAll(df: DataFrame): Unit = { checksum(df); () }
+
+  /** The checksum drive itself, returning (row count, xxhash64 sum) —
+    * shared with ScaleProbe so the two drives can never drift.
+    */
+  def checksum(df: DataFrame): (Long, Option[Long]) = {
     import org.apache.spark.sql.types._
     def unhashable(dt: DataType): Boolean = dt match {
       case _: MapType => true
@@ -23,8 +28,9 @@ object Bench {
     val cols: Array[Column] = df.schema.fields.map { f =>
       if (unhashable(f.dataType)) to_json(col(f.name)) else col(f.name)
     }
-    df.agg(count(lit(1)).as("n"), sum(xxhash64(cols: _*)).as("chk")).first()
-    ()
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(xxhash64(cols: _*)).as("chk")).first()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
   }
 
   def main(args: Array[String]): Unit = {

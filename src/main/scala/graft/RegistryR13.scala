@@ -281,12 +281,16 @@ object RegistryR13 {
     Q("l20_fertility_budget",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // NULL text behaves as empty on BOTH engines (nt = 0, not the
+        // legacy size(NULL) = -1 that would poison the running sum
+        // while DuckDB's NULL silently drops out of its window)
         val wordsE = expr(
-          "filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+          "filter(split(trim(coalesce(text, '')), '\\\\s+'), " +
+            "x -> length(x) > 0)")
         val base = docs.select(col("doc_id"), col("lang"),
           size(wordsE).cast("long").as("nt"),
-          length(regexp_replace(col("text"), "\\s+", ""))
-            .cast("long").as("nc"))
+          length(regexp_replace(coalesce(col("text"), lit("")),
+            "\\s+", "")).cast("long").as("nc"))
         val bud = base.filter(col("nt") > 0)
           .groupBy("lang")
           .agg(sum("nt").as("words"), sum("nc").as("chars"))
@@ -307,10 +311,11 @@ object RegistryR13 {
       },
       Some("""WITH fb_n AS (
              |  SELECT doc_id, lang,
-             |    CAST(len(list_filter(string_split_regex(trim(text),
-             |      '\s+'), x -> strlen(x) > 0)) AS BIGINT) AS nt,
-             |    CAST(strlen(regexp_replace(text, '\s+', '', 'g'))
-             |      AS BIGINT) AS nc
+             |    CAST(len(list_filter(string_split_regex(
+             |      trim(coalesce(text, '')), '\s+'),
+             |      x -> strlen(x) > 0)) AS BIGINT) AS nt,
+             |    CAST(strlen(regexp_replace(coalesce(text, ''),
+             |      '\s+', '', 'g')) AS BIGINT) AS nc
              |  FROM documents),
              |fb_bud AS (
              |  SELECT lang,

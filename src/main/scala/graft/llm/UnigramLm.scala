@@ -48,6 +48,17 @@ object UnigramLm {
     */
   val UnkScore: Long = -25000000L
 
+  /** Sentinel piece for a word longer than `Params.maxWordLen` — the
+    * replayability contract made explicit on BOTH engines: the oracle's
+    * DP unroll is bounded at maxWordLen and emits this piece for longer
+    * words, so [[encode]] emits the SAME sentinel (visible in output,
+    * bit-identical across engines) instead of silently diverging; and
+    * [[fitFromWordFreq]] refuses an overlong VOCAB word loudly (a
+    * sentinel inside training counts would pollute the vocabulary).
+    * Raise `maxWordLen` for corpora with longer words.
+    */
+  val TooLong: String = "#TOOLONG#"
+
   /** round(ln(x)*1e6) with HALF_UP — bit-compatible with DuckDB
     * `CAST(round(ln(x) * 1e6) AS BIGINT)` (both round the same IEEE
     * double half-away-from-zero).
@@ -112,6 +123,12 @@ object UnigramLm {
     */
   def fitFromWordFreq(wordFreq: Seq[(String, Long)],
                       p: Params = Params()): Seq[(String, Long, Long)] = {
+    wordFreq.find(_._1.length > p.maxWordLen).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"UnigramLm.fit: vocab word '$w' (${w.length} chars) exceeds " +
+          s"maxWordLen=${p.maxWordLen} — the oracle's DP unroll bound; " +
+          "raise Params.maxWordLen")
+    }
     // seed candidates: every substring (multiplicity-weighted by word
     // frequency), capped to seedSize by (freq desc, piece asc); all
     // single characters bypass the cap
@@ -205,7 +222,9 @@ object UnigramLm {
       val memo = scala.collection.mutable.HashMap[String, Seq[String]]()
       rows.map { r =>
         val toks = Bpe.words(r.getString(1)).flatMap(w =>
-          memo.getOrElseUpdate(w, viterbi(w, scores, p.maxPieceLen)))
+          memo.getOrElseUpdate(w,
+            if (w.length > p.maxWordLen) Seq(TooLong)
+            else viterbi(w, scores, p.maxPieceLen)))
         Row(r.getLong(0), toks, toks.length)
       }
     }(enc)

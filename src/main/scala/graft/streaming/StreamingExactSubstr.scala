@@ -20,16 +20,22 @@ import graft.llm.Dedup
   *
   * Crash-safety / exactly-once (the [[CorpusStream]] idempotent-sink
   * recipe, hardened for the index side effect):
-  *  - each batch writes its own `batch=<id>` directory; a batch whose
-  *    `_SUCCESS` marker already exists SKIPS the recompute on replay —
-  *    this is load-bearing, not an optimization: after the fold, a
-  *    recompute would run against the contaminated index and OVERWRITE
-  *    a correct result with an empty one;
+  *  - each batch publishes its own `batch=<id>` directory via
+  *    write-tmp-then-rename, with a checkpoint-provenance marker
+  *    (`_graft_ckpt`) inside — an already-published directory SKIPS
+  *    the recompute on replay. Load-bearing, not an optimization:
+  *    after the fold, a recompute would run against the contaminated
+  *    index and OVERWRITE a correct result with an empty one;
+  *  - the marker carries WHICH checkpoint committed the directory: a
+  *    reset checkpoint over a kept tableDir restarts batch ids at 0,
+  *    and a bare skip guard would silently drop the new batch while
+  *    still poisoning the index with its digests — a provenance
+  *    mismatch fails loudly instead;
   *  - the digest fold is idempotent by construction (the index probe's
-  *    anti-join makes a replayed fold a no-op);
-  *  - so every crash point replays cleanly: before the commit, the
-  *    rewrite recomputes against the still-unfolded index; after it,
-  *    the marker short-circuits to the (idempotent) fold.
+  *    anti-join makes a replayed fold a no-op) and runs strictly AFTER
+  *    the publish rename, so every crash point replays cleanly:
+  *    before the rename the index is still unfolded (recompute is
+  *    correct); after it the marker short-circuits to the fold.
   */
 object StreamingExactSubstr {
 
@@ -63,11 +69,57 @@ object StreamingExactSubstr {
               .functions.lit(false)),
             "text", "doc_id", w, indexDir, expectedNdv)
         val outDir = new Path(s"$tableDir/batch=$batchId")
-        if (!fs.exists(new Path(outDir, "_SUCCESS"))) {
-          Dedup.exactSubstrWithIndex(batch,
-              Dedup.readDigestIndex(s, indexDir), "text", "doc_id", w)
-            .write.mode("overwrite").parquet(outDir.toString)
+        // Provenance marker: batch ids restart at 0 when an operator
+        // resets checkpointDir but keeps tableDir — a bare _SUCCESS
+        // skip would then silently drop the NEW batch 0 (its documents
+        // never land) while the fold below still poisons the index
+        // with their digests. The marker records which checkpoint
+        // committed the directory; a mismatch fails LOUDLY instead.
+        def readMarker(dir: Path): Option[String] = {
+          val m = new Path(dir, "_graft_ckpt")
+          if (!fs.exists(m)) None
+          else {
+            val in = fs.open(m)
+            try Some(new String(in.readAllBytes(), "UTF-8"))
+            finally in.close()
+          }
         }
+        val committed = readMarker(outDir)
+        if (committed.isEmpty) {
+          require(!fs.exists(outDir),
+            s"$outDir exists without a provenance marker (a different " +
+              "stream incarnation or manual writes); refusing to " +
+              "overwrite — clean tableDir or use a fresh one")
+          // Commit via write-tmp-then-rename so there is NO crash
+          // window in which the result looks committed but isn't (or
+          // vice versa): the marker lands INSIDE tmp after the parquet
+          // job commits, the rename publishes both atomically, and the
+          // fold runs strictly after. Every crash point replays
+          // cleanly — before the rename the index is still unfolded
+          // (recompute is correct); after it the marker short-circuits
+          // to the idempotent fold. The dot-prefixed tmp dir is hidden
+          // from readers' partition discovery.
+          val tmp = new Path(s"$tableDir/.tmp-batch-$batchId")
+          // per-batch scope: the rewrite's tracked fingerprint cache
+          // must release once the batch commits (the process-global
+          // harness scope would leak one cached digest table per
+          // micro-batch for the stream's lifetime)
+          val scope = new graft.CacheScope
+          try {
+            Dedup.exactSubstrWithIndex(batch,
+                Dedup.readDigestIndex(s, indexDir), "text", "doc_id", w,
+                scope)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val out = fs.create(new Path(tmp, "_graft_ckpt"), true)
+            try out.write(checkpointDir.getBytes("UTF-8"))
+            finally out.close()
+          } finally scope.release()
+          require(fs.rename(tmp, outDir), s"rename $tmp -> $outDir failed")
+        } else require(committed.contains(checkpointDir),
+          s"$outDir was committed by a DIFFERENT stream incarnation " +
+            s"(checkpoint ${committed.get}); refusing to skip or " +
+            "overwrite — clean tableDir or use a fresh one when " +
+            "resetting the checkpoint")
         Dedup.appendDigests(s, batch, "text", "doc_id", w, indexDir,
           expectedNdv)
         ()

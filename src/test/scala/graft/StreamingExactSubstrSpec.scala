@@ -78,5 +78,19 @@ class StreamingExactSubstrSpec extends SparkSpec {
       .awaitTermination(120000)
     assert(StreamingExactSubstr.readTable(spark, table).count() == before)
     assert(Dedup.readDigestIndex(spark, idx).count() == expectDigests)
+    // provenance guard: a RESET checkpoint over the kept tableDir
+    // restarts batch ids at 0 — the old batch=0 directory must fail
+    // LOUDLY (a bare skip would silently drop the new batch while
+    // still folding its digests)
+    val freshCk = s"$root/ck2"
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingExactSubstr.run(spark, in, schema, idx, table, freshCk,
+          w = 8, expectedNdv = 10000L, maxFilesPerTrigger = Some(1))
+        .awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("DIFFERENT stream incarnation") ||
+      Option(ex.getCause).exists(_.getMessage != null &&
+        ex.getCause.getMessage.contains("DIFFERENT stream incarnation")),
+      ex.getMessage)
   }
 }
