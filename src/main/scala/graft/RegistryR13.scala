@@ -334,7 +334,61 @@ object RegistryR13 {
              |  b.budget_tokens
              |FROM fb_cum c JOIN fb_bud b ON b.lang = c.lang
              |WHERE c.cum_tokens <= b.budget_tokens
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- L21: pack by UNIGRAM-LM token counts — the l17 chain through
+    //      the SECOND tokenizer family: the packer's bins are
+    //      tokenizer-sized whichever tokenizer the pipeline trains, so
+    //      the greedy per-block fold composes with the unigram encode
+    //      exactly as with BPE (t28/t29's fit + Viterbi feeding
+    //      packByCount). The oracle re-derives the entire tokenizer
+    //      (seed, EM rounds, prune, encode DP) AND replays the
+    //      recursive greedy pack on its counts in one statement. ------
+    Q("l21_pack_unigram",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val vocab = graft.llm.UnigramLm.fit(docs, "text", ugParams)
+        val counts = graft.llm.UnigramLm
+          .encode(docs, "doc_id", "text", vocab, ugParams)
+          .select(col("id").as("doc_id"),
+            col("n_pieces").cast("long").as("n_tokens"))
+        graft.llm.CorpusPipeline.packByCount(counts,
+            capacity = 512, blockSize = 16)
+          .select(col("doc_id"), col("block"),
+            col("bin").cast("long").as("bin"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ctes = graft.llm.UnigramLm.encodeCtes("documents", "doc_id",
+          "text", maxDocId = 100L, ugParams)
+        s"""WITH RECURSIVE ${ctes.mkString(",\n")},
+           |ug_counts AS (
+           |  SELECT d.id AS doc_id,
+           |    CAST(coalesce(sum(e.np), 0) AS BIGINT) AS nt
+           |  FROM ug_d d
+           |  LEFT JOIN ug_w0 o ON o.id = d.id
+           |  LEFT JOIN ug_enc e ON e.w = o.w
+           |  GROUP BY 1),
+           |pk_n AS (
+           |  SELECT doc_id, doc_id // 16 AS block, nt,
+           |    row_number() OVER (PARTITION BY doc_id // 16
+           |      ORDER BY doc_id) AS rn
+           |  FROM ug_counts),
+           |pk_p AS (
+           |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+           |  FROM pk_n WHERE rn = 1
+           |  UNION ALL
+           |  SELECT n.doc_id, n.block, n.nt, n.rn,
+           |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+           |      THEN p.bin ELSE p.bin + 1 END,
+           |    CASE WHEN p.bt = 0 OR p.bt + n.nt <= 512
+           |      THEN p.bt + n.nt ELSE n.nt END
+           |  FROM pk_p p JOIN pk_n n
+           |    ON n.block = p.block AND n.rn = p.rn + 1)
+           |SELECT doc_id, block, CAST(bin AS BIGINT) AS bin,
+           |  nt AS n_tokens
+           |FROM pk_p ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** l19 oracle: the l18 chain (d31 rewrite → BPE from clean text →

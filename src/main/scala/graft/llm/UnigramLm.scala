@@ -423,12 +423,13 @@ object UnigramLm {
        |FROM ug_fin ORDER BY piece""".stripMargin
   }
 
-  /** t29 oracle: fit + encode — every distinct corpus word segmented by
-    * a third Viterbi pass against the final vocabulary, documents
-    * reassembled in word order ([[Bpe.portableOracleSql]]'s tail shape).
+  /** The full fit + encode CTE chain (ending in `ug_enc(w, toks, np)` —
+    * per-word pieces + piece counts) — exposed so composed oracles
+    * (l21's unigram-count packing) extend the SAME independently
+    * re-derived tokenizer.
     */
-  def portableOracleSql(table: String, idCol: String, textCol: String,
-                        maxDocId: Long, p: Params = Params()): String = {
+  def encodeCtes(table: String, idCol: String, textCol: String,
+                 maxDocId: Long, p: Params = Params()): Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     ctes ++= fitCtes(table, idCol, textCol, maxDocId, p)
     ctes ++= viterbiCtes("ug_en", "(SELECT DISTINCT w FROM ug_w0)",
@@ -437,6 +438,16 @@ object UnigramLm {
               |  SELECT w, string_agg(piece, ' ' ORDER BY s) AS toks,
               |    count(*) AS np
               |  FROM ug_en_seg GROUP BY w)""".stripMargin
+    ctes.toSeq
+  }
+
+  /** t29 oracle: fit + encode — every distinct corpus word segmented by
+    * a third Viterbi pass against the final vocabulary, documents
+    * reassembled in word order ([[Bpe.portableOracleSql]]'s tail shape).
+    */
+  def portableOracleSql(table: String, idCol: String, textCol: String,
+                        maxDocId: Long, p: Params = Params()): String = {
+    val ctes = encodeCtes(table, idCol, textCol, maxDocId, p)
     s"""WITH RECURSIVE ${ctes.mkString(",\n")}
        |SELECT d.id AS doc_id,
        |  CAST(coalesce(sum(e.np), 0) AS INTEGER) AS n_pieces,
