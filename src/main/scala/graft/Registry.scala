@@ -104,7 +104,8 @@ object Registry {
       RegistryLlm.entries ++ RegistryExtra.entries ++
       RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries ++
       RegistryR10.entries ++ RegistryR11.entries ++ RegistryR11.entries2 ++
-      RegistryTpchPs.entries ++ RegistryR12.entries ++ RegistryR13.entries
+      RegistryTpchPs.entries ++ RegistryR12.entries ++
+      RegistryR13.entries ++ RegistryR14.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

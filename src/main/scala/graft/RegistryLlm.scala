@@ -810,7 +810,7 @@ object RegistryLlm {
           defaultWeight = 0.6)
         .select(col("doc_id"), col("source")).orderBy("doc_id"),
       Some("""SELECT doc_id, source FROM documents
-             |WHERE (doc_id * 2654435761) % 10000 <
+             |WHERE (doc_id % 10000) * 2654435761 % 10000 <
              |  CASE source WHEN 'src1' THEN 7500 WHEN 'src2' THEN 5000
              |    WHEN 'src3' THEN 2500 ELSE 6000 END
              |ORDER BY doc_id""".stripMargin)),
@@ -859,7 +859,7 @@ object RegistryLlm {
              |SELECT doc_id, source, cum_tokens FROM (
              |  SELECT doc_id, source,
              |    CAST(sum(nt) OVER (PARTITION BY source
-             |      ORDER BY (doc_id * 2654435761) % 100000, doc_id
+             |      ORDER BY (doc_id % 100000) * 2654435761 % 100000, doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      AS BIGINT) AS cum_tokens
              |  FROM n)

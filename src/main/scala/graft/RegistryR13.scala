@@ -298,12 +298,18 @@ object RegistryR13 {
           .select(col("lang"),
             expr("CAST((20000 * words) div chars AS BIGINT)")
               .as("budget_tokens"))
-        val w = Window.partitionBy("lang")
-          .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(100000L)),
-            col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.withColumn("cum_tokens", sum(col("nt")).over(w))
-          .join(broadcast(bud), "lang")
+        // grouped runningTotal, NOT Window.partitionBy(lang): a window
+        // would sort the dominant language's whole slice in one task.
+        // The id reduces mod 100000 BEFORE the multiply (same modular
+        // value; keeps the product inside BIGINT at any id range so
+        // non-ANSI wrap vs DuckDB overflow-error never diverges).
+        val cum = graft.etl.Ids.runningTotalByKey(
+          base.withColumn("__k",
+            pmod(pmod(col("doc_id"), lit(100000L)) * lit(2654435761L),
+              lit(100000L))),
+          Seq("lang"), Seq(col("__k"), col("doc_id")), col("nt"),
+          totalName = "cum_tokens")
+        cum.join(broadcast(bud), "lang")
           .filter(col("cum_tokens") <= col("budget_tokens"))
           .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
             col("cum_tokens"), col("budget_tokens"))
@@ -326,7 +332,7 @@ object RegistryR13 {
              |fb_cum AS (
              |  SELECT doc_id, lang, nt,
              |    CAST(sum(nt) OVER (PARTITION BY lang
-             |      ORDER BY (doc_id * 2654435761) % 100000, doc_id
+             |      ORDER BY (doc_id % 100000) * 2654435761 % 100000, doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |      AS BIGINT) AS cum_tokens
              |  FROM fb_n)

@@ -923,7 +923,7 @@ object RegistryR8 {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
           graft.llm.TextAnalysis.qualityPhase(col("text")).as("phase"),
-          expr("(doc_id * 2654435761) % 100000").as("pri"))
+          expr("(doc_id % 100000) * 2654435761 % 100000").as("pri"))
         .orderBy(col("phase").desc, col("pri"), col("doc_id")),
       Some("""WITH r AS (
              |  SELECT doc_id, text,
@@ -942,7 +942,7 @@ object RegistryR8 {
              |    + CAST(nsw / greatest(n, 1) >= 0.01 AS INT)
              |    + CAST(npunct / greatest(nchars, 1) <= 0.2 AS INT) AS INT)
              |    AS phase,
-             |  (doc_id * 2654435761) % 100000 AS pri
+             |  (doc_id % 100000) * 2654435761 % 100000 AS pri
              |FROM r ORDER BY phase DESC, pri, doc_id""".stripMargin)),
 
     // ---- G3: exact triangle counting with DEGREE ORIENTATION over the

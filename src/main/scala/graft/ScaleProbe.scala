@@ -151,6 +151,27 @@ object ScaleProbe {
         graft.llm.Dedup.readDigestIndex(s, idx),
         "text", "doc_id", 8)
     }),
+    // l07 shape (round-14): the per-source token-budget prefix sum as
+    // the GROUPED runningTotal (range partition + per-key broadcast
+    // offsets) vs the one-task-per-source window form it replaced —
+    // same result set, the window form sorts each source's WHOLE slice
+    // in a single task (wall should grow ~linearly with the dominant
+    // source; the grouped form's tasks stay bounded by data/parts)
+    "l07_budget_grouped" -> ((s, dir) =>
+      graft.llm.CorpusPipeline.sampleToTokenBudget(docs(s, dir),
+        budget = 100000L)),
+    "l07_budget_window" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(pmod(pmod(col("doc_id"), lit(100000L)) *
+          lit(2654435761L), lit(100000L)), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("__nt",
+          graft.llm.TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum_tokens", sum(col("__nt")).over(w))
+        .filter(col("cum_tokens") <= 100000L)
+        .drop("__nt")
+    }),
     // t29 shape: unigram-LM fit (bounded driver EM over the word-freq
     // table) + full-corpus Viterbi encode — the encode pass should be
     // linear and the fit constant (the frequent-word table saturates)

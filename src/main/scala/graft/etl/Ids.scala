@@ -94,4 +94,79 @@ object Ids {
       .withColumn(totalName, sum(col("__v")).over(w) + col("__off"))
       .drop("__part", "__off", "__v")
   }
+
+  /** PER-KEY running total of `value` in the order of `orderCols`
+    * WITHIN each key — the scale-correct
+    * `sum(v).over(Window.partitionBy(key).orderBy(...))`. The window
+    * form sorts each key's ENTIRE slice in ONE task, so a dominant key
+    * (one source being most of a 100 TB corpus) collapses to a single
+    * executor; this instead reuses the [[runningTotal]] machinery in
+    * grouped form:
+    *
+    *   1. range-partition by (keyCols ++ orderCols) — each key's rows
+    *      are contiguous across partitions, every partition bounded by
+    *      data/parts regardless of key skew;
+    *   2. per-(partition, key) sums — numPartitions × |keys| longs to
+    *      the driver (this operator exists for LOW-cardinality keys:
+    *      source/lang/domain dims; thousands of keys are fine, millions
+    *      mean you wanted the plain per-key window after all);
+    *   3. cumulative per-key offsets broadcast back and added to a
+    *      WITHIN-partition per-key running sum (the window below
+    *      partitions by (__part, key) — every window group is at most
+    *      one range partition, never one key's whole slice).
+    *
+    * Deterministic wherever the sampled range boundaries land, provided
+    * (keyCols ++ orderCols) is a total order. Key columns must be
+    * non-null (the offsets join back on them). Cache lifecycle as in
+    * [[runningTotal]]: the ranged input registers in `scope`, released
+    * by the scope's owner after the result is consumed.
+    */
+  def runningTotalByKey(df: DataFrame, keyCols: Seq[String],
+                        orderCols: Seq[Column], value: Column,
+                        totalName: String = "running_total",
+                        scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    require(keyCols.nonEmpty, "runningTotalByKey: need at least one key")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted for the same reason as runningTotal: the offsets pass
+    // and the final pass must see one physical partitioning
+    val ranged = scope.track(df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(parts, (keyCols.map(col) ++ orderCols): _*)
+      .withColumn("__part", spark_partition_id()))
+    val nk = keyCols.size
+    // tiny driver-side step: numPartitions × |keys| rows (the collect
+    // also materializes the cache before the final pass reads it)
+    val sumRows = ranged
+      .groupBy(col("__part") +: keyCols.map(col): _*)
+      .agg(sum(col("__v")).as("__s"))
+      .collect()
+    val offRows: Seq[Row] = sumRows
+      .groupBy(r => (1 to nk).map(r.get).toSeq)
+      .toSeq
+      .flatMap { case (kv, rows) =>
+        val sorted = rows.sortBy(_.getInt(0))
+        val offs = sorted
+          .map(r => if (r.isNullAt(nk + 1)) 0L else r.getLong(nk + 1))
+          .scanLeft(0L)(_ + _)
+        sorted.zip(offs).map { case (r, off) =>
+          Row.fromSeq(r.getInt(0) +: kv :+ off)
+        }
+      }.toSeq
+    val offSchema = StructType(
+      StructField("__part", IntegerType, nullable = false) +:
+        keyCols.map(k => ranged.schema(k)) :+
+        StructField("__off", LongType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(offRows.asJava, offSchema)
+    val w = Window
+      .partitionBy((col("__part") +: keyCols.map(col)): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "__part" +: keyCols)
+      .withColumn(totalName, sum(col("__v")).over(w) + col("__off"))
+      .drop("__part", "__off", "__v")
+  }
 }

@@ -104,6 +104,28 @@ object Bpe {
     trainMerges(freq, numMerges)
   }
 
+  /** Persist a fitted merge list as a parquet artifact — the tokenizer
+    * is trained ONCE and every later encode job loads the artifact
+    * (the UnigramLm.saveVocab/loadVocab posture for the BPE family).
+    * The merge list is ORDERED (rank decides which pair wins in
+    * [[encodeWord]]), so each row carries its explicit rank and
+    * [[loadMerges]] restores rank order — encode-after-load is
+    * bit-identical to encode-after-fit.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Encode one word with the greedy lowest-rank loop. */
   def encodeWord(word: String,
                  ranks: Map[(String, String), Int]): Seq[String] = {

@@ -242,7 +242,11 @@ object CorpusPipeline {
         lit((defaultWeight * 10000).round): Column) { case ((s, w), acc) =>
       when(col(sourceCol) === s, lit((w * 10000).round)).otherwise(acc)
     }
-    docs.filter(pmod(col(idCol) * lit(2654435761L), lit(10000L)) < scaled)
+    // id reduced mod 10000 before the multiply: same modular value,
+    // product bounded far below BIGINT overflow at any id range (wrap
+    // vs DuckDB's overflow error can never diverge)
+    docs.filter(pmod(pmod(col(idCol), lit(10000L)) * lit(2654435761L),
+      lit(10000L)) < scaled)
   }
 
   /** Greedy sequence packing: assign whole documents, in id order, to
@@ -307,24 +311,35 @@ object CorpusPipeline {
     * within `budget` — "take ~1B tokens per source" as one declarative
     * pass. The order is the same portable multiplicative hash as
     * [[mixSources]]/[[shuffleOrder]] (unbiased, reproducible — never
-    * `rand()`), the running total is one integer window sum per source
-    * (single shuffle on the source key), and the budget cut is a plain
-    * filter on it. Monotone running sum ⇒ the kept set is a true prefix:
-    * adding data to OTHER sources never changes this source's sample.
+    * `rand()`; the id is reduced mod 100000 BEFORE the multiply so the
+    * product stays far from BIGINT overflow at any id range — the
+    * modular value is identical, non-ANSI wrap vs DuckDB's overflow
+    * error never diverges), the running total rides
+    * [[graft.etl.Ids.runningTotalByKey]] — NOT a
+    * `Window.partitionBy(source)`, which would sort a dominant
+    * source's entire slice in one task — and the budget cut is a plain
+    * filter on it. Monotone running sum ⇒ the kept set is a true
+    * prefix: adding data to OTHER sources never changes this source's
+    * sample.
+    *
+    * Cache lifecycle: the grouped running sum pins a range exchange in
+    * `scope` (see [[graft.etl.Ids.runningTotalByKey]]); the scope's
+    * owner releases it once the result is consumed.
     */
   def sampleToTokenBudget(docs: DataFrame, budget: Long,
                           sourceCol: String = "source",
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("__tb_key"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+                          textCol: String = "text",
+                          scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    val keyed = docs
       .withColumn("__tb_key",
-        pmod(col(idCol) * lit(2654435761L), lit(100000L)))
+        pmod(pmod(col(idCol), lit(100000L)) * lit(2654435761L),
+          lit(100000L)))
       .withColumn("__tb_nt", TextAnalysis.tokenCount(col(textCol)))
-      .withColumn("cum_tokens", sum(col("__tb_nt")).over(w))
+    graft.etl.Ids.runningTotalByKey(keyed, Seq(sourceCol),
+        Seq(col("__tb_key"), col(idCol)), col("__tb_nt"),
+        totalName = "cum_tokens", scope = scope)
       .filter(col("cum_tokens") <= budget)
       .drop("__tb_key", "__tb_nt")
   }

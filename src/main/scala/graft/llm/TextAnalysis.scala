@@ -444,10 +444,16 @@ object TextAnalysis {
     * n_trigrams = 0 and NULL score.
     */
   def knTrigramScores(train: DataFrame, score: DataFrame,
-                      idCol: String, textCol: String): DataFrame = {
-    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
-      tokens(lower(col(textCol))).as("ws"))
-    def tris(df: DataFrame) = toks(df).filter(size(col("ws")) >= 3)
+                      idCol: String, textCol: String): DataFrame =
+    knScoreFromStats(score, knStats(train, idCol, textCol), idCol, textCol)
+
+  /** (id, w1, w2, w3) trigram stream of `df` — shared by the stats fit
+    * and the scoring pass.
+    */
+  private def knTris(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col("id"), explode(expr(
         "transform(sequence(0, size(ws) - 3), " +
           "i -> struct(element_at(ws, i + 1) AS w1, " +
@@ -455,8 +461,73 @@ object TextAnalysis {
         .as("t"))
       .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
-    val tri = tris(train).groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c3"))
+
+  /** MERGEABLE Kneser-Ney statistics of a corpus slice — the LM member
+    * of the incremental-stats family (t18's `bm25Stats` posture): one
+    * frame of exact BIGINT counts,
+    *
+    *   - kind='tri' rows: (w1, w2, w3) trigram TYPE counts — every
+    *     higher-order KN table (c2ctx/n1ctx/n1mid/nmidctx/nfol/n1low/
+    *     ntot) derives from this table alone, so persisting it persists
+    *     the whole model;
+    *   - kind='uni' rows: (w1=word, NULL, NULL) unigram token counts —
+    *     the vocabulary size V is the ROW count of this slice (counts
+    *     carry the additive merge; distinct-word identity rides the
+    *     grouping key).
+    *
+    * Counts over disjoint corpus parts merge losslessly by grouped
+    * addition ([[mergeKnStats]]): fold a new batch in and score from
+    * stats ([[knScoreFromStats]]) — scored history is never rescanned,
+    * the same steady-state contract as d12/d19/t18/a33/d33/n17.
+    */
+  def knStats(train: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tri = knTris(train, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c"))
+      .select(lit("tri").as("kind"), col("w1"), col("w2"), col("w3"),
+        col("c"))
+    val uni = train
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(lit("uni").as("kind"), col("w").as("w1"),
+        lit(null).cast("string").as("w2"),
+        lit(null).cast("string").as("w3"), col("c"))
+    tri.unionByName(uni)
+  }
+
+  /** Lossless merge of two [[knStats]] frames (disjoint corpus parts):
+    * grouped element-wise addition — trigram-type counts add, unigram
+    * counts add, and the distinct-word rows union by key, so V (the
+    * uni row count) is exactly the merged vocabulary size.
+    */
+  def mergeKnStats(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.sameElements(b.columns),
+      "mergeKnStats: schema mismatch")
+    a.unionByName(b).groupBy("kind", "w1", "w2", "w3")
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Persist / restore a [[knStats]] frame as a parquet artifact (the
+    * saveVocab/loadVocab posture applied to the LM): fit once, fold new
+    * batches in, score forever from stats.
+    */
+  def saveKnStats(stats: DataFrame, dir: String): Unit =
+    stats.write.mode("overwrite").parquet(dir)
+
+  def loadKnStats(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame =
+    spark.read.parquet(dir).select("kind", "w1", "w2", "w3", "c")
+
+  /** Score `score` against a PROVIDED stats frame (e.g. maintained
+    * incrementally across batches) — identical arithmetic to
+    * [[knTrigramScores]]: when `stats` is the merged stats of the same
+    * training corpus, the two are bit-identical (counts are exact
+    * integers; the float expressions are the same fixed shape).
+    */
+  def knScoreFromStats(score: DataFrame, stats: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val tri = stats.filter(col("kind") === "tri")
+      .select(col("w1"), col("w2"), col("w3"), col("c").as("c3"))
     val ctx = tri.groupBy("w1", "w2")
       .agg(sum(col("c3")).as("c2ctx"), count(lit(1)).as("n1ctx"))
     val mid = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid"))
@@ -464,9 +535,8 @@ object TextAnalysis {
       .agg(sum(col("n1mid")).as("nmidctx"), count(lit(1)).as("nfol"))
     val low = mid.groupBy("w3").agg(count(lit(1)).as("n1low"))
     val glob = mid.agg(count(lit(1)).as("ntot")).crossJoin(
-      toks(train).select(explode(col("ws")).as("w"))
-        .agg(countDistinct(col("w")).as("v")))
-    val joined = tris(score)
+      stats.filter(col("kind") === "uni").agg(count(lit(1)).as("v")))
+    val joined = knTris(score, idCol, textCol)
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(ctx, Seq("w1", "w2"), "left")
       .join(mid, Seq("w2", "w3"), "left")

@@ -112,6 +112,19 @@ object UnigramLm {
     out.reverse.toSeq
   }
 
+  /** UTF-8 BYTE order for driver-side piece sorts — Java's natural
+    * String order compares UTF-16 code units, which disagrees with the
+    * UTF-8/code-point binary collation Spark's `orderBy` and DuckDB's
+    * `ORDER BY` both use when supplementary (non-BMP) characters mix
+    * with U+E000–U+FFFF. Tie-breaking with THIS ordering keeps the
+    * seed cap / prune selection bit-identical to what either engine
+    * would pick, on any vocabulary.
+    */
+  private[graft] val utf8Order: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Train from a word-frequency table (pure Scala — callers feed it a
     * collected (word, count) list, see [[fit]]). Returns the final
     * vocabulary as (piece, em_count, score_micronats) sorted by piece.
@@ -146,9 +159,11 @@ object UnigramLm {
       }
     }
     val chars = candFreq.keysIterator.filter(_.length == 1).toSeq
-    val top = candFreq.toSeq.sortBy { case (piece, f) => (-f, piece) }
+    val top = candFreq.toSeq
+      .sortBy { case (piece, f) => (-f, piece) }(
+        Ordering.Tuple2(Ordering.Long, utf8Order))
       .take(p.seedSize).map(_._1)
-    val seed: Seq[String] = (top ++ chars).distinct.sorted
+    val seed: Seq[String] = (top ++ chars).distinct.sorted(utf8Order)
     val totalSeed = seed.iterator.map(candFreq).sum
     var scores: Map[String, Long] = seed.map(piece =>
       piece -> micronats(candFreq(piece).toDouble / totalSeed.toDouble)).toMap
@@ -174,9 +189,11 @@ object UnigramLm {
       r += 1
     }
     // prune: top vocabSize by (count desc, piece asc); chars forced in
-    val keptTop = counts.toSeq.sortBy { case (piece, c) => (-c, piece) }
+    val keptTop = counts.toSeq
+      .sortBy { case (piece, c) => (-c, piece) }(
+        Ordering.Tuple2(Ordering.Long, utf8Order))
       .take(p.vocabSize).map(_._1)
-    val kept = (keptTop ++ chars).distinct.sorted
+    val kept = (keptTop ++ chars).distinct.sorted(utf8Order)
     val totK = kept.iterator.map(counts.getOrElse(_, 0L)).sum
     val nK = kept.size
     kept.map { piece =>
@@ -248,7 +265,7 @@ object UnigramLm {
     spark.read.parquet(dir)
       .select("piece", "cnt", "score_micronats").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1).toSeq
+      .sortBy(_._1)(utf8Order).toSeq
 
   // --------------------------------------------------------------------
   // DuckDB replay — the ENTIRE fit (seeding, both EM rounds, prune) and

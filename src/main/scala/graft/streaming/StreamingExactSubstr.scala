@@ -99,6 +99,15 @@ object StreamingExactSubstr {
           // (recompute is correct); after it the marker short-circuits
           // to the idempotent fold. The dot-prefixed tmp dir is hidden
           // from readers' partition discovery.
+          //
+          // REQUIRES an atomic-directory-rename filesystem (local,
+          // HDFS). On object stores (S3A) rename is a non-atomic copy:
+          // a crash mid-"rename" can leave a PARTIAL outDir without a
+          // marker, which the no-marker guard above then reports as a
+          // foreign write — a loud permanent failure needing manual
+          // cleanup of that batch dir, never silent corruption. For an
+          // object-store deployment put tableDir on an atomic-commit
+          // layer instead of raw S3 paths.
           val tmp = new Path(s"$tableDir/.tmp-batch-$batchId")
           // per-batch scope: the rewrite's tracked fingerprint cache
           // must release once the batch commits (the process-global

@@ -132,4 +132,20 @@ class BpeSpec extends SparkSpec {
       Seq("ab", "ab"))
     assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
   }
+
+  test("saveMerges/loadMerges: encode-after-load ≡ encode-after-fit, " +
+    "rank order survives the round-trip") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest new newer"),
+      (2L, "low low newer newest")).toDF("doc_id", "text")
+    val merges = Bpe.fit(docs, "text", numMerges = 20)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-merges").toString
+    Bpe.saveMerges(spark, merges, tmp)
+    val loaded = Bpe.loadMerges(spark, tmp)
+    assert(loaded == merges) // ordered list, not a set
+    def enc(m: Seq[(String, String)]) =
+      Bpe.encode(docs, "doc_id", "text", m)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(enc(loaded) == enc(merges))
+  }
 }

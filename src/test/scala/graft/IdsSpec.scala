@@ -50,6 +50,67 @@ class IdsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("runningTotalByKey: per-key prefix sums ≡ the window form") {
+    // skewed keys on purpose: one key holds ~80% of the rows — the
+    // exact shape the grouped machinery exists for
+    val df = (0L until 600L).map { i =>
+      val k = if (i % 5 == 0) s"k${i % 3}" else "dominant"
+      (i, k, (i % 7) + 1)
+    }.toDF("id", "src", "v")
+    val out = Ids.runningTotalByKey(df, Seq("src"), Seq(col("id")),
+        col("v"), "rt")
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("id"),
+        r.getAs[Long]("v"), r.getAs[Long]("rt")))
+    // reference: plain per-key scan in id order
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, _, v, rt) =>
+        acc += v
+        assert(rt == acc, s"per-key running total diverged: $rt vs $acc")
+      }
+    }
+    assert(out.length == 600)
+    spark.catalog.clearCache()
+  }
+
+  test("runningTotalByKey: partition-count invariance") {
+    val df = (0L until 300L).map(i => (i, s"g${i % 2}", 1L))
+      .toDF("id", "g", "v")
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"), "rt")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("g"),
+          r.getAs[Long]("rt")))
+        .sortBy(_._1).toSeq
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.catalog.clearCache()
+      }
+    }
+    assert(run("3") == run("17"))
+  }
+
+  test("runningTotalByKey: no per-key window — every window group is " +
+    "(partition, key), the plan range-partitions") {
+    val df = (0L until 200L).map(i => (i, "onlykey", 1L))
+      .toDF("id", "g", "v")
+    val out = Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"),
+      "rt")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    out.queryExecution.optimizedPlan.foreach {
+      case w: Window =>
+        val ps = w.partitionSpec.map(_.toString).mkString(",")
+        assert(ps.contains("__part"),
+          s"window must partition by __part, not the key alone: $ps")
+      case _ => ()
+    }
+    out.collect()
+    spark.catalog.clearCache()
+  }
+
   test("denseIds survives fewer rows than shuffle partitions") {
     val out = Ids.denseIds(Seq((3L, "c"), (1L, "a"), (2L, "b"))
         .toDF("id", "k"), Seq(col("id")))

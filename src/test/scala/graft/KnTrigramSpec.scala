@@ -61,4 +61,32 @@ class KnTrigramSpec extends SparkSpec {
     // < 1 (the held-out floor keeps OOV mass aside), but close
     assert(mass > 0.9 && mass <= 1.0 + 1e-9, mass.toString)
   }
+
+  test("parts == whole: merged batch stats score bit-identically to " +
+    "the full-corpus fit, incl. through a parquet round-trip") {
+    val a = train.filter(col("doc_id") <= 2)
+    val b = train.filter(col("doc_id") > 2)
+    val probes = Seq((30L, "a b c x y z"), (31L, "a b f q q"),
+      (32L, "x y z a b c d")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    val whole = TextAnalysis.knTrigramScores(train, probes,
+      "doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("kn-parts").toString
+    TextAnalysis.saveKnStats(
+      TextAnalysis.knStats(a, "doc_id", "text"), s"$tmp/a")
+    val merged = TextAnalysis.mergeKnStats(
+      TextAnalysis.loadKnStats(spark, s"$tmp/a"),
+      TextAnalysis.knStats(b, "doc_id", "text"))
+    val parts = TextAnalysis.knScoreFromStats(probes, merged,
+      "doc_id", "text")
+    assert(rows(parts) == rows(whole))
+    // and the merged stats themselves equal the whole-corpus stats
+    val wholeStats = TextAnalysis.knStats(train, "doc_id", "text")
+      .orderBy("kind", "w1", "w2", "w3").collect().map(_.toSeq).toSeq
+    val mergedStats = merged
+      .orderBy("kind", "w1", "w2", "w3").collect().map(_.toSeq).toSeq
+    assert(mergedStats == wholeStats)
+  }
 }

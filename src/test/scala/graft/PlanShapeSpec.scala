@@ -35,8 +35,25 @@ class PlanShapeSpec extends SparkSpec {
       plan.toLowerCase.contains("range"), plan.take(400))
   }
 
-  test("sampleToTokenBudget: one shuffle (the per-source window)") {
-    assert(exchanges(CorpusPipeline.sampleToTokenBudget(docs, 60L)) == 1)
+  test("sampleToTokenBudget: grouped running sum — range exchange, " +
+    "no one-task-per-source window") {
+    // The prefix sum must NOT be Window.partitionBy(source): a dominant
+    // source would sort its whole slice in one task. The grouped
+    // runningTotal range-partitions by (source, hash, id) and every
+    // window group is (physical partition, source).
+    val out = CorpusPipeline.sampleToTokenBudget(docs, 60L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    out.queryExecution.optimizedPlan.foreach {
+      case w: Window =>
+        val ps = w.partitionSpec.map(_.toString).mkString(",")
+        assert(ps.contains("__part"),
+          s"l07 window regressed to partitionBy(source) alone: $ps")
+      case _ => ()
+    }
+    out.collect()
+    spark.catalog.clearCache()
   }
 
   test("packSequences: one shuffle (the block groupBy)") {
@@ -464,5 +481,52 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       "unbounded partition-less Window(s):\n" + offenders.mkString("\n"))
+  }
+
+  test("low-cardinality dim windows (source/lang/league) ride the " +
+      "grouped runningTotal or a bounded input") {
+    // The l07/l20 class: a Window partitioned ONLY by a corpus dim of
+    // cardinality ~10 sorts each dim's whole slice in one task — at
+    // 100 TB where one source dominates, that is THE bottleneck. The
+    // earlier partition-less audit can't see it (the window IS
+    // partitioned); this sweep requires every such window to sit above
+    // a per-group-bounded input: a limit, a per-dim aggregate (≤ |dims|
+    // rows), or a TopKPerKey (≤ k rows per key). Unbounded per-dim
+    // prefix sums must ride Ids.runningTotalByKey, whose window
+    // partitions by (__part, dim) — not the dim alone.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val lowCard = Set("source", "lang", "league")
+    def boundedPerGroup(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      // an aggregate grouped only by low-card dims is ≤ |dims| rows
+      case a: Aggregate if a.groupingExpressions.forall(e =>
+        e.references.nonEmpty &&
+          e.references.forall(r => lowCard(r.name))) => true
+      // the native per-key top-k: ≤ k rows per window group
+      case _: graft.plans.TopKPerKeyNode => true
+      case j: Join => boundedPerGroup(j.left) && boundedPerGroup(j.right)
+      case _: LeafNode => false
+      case other if other.children.nonEmpty =>
+        other.children.forall(boundedPerGroup)
+      case _ => false
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: Window if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(e => e.references.nonEmpty &&
+              e.references.forall(r => lowCard(r.name))) &&
+            !boundedPerGroup(w.child) =>
+          offenders += s"$name: ${w.simpleString(80)}"
+        case _ => ()
+      }
+      CacheScope.harness.release()
+      spark.catalog.clearCache() // operators persist plan-lifetime caches
+    }
+    assert(offenders.isEmpty,
+      "one-task-per-dim Window(s) over unbounded input:\n" +
+        offenders.mkString("\n"))
   }
 }

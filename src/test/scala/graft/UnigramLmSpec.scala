@@ -98,4 +98,21 @@ class UnigramLmSpec extends SparkSpec {
     // segmentations agree here because the vocab cap keeps all pieces
     used.keys.foreach(k => assert(counts.contains(k), k))
   }
+
+  test("driver-side tie-breaks use UTF-8 byte order (engine binary " +
+    "collation), not Java UTF-16 code-unit order") {
+    val pua = "" // U+E000: UTF-8 EE 80 80, UTF-16 unit E000
+    val emoji = new String(Character.toChars(0x1F34B)) // UTF-8 F0 9F 8D 8B
+    // code-point/UTF-8 order: U+E000 < U+1F34B; UTF-16 disagrees
+    // (surrogate D83C < E000)
+    assert(UnigramLm.utf8Order.compare(pua, emoji) < 0)
+    assert(Ordering.String.compare(pua, emoji) > 0)
+    // sorting a piece list with utf8Order matches the engines' binary
+    // collation: supplementary char AFTER the private-use char
+    assert(Seq(emoji, pua, "a").sorted(UnigramLm.utf8Order) ==
+      Seq("a", pua, emoji))
+    // agreement with plain String order on ASCII (the common case)
+    val ascii = Seq("zebra", "apple", "Mango", "a", "ab")
+    assert(ascii.sorted(UnigramLm.utf8Order) == ascii.sorted)
+  }
 }
