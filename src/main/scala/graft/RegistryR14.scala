@@ -315,6 +315,62 @@ object RegistryR14 {
              |  FROM m)
              |SELECT rep, id AS canonical, CAST(scale AS BIGINT) AS scale,
              |  CAST(n_members AS BIGINT) AS n_members
-             |FROM rk WHERE rk = 1 ORDER BY rep""".stripMargin))
+             |FROM rk WHERE rk = 1 ORDER BY rep""".stripMargin)),
+
+    // ---- T33: INCREMENTAL tokenizer refit — the word-frequency table
+    //      both tokenizer fits start from becomes a mergeable persisted
+    //      artifact (llm/WordFreq): count batch 1 (doc_id < 250) →
+    //      persist → load → fold batch 2 (250–499) by grouped addition
+    //      → refit the Unigram-LM from the MERGED stats. The
+    //      frequent-word cap applies AFTER the merge in engine
+    //      collation, so fit-from-folded-stats is bit-identical to
+    //      fit-from-whole-corpus — proven by t28's full-training-chain
+    //      oracle over doc_id < 500. At 100 TB: the stats frame is
+    //      vocabulary-type-bounded, each fold shuffles only the new
+    //      batch's counts, tokenized history is never rescanned. ------
+    Q("t33_unigram_incremental",
+      (s, dir) => {
+        val wf = graft.llm.WordFreq
+        val docs = t(s, dir, "documents")
+        val tmp = Registry.scratchDir("wf_t33")
+        wf.save(wf.stats(docs.filter(col("doc_id") < 250), "text"),
+          s"$tmp/b1")
+        val folded = wf.merge(wf.load(s, s"$tmp/b1"),
+          wf.stats(docs.filter(col("doc_id") >= 250 &&
+            col("doc_id") < 500), "text"))
+        val vocab = graft.llm.UnigramLm.fitFromStats(folded,
+          graft.llm.UnigramLm.Params())
+        import s.implicits._
+        vocab.toDF("piece", "cnt", "score_micronats").orderBy("piece")
+      },
+      Some(graft.llm.UnigramLm.vocabOracleSql("documents", "doc_id",
+        "text", maxDocId = 500L, graft.llm.UnigramLm.Params())))
+  )
+
+  def entries2: Seq[Q] = Seq(
+
+    // ---- U11: per-key dense ids — u07's grouped twin: gap-free
+    //      1-based sequence numbers per source in hash order, via the
+    //      grouped runningTotal (a running total of 1s), NEVER
+    //      row_number over Window.partitionBy(source) — a dominant
+    //      source must not collapse to one task. The oracle IS that
+    //      window (DuckDB sorts each slice locally; the gate proves the
+    //      distributed form computes the identical assignment). --------
+    Q("u11_dense_ids_per_key",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__k",
+            pmod(pmod(col("doc_id"), lit(100000L)) * lit(2654435761L),
+              lit(100000L)))
+        graft.etl.Ids.denseIdsByKey(docs, Seq("source"),
+            Seq(col("__k"), col("doc_id")), "seq")
+          .select(col("doc_id"), col("source"), col("seq"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY (doc_id % 100000) * 2654435761 % 100000,
+             |      doc_id) AS BIGINT) AS seq
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -169,4 +169,18 @@ object Ids {
       .withColumn(totalName, sum(col("__v")).over(w) + col("__off"))
       .drop("__part", "__off", "__v")
   }
+
+  /** Dense, gap-free 1-based ids PER KEY in the order of `orderCols`
+    * within each key — the scale-correct
+    * `row_number().over(Window.partitionBy(key).orderBy(...))` for
+    * low-cardinality keys: a running total of 1s through
+    * [[runningTotalByKey]], so a dominant key never collapses to one
+    * task. Same contracts: (keyCols ++ orderCols) must be a total
+    * order, keys non-null, key cardinality modest.
+    */
+  def denseIdsByKey(df: DataFrame, keyCols: Seq[String],
+                    orderCols: Seq[Column], idName: String = "row_id",
+                    scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame =
+    runningTotalByKey(df, keyCols, orderCols, lit(1L), idName, scope)
 }

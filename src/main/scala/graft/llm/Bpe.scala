@@ -92,17 +92,17 @@ object Bpe {
     * vocabulary deterministically, train merges driver-side.
     */
   def fit(docs: DataFrame, textCol: String, numMerges: Int,
-          maxVocabWords: Int = 5000): Seq[(String, String)] = {
-    val freq = docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(maxVocabWords)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainMerges(freq, numMerges)
-  }
+          maxVocabWords: Int = 5000): Seq[(String, String)] =
+    fitFromStats(WordFreq.stats(docs, textCol), numMerges, maxVocabWords)
+
+  /** Fit from a PROVIDED word-frequency stats frame (maintained
+    * incrementally via [[WordFreq.merge]]) — the frequent-word cap
+    * applies after any merge, so fit-from-merged-stats ≡
+    * fit-from-whole-corpus.
+    */
+  def fitFromStats(stats: DataFrame, numMerges: Int,
+                   maxVocabWords: Int = 5000): Seq[(String, String)] =
+    trainMerges(WordFreq.topWords(stats, maxVocabWords), numMerges)
 
   /** Persist a fitted merge list as a parquet artifact — the tokenizer
     * is trained ONCE and every later encode job loads the artifact

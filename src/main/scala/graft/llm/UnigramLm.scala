@@ -206,17 +206,17 @@ object UnigramLm {
     * [[Bpe.fit]] shuffle), deterministic vocab cap, EM driver-side.
     */
   def fit(docs: DataFrame, textCol: String,
-          p: Params = Params()): Seq[(String, Long, Long)] = {
-    val freq = docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(p.maxVocabWords)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    fitFromWordFreq(freq, p)
-  }
+          p: Params = Params()): Seq[(String, Long, Long)] =
+    fitFromStats(WordFreq.stats(docs, textCol), p)
+
+  /** Fit from a PROVIDED word-frequency stats frame (e.g. maintained
+    * incrementally across batches via [[WordFreq.merge]]) — the
+    * frequent-word cap applies here, after any merge, so
+    * fit-from-merged-stats ≡ fit-from-whole-corpus bit-for-bit.
+    */
+  def fitFromStats(stats: DataFrame,
+                   p: Params = Params()): Seq[(String, Long, Long)] =
+    fitFromWordFreq(WordFreq.topWords(stats, p.maxVocabWords), p)
 
   /** Distributed encode: adds `pieces ARRAY<STRING>` (ML segmentation of
     * each lowercased whitespace word) and `n_pieces`. The vocabulary

@@ -133,6 +133,22 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
   }
 
+  test("parts == whole: merges refit from folded word-freq stats " +
+    "equal the whole-corpus fit") {
+    import spark.implicits._
+    import graft.llm.WordFreq
+    val a = Seq((1L, "low lower lowest low"), (2L, "new newer newest"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "low newer lowest"), (4L, "widest wide low"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("wf-bpe").toString
+    WordFreq.save(WordFreq.stats(a, "text"), tmp)
+    val folded = WordFreq.merge(WordFreq.load(spark, tmp),
+      WordFreq.stats(b, "text"))
+    val whole = Bpe.fit(a.unionByName(b), "text", numMerges = 25)
+    assert(Bpe.fitFromStats(folded, numMerges = 25) == whole)
+  }
+
   test("saveMerges/loadMerges: encode-after-load ≡ encode-after-fit, " +
     "rank order survives the round-trip") {
     import spark.implicits._

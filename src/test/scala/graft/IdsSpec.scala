@@ -111,6 +111,21 @@ class IdsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("denseIdsByKey: gap-free 1..n per key under skew") {
+    val df = (0L until 400L).map { i =>
+      (i, if (i % 4 == 0) s"k${i % 2}" else "dominant")
+    }.toDF("id", "grp")
+    val out = Ids.denseIdsByKey(df, Seq("grp"), Seq(col("id")))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Long]("row_id")))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byOrder = rows.sortBy(_._2).map(_._3).toSeq
+      assert(byOrder == (1L to rows.length).toSeq,
+        byOrder.take(5).toString)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("denseIds survives fewer rows than shuffle partitions") {
     val out = Ids.denseIds(Seq((3L, "c"), (1L, "a"), (2L, "b"))
         .toDF("id", "k"), Seq(col("id")))

@@ -99,6 +99,23 @@ class UnigramLmSpec extends SparkSpec {
     used.keys.foreach(k => assert(counts.contains(k), k))
   }
 
+  test("parts == whole: vocabulary refit from folded word-freq stats " +
+    "equals the whole-corpus fit, incl. through a parquet round-trip") {
+    import spark.implicits._
+    import graft.llm.WordFreq
+    val a = Seq((1L, "abab abba baba ab"), (2L, "ba ab abab"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "abba abab bb aa"), (4L, "baba ba ab"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("wf-ug").toString
+    WordFreq.save(WordFreq.stats(a, "text"), tmp)
+    val folded = WordFreq.merge(WordFreq.load(spark, tmp),
+      WordFreq.stats(b, "text"))
+    val p = UnigramLm.Params()
+    assert(UnigramLm.fitFromStats(folded, p) ==
+      UnigramLm.fit(a.unionByName(b), "text", p))
+  }
+
   test("driver-side tie-breaks use UTF-8 byte order (engine binary " +
     "collation), not Java UTF-16 code-unit order") {
     val pua = "" // U+E000: UTF-8 EE 80 80, UTF-16 unit E000
