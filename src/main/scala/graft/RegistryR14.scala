@@ -102,7 +102,12 @@ object RegistryR14 {
         // C4-lite lines: 7-word chunks, keep chunks of >= 3 words, doc
         // survives with >= 5 kept lines; ws binds ONCE per row (the
         // one-element-transform trick)
-        val c1 = fromWarc.filter(col("text").rlike("\\S"))
+        // persisted (harness scope, released after the query drains):
+        // readWarcDir re-STREAMS the gzip archives on every action, and
+        // five stage aggregates hang off this frame — without the pin
+        // the chain would decode the containers five times
+        val c1 = CacheScope.harness.track(
+          fromWarc.filter(col("text").rlike("\\S"))
           .select(col("doc_id"), col("source"), expr(
             """element_at(transform(
               |  array(filter(split(trim(text), '\\s+'),
@@ -115,17 +120,20 @@ object RegistryR14 {
           .filter(size(col("kept")) >= 5)
           .select(col("doc_id"), col("source"), expr(
             "array_join(transform(kept, l -> array_join(l, ' ')), ' ')")
-            .as("ctext"))
+            .as("ctext"))).toDF()
         val dd = graft.llm.Dedup.exactSubstrDedup(c1, "ctext", "doc_id",
           w = 8)
-        // dd derives from c1 (self-join lineage) — disambiguate by alias
-        val surv = dd.as("dd").join(c1.as("c"),
+        // dd derives from c1 (self-join lineage) — disambiguate by
+        // alias. Persisted: the ExactSubstr rewrite feeds the sampling
+        // stage, its count, AND the block fold — one rewrite, not three.
+        val surv = CacheScope.harness.track(
+          dd.as("dd").join(c1.as("c"),
             col("dd.id") === col("c.doc_id"))
           .select(col("c.doc_id").as("doc_id"),
             col("c.source").as("source"),
             (size(split(col("c.ctext"), " ")) -
               col("dd.n_tokens_removed")).cast("long").as("nt"))
-          .filter(col("nt") > 0)
+          .filter(col("nt") > 0)).toDF()
         val counts = surv.groupBy("source").agg(count(lit(1)).as("c"))
         val qq = counts
           .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
@@ -259,12 +267,14 @@ object RegistryR14 {
     //      the perceptual axis: m14's dHash pairs (planted cross-scale
     //      duplicates: same key mod 25, second half pixel-doubled) →
     //      d08 connected components over the pair edges → keep the
-    //      HIGHEST-RESOLUTION copy per perceptual cluster (scale desc,
-    //      id asc — the published "keep the best rendition" rule).
-    //      Pixels never shuffle: the election runs on (id, dhash)
-    //      longs and the scale metadata. The oracle replays the planted
-    //      congruence through the SAME recursive-CTE closure, so a
-    //      decode/pooling/closure drift anywhere breaks the gate. ------
+    //      HIGHEST-RESOLUTION copy per perceptual cluster (DECODED
+    //      width desc, id asc — the published "keep the best rendition"
+    //      rule, with the resolution read from the image itself, not
+    //      trusted metadata). Pixels never shuffle: the election runs
+    //      on (id, dhash, width) scalars. The oracle replays the
+    //      planted congruence AND the planted dimensions through the
+    //      SAME recursive-CTE closure, so a decode/pooling/closure
+    //      drift anywhere breaks the gate. ----------------------------
     Q("m17_canonical_image",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -279,15 +289,17 @@ object RegistryR14 {
         val pairs = graft.llm.Dedup.pairsWithinGroups(hashed, "dhash", "id")
         val cc = graft.llm.Dedup.connectedComponents(
           hashed.select(col("id")), pairs)
-        val meta = ids.select(col("id"), col("scale").cast("long").as("scale"))
+        // resolution read from the DECODED image, never trusted metadata
+        val meta = graft.llm.Multimodal.decodeImageFeatures(imgs, "id")
+          .select(col("id"), col("width").cast("long").as("width"))
         val w = Window.partitionBy(col("rep"))
-          .orderBy(col("scale").desc, col("id"))
+          .orderBy(col("width").desc, col("id"))
         cc.join(meta, "id")
           .withColumn("rk", row_number().over(w))
           .withColumn("n_members",
             count(lit(1)).over(Window.partitionBy(col("rep"))))
           .filter(col("rk") === 1)
-          .select(col("rep"), col("id").as("canonical"), col("scale"),
+          .select(col("rep"), col("id").as("canonical"), col("width"),
             col("n_members"))
           .orderBy("rep")
       },
@@ -305,15 +317,15 @@ object RegistryR14 {
              |  JOIN e ON r.dst = e.a),
              |cc AS (SELECT src AS id, min(dst) AS rep FROM reach
              |       GROUP BY src),
-             |m AS (SELECT cc.id, cc.rep, i.scale
+             |m AS (SELECT cc.id, cc.rep, 36 * i.scale AS width
              |      FROM cc JOIN ids i ON i.id = cc.id),
              |rk AS (
-             |  SELECT rep, id, scale,
+             |  SELECT rep, id, width,
              |    row_number() OVER (PARTITION BY rep
-             |      ORDER BY scale DESC, id) AS rk,
+             |      ORDER BY width DESC, id) AS rk,
              |    count(*) OVER (PARTITION BY rep) AS n_members
              |  FROM m)
-             |SELECT rep, id AS canonical, CAST(scale AS BIGINT) AS scale,
+             |SELECT rep, id AS canonical, CAST(width AS BIGINT) AS width,
              |  CAST(n_members AS BIGINT) AS n_members
              |FROM rk WHERE rk = 1 ORDER BY rep""".stripMargin)),
 

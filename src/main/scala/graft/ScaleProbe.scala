@@ -151,6 +151,26 @@ object ScaleProbe {
         graft.llm.Dedup.readDigestIndex(s, idx),
         "text", "doc_id", 8)
     }),
+    // t32 shape (round-14): the steady-state LM maintenance step —
+    // 90% of the corpus collapses to a persisted KN stats artifact
+    // (the one-time build, inside the measurement like d33's index
+    // build), a 10% batch's stats fold in by grouped addition, and the
+    // batch scores from the folded stats. The claim measured: the fold
+    // and scoring shuffle tracks the BATCH and the type-bounded stats
+    // tables, never the scored history.
+    "t32_kn_fold" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = 9L * d.count() / 10L
+      val ta = graft.llm.TextAnalysis
+      val statsDir = graft.Registry.scratchDir("probe_kn_stats") + "/s"
+      ta.saveKnStats(
+        ta.knStats(d.filter(col("doc_id") < cut), "doc_id", "text"),
+        statsDir)
+      val folded = ta.mergeKnStats(ta.loadKnStats(s, statsDir),
+        ta.knStats(d.filter(col("doc_id") >= cut), "doc_id", "text"))
+      ta.knScoreFromStats(d.filter(col("doc_id") >= cut), folded,
+        "doc_id", "text")
+    }),
     // l07 shape (round-14): the per-source token-budget prefix sum as
     // the GROUPED runningTotal (range partition + per-key broadcast
     // offsets) vs the one-task-per-source window form it replaced —

@@ -64,6 +64,16 @@ object Ranking {
       cols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
+  /** Persist / restore the stats row as a parquet artifact (the
+    * saveKnStats/WordFreq.save posture): count once per batch, fold by
+    * [[mergeBm25Stats]], score forever from stats.
+    */
+  def saveBm25Stats(stats: DataFrame, dir: String): Unit =
+    stats.write.mode("overwrite").parquet(dir)
+
+  def loadBm25Stats(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame = spark.read.parquet(dir)
+
   /** BM25 score of every document against `terms`.
     * Output: (id, dl, bm25) — dl = token count of the doc.
     */

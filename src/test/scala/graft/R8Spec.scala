@@ -60,6 +60,15 @@ class R8Spec extends SparkSpec {
             "text", "doc_id", Seq("spark"))))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(viaMerged == direct)
+    // and the artifact survives a parquet round-trip (the persisted-
+    // stats posture every incremental member now carries)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25-stats").toString
+    Ranking.saveBm25Stats(Ranking.bm25Stats(docs, "text", "doc_id",
+      Seq("spark")), tmp)
+    val viaLoaded = Ranking.bm25FromStats(docs, "text", "doc_id",
+        Seq("spark"), Ranking.loadBm25Stats(spark, tmp))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaLoaded == direct)
   }
 
   test("dedupTokens keeps first-occurrence order, once each") {
