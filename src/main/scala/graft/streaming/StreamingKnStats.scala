@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** CONTINUOUS Kneser-Ney stats maintenance — the t32 fold run as a
@@ -27,28 +26,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingKnStats {
 
   /** Start the maintenance loop: docs stream in, per-batch stats land
-    * in `statsDir/batch=<id>`. Restarting from the same checkpoint
-    * replays cleanly (overwrite semantics); resetting the checkpoint
-    * against a kept statsDir double-counts — use a fresh statsDir when
-    * resetting, exactly the StreamingExactSubstr contract.
+    * in `statsDir/batch=<id>` ([[BatchStats]] carries the overwrite /
+    * merge-at-read protocol and its contracts).
     */
   def start(stream: DataFrame, idCol: String, textCol: String,
             statsDir: String, checkpointDir: String): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.llm.TextAnalysis.knStats(batch.toDF(), idCol, textCol)
-          .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
-        ()
-      }
-      .start()
+    BatchStats.start(stream, statsDir, checkpointDir)(
+      graft.llm.TextAnalysis.knStats(_, idCol, textCol))
 
-  /** The maintained artifact, merged at read time: one grouped
-    * addition over the batch partitions — a [[graft.llm.TextAnalysis
-    * .mergeKnStats]] of every batch in one aggregate. Feed it to
-    * `knScoreFromStats`.
+  /** The maintained artifact, merged at read time — a
+    * [[graft.llm.TextAnalysis.mergeKnStats]] of every batch in one
+    * aggregate. Feed it to `knScoreFromStats`.
     */
   def readStats(spark: SparkSession, statsDir: String): DataFrame =
-    spark.read.parquet(statsDir)
-      .groupBy("kind", "w1", "w2", "w3").agg(sum(col("c")).as("c"))
+    BatchStats.readMerged(spark, statsDir,
+      Seq("kind", "w1", "w2", "w3"), Seq("c"))
 }

@@ -59,4 +59,28 @@ class StreamingKnStatsSpec extends SparkSpec {
     assert(rows(StreamingKnStats.readStats(spark, statsDir)) ==
       rows(wholeStats))
   }
+
+  test("live-corpus tokenizer refit: word-freq stats streamed through " +
+    "BatchStats, refit-from-artifact == whole-corpus fit") {
+    import graft.llm.{UnigramLm, WordFreq}
+    import graft.streaming.BatchStats
+    val root = Registry.scratchDir("spec_stream_wf")
+    val in = s"$root/in"; val statsDir = s"$root/stats"
+    val ck = s"$root/ck"
+    val b1 = Seq((1L, "abab abba ab ba"), (2L, "baba ab abab"))
+    val b2 = Seq((3L, "abba bb aa ab"), (4L, "ba ba abab"))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1500)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = BatchStats.start(stream, statsDir, ck)(
+      WordFreq.stats(_, "text"))
+    try q.processAllAvailable() finally q.stop()
+    val maintained = BatchStats.readMerged(spark, statsDir,
+      Seq("w"), Seq("c"))
+    val p = UnigramLm.Params()
+    assert(UnigramLm.fitFromStats(maintained, p) ==
+      UnigramLm.fit((b1 ++ b2).toDF("doc_id", "text"), "text", p))
+  }
 }
