@@ -1079,9 +1079,10 @@ object RegistryR11 {
     //      one): synthetic WAVs planted so ids congruent mod 64 are
     //      byte-identical, every payload decodes ONCE through the
     //      RIFF/PCM walker to its 10-window energy envelope, the
-    //      envelope digests, and pairs emit via the single groupBy shape
-    //      (never a self-join — decode is the query cost at an audio
-    //      corpus scale, the m09 lesson). Oracle is the planted
+    //      envelope digests, and pairs emit via the distributed
+    //      self-equi-join on the digest (exchange reuse keeps the
+    //      decode single-pass, the m09 contract; a degenerate digest
+    //      group never lands in one row). Oracle is the planted
     //      congruence, so a decode or envelope divergence between any
     //      two congruent payloads breaks the gate.
     Q("m13_audio_dups",
@@ -1441,8 +1442,9 @@ object RegistryR11 {
     //      9×8 dHash grid, so integer cell means are scale-invariant
     //      and cross-scale pairs MUST surface; distinct keys were
     //      verified to yield 25 distinct hashes (deterministic — holds
-    //      at every sf). One decode per image, pairs via the single
-    //      groupBy shape (the m09 lesson). Oracle replays the planted
+    //      at every sf). One decode per image (exchange reuse across
+    //      the dhash self-equi-join, the m09 contract — a degenerate
+    //      hash group never lands in one row). Oracle replays the planted
     //      congruence analytically: a decode/pooling divergence between
     //      any congruent pair, same-scale or cross-scale, breaks the
     //      gate. ----------------------------------------------------------

@@ -93,19 +93,23 @@ object RegistryR14 {
         val (records, audit) = graft.sources.WarcIngest.readWarcDir(s, tmp)
         require(audit.filter(col("corrupt")).count() == 0,
           "l22: corrupt archives")
-        val fromWarc = records.select(
+        // persisted (harness scope): readWarcDir re-STREAMS the gzip
+        // archives on every action, and BOTH the stage-0 count and the
+        // c1 build hang off this frame — the pin bounds the chain to
+        // ONE container decode however many stages read it
+        val fromWarc = CacheScope.harness.track(records.select(
           regexp_extract(col("record_id"), "doc:(\\d+)", 1)
             .cast("long").as("doc_id"),
           regexp_extract(col("target_uri"), "example\\.org/([^/]+)/", 1)
             .as("source"),
-          decode(col("payload"), "UTF-8").as("text"))
+          decode(col("payload"), "UTF-8").as("text"))).toDF()
         // C4-lite lines: 7-word chunks, keep chunks of >= 3 words, doc
         // survives with >= 5 kept lines; ws binds ONCE per row (the
         // one-element-transform trick)
         // persisted (harness scope, released after the query drains):
-        // readWarcDir re-STREAMS the gzip archives on every action, and
-        // five stage aggregates hang off this frame — without the pin
-        // the chain would decode the containers five times
+        // four stage aggregates hang off the CLEANED frame — the pin
+        // keeps the C4 transform single-pass on top of fromWarc's
+        // single container decode
         val c1 = CacheScope.harness.track(
           fromWarc.filter(col("text").rlike("\\S"))
           .select(col("doc_id"), col("source"), expr(
@@ -264,9 +268,9 @@ object RegistryR14 {
              |ORDER BY stage""".stripMargin)),
 
     // ---- M17: CANONICAL-image selection — the d14 keep-best recipe on
-    //      the perceptual axis: m14's dHash pairs (planted cross-scale
+    //      the perceptual axis: m14's dHash groups (planted cross-scale
     //      duplicates: same key mod 25, second half pixel-doubled) →
-    //      d08 connected components over the pair edges → keep the
+    //      d08 connected components over their STAR edges → keep the
     //      HIGHEST-RESOLUTION copy per perceptual cluster (DECODED
     //      width desc, id asc — the published "keep the best rendition"
     //      rule, with the resolution read from the image itself, not
@@ -286,7 +290,11 @@ object RegistryR14 {
           ids, "id", "key", "scale", baseW = 36, baseH = 32)
         val hashed = graft.llm.Multimodal.dhashes(imgs, "id")
           .filter(col("dhash").isNotNull)
-        val pairs = graft.llm.Dedup.pairsWithinGroups(hashed, "dhash", "id")
+        // connectivity only — a STAR edge set (rep = min id per dhash,
+        // n−1 edges, linear) feeds the same connected components the
+        // all-pairs set would; one degenerate perceptual hash at 100 TB
+        // never materializes as a group or a quadratic pair fan-out
+        val pairs = graft.llm.Dedup.starEdges(hashed, "dhash", "id")
         val cc = graft.llm.Dedup.connectedComponents(
           hashed.select(col("id")), pairs)
         // resolution read from the DECODED image, never trusted metadata

@@ -808,13 +808,12 @@ object RegistryWide {
           .select(col("id"),
             md5(to_json(struct(col("sum_gray"), col("features"))))
               .as("content_key"))
-        // pairs via ONE groupBy on the digest — never a self-join, so
-        // the ImageIO decode runs exactly once per image (a self-join's
-        // build and probe sides each re-decode; at an image-corpus scale
-        // decode IS the query cost). The shuffle carries (digest, id)
-        // only; per-group pair fan-out is bounded by the dup-cluster
-        // size, the same bound the join shape had. Single-decode is
-        // pinned in PlanShapeSpec.
+        // pairs via the distributed self-equi-join on the digest: a
+        // degenerate digest group streams across its partition's tasks
+        // instead of materializing in one collect_list row. Exchange
+        // reuse runs the ImageIO decode exactly once (both sides are
+        // the same digest-partitioned subplan; the probe side replays
+        // shuffle files) — single-decode is pinned in PlanShapeSpec.
         Dedup.pairsWithinGroups(feats, "content_key", "id")
           .orderBy("id_a", "id_b")
       },

@@ -116,15 +116,23 @@ object Ids {
     *      one range partition, never one key's whole slice).
     *
     * Deterministic wherever the sampled range boundaries land, provided
-    * (keyCols ++ orderCols) is a total order. Key columns must be
-    * non-null (the offsets join back on them). Cache lifecycle as in
-    * [[runningTotal]]: the ranged input registers in `scope`, released
-    * by the scope's owner after the result is consumed.
+    * (keyCols ++ orderCols) is a total order. Both contracts are
+    * ENFORCED, not just documented: key columns must be non-null (the
+    * offsets join back on them by equality, which would silently DROP
+    * null-key rows — the window form kept them as their own partition,
+    * so a silent drop is a behavior change callers must hear about),
+    * and the driver round-trip is capped at `maxOffsetRows`
+    * (numPartitions × |distinct keys|) — a high-cardinality key fails
+    * fast with a pointer at the plain per-key window instead of
+    * flooding the driver. Cache lifecycle as in [[runningTotal]]: the
+    * ranged input registers in `scope`, released by the scope's owner
+    * after the result is consumed.
     */
   def runningTotalByKey(df: DataFrame, keyCols: Seq[String],
                         orderCols: Seq[Column], value: Column,
                         totalName: String = "running_total",
-                        scope: graft.CacheScope = graft.CacheScope.harness)
+                        scope: graft.CacheScope = graft.CacheScope.harness,
+                        maxOffsetRows: Int = 1 << 20)
       : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -137,12 +145,25 @@ object Ids {
       .repartitionByRange(parts, (keyCols.map(col) ++ orderCols): _*)
       .withColumn("__part", spark_partition_id()))
     val nk = keyCols.size
-    // tiny driver-side step: numPartitions × |keys| rows (the collect
-    // also materializes the cache before the final pass reads it)
+    // tiny driver-side step: numPartitions × |keys| rows (the action
+    // also materializes the cache before the final pass reads it).
+    // take(max+1) bounds the driver transfer even when the contract is
+    // violated — the executor-side aggregate is distributed either way.
     val sumRows = ranged
       .groupBy(col("__part") +: keyCols.map(col): _*)
       .agg(sum(col("__v")).as("__s"))
-      .collect()
+      .take(maxOffsetRows + 1)
+    require(sumRows.length <= maxOffsetRows,
+      s"runningTotalByKey: over $maxOffsetRows (partition, key) offset " +
+        "rows — this operator is for LOW-cardinality keys (source/lang/" +
+        "domain dims); for high-cardinality keys use the plain per-key " +
+        "window (row_number/sum over Window.partitionBy), or raise " +
+        "maxOffsetRows if the driver can hold the offsets")
+    require(!sumRows.exists(r => (1 to nk).exists(r.isNullAt)),
+      s"runningTotalByKey: null values in key column(s) " +
+        s"${keyCols.mkString(", ")} — the offsets join back on the keys " +
+        "by equality, which would silently drop null-key rows; filter " +
+        "them out or coalesce to a sentinel first")
     val offRows: Seq[Row] = sumRows
       .groupBy(r => (1 to nk).map(r.get).toSeq)
       .toSeq

@@ -47,25 +47,68 @@ object Dedup {
   }
 
   /** All ordered id pairs (id_a < id_b) that share a group key — the
-    * dup-pair EMISSION shape: ONE groupBy on the key, ids collected and
-    * sorted per group, pairs expanded by a codegen'd array comprehension.
-    * This replaces the tempting self-join on the key, which evaluates
-    * the key's UPSTREAM pipeline twice (build and probe side each re-run
-    * it — fatal when the key comes out of a media decode). The shuffle
-    * carries (key, id) only; per-group fan-out is the same
-    * O(clusterSize²) the join had, with cluster membership now local to
-    * one task. Groups of one emit nothing.
+    * dup-pair EMISSION shape: a distributed self-equi-join on the key
+    * over the skinny (key, id) projection. Pair output is quadratic in
+    * the cluster size BY CONTRACT (callers declare pair output), but the
+    * generation must distribute: the earlier `collect_list`-per-key form
+    * materialized every identical-key group into ONE aggregate row, so a
+    * single degenerate key (a solid-color thumbnail's perceptual hash
+    * over a web-scale image corpus) was a single-task OOM before the
+    * pair fan-out even started. The join shape spreads each group's
+    * pairs across the key's shuffle partition peers and streams them.
+    *
+    * Upstream-evaluated-once: the join is HINTED sort-merge, so both
+    * sides plan the SAME (key, id) subplan under an identical
+    * hash-partition exchange and Spark's exchange reuse (ReusedExchange
+    * / AQE stage reuse) runs the upstream pipeline — a media decode,
+    * typically — exactly once, replaying shuffle files for the second
+    * side. Without the hint, small-side stats pick a broadcast join
+    * whose build side RE-RUNS the upstream (the double-decode trap).
+    * SMJ also keys the memory story: the buffered same-key group is a
+    * spillable row array (never one unspillable aggregate row), and
+    * AQE's skew-join splitting can shard a degenerate key's partition.
+    * Pinned in PlanShapeSpec (m09).
+    *
+    * `maxGroupSize > 0` is the degenerate-key valve (the d06 hot-gram
+    * cap shape): keys with more than `maxGroupSize` members are dropped
+    * from BOTH sides, so misses are conservative — a pair is lost only
+    * when its key is degenerate, and no partial cluster is emitted.
+    * Default 0 keeps the exact semantics the oracles check. Groups of
+    * one emit nothing (no self-pairs survive `id_a < id_b`).
     */
-  def pairsWithinGroups(df: DataFrame, keyCol: String,
-                        idCol: String): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(__ids, (a, i) -> " +
-          "transform(slice(__ids, i + 2, size(__ids)), " +
-          "b -> struct(a AS id_a, b AS id_b))))")).as("__p"))
-      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+  def pairsWithinGroups(df: DataFrame, keyCol: String, idCol: String,
+                        maxGroupSize: Int = 0): DataFrame = {
+    val base0 = df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+    val base = if (maxGroupSize <= 0) base0 else {
+      val hot = base0.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxGroupSize).select(col("__k"))
+      base0.join(hot, Seq("__k"), "left_anti")
+    }
+    base.as("a").hint("merge").join(base.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+  }
+
+  /** Star edge set over identical-key groups: (rep, member) for every
+    * non-representative member, rep = min id of the group — n−1 edges
+    * per n-member group, fully linear, never materializing a group in
+    * one row. Connectivity-equivalent to [[pairsWithinGroups]] (every
+    * pair of a group is joined through the rep), so connected-components
+    * consumers that only need the CLUSTERS — canonical-rendition
+    * election, dedup-cluster labeling — must ride this, not the
+    * quadratic pair set. The rep join is HINTED sort-merge (same
+    * reasoning as [[pairsWithinGroups]]): member frame and per-key
+    * min-agg shuffle on the key under identical exchanges, so exchange
+    * reuse evaluates the upstream (a media decode, typically) once.
+    * Singleton groups emit nothing.
+    */
+  def starEdges(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+    val reps = base.groupBy(col("__k")).agg(min(col("__id")).as("__rep"))
+    base.hint("merge").join(reps, "__k")
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+  }
 
   def exactDupStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(

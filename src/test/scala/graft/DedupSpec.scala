@@ -23,6 +23,73 @@ class DedupSpec extends SparkSpec {
     (3L, unrelated), (4L, "short doc")
   ).toDF("doc_id", "text")
 
+  test("pairsWithinGroups: exact ordered pair set per key, distributed " +
+      "(no one-row group)") {
+    val df = Seq(
+      (10L, "k1"), (11L, "k1"), (12L, "k1"), // triangle: 3 pairs
+      (20L, "k2"), (21L, "k2"),              // 1 pair
+      (30L, "k3")                            // singleton: nothing
+    ).toDF("id", "key")
+    val got = Dedup.pairsWithinGroups(df, "key", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+    // plan: a join, never a collect_list group materialization
+    val plan = Dedup.pairsWithinGroups(df, "key", "id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(400))
+    assert(plan.contains("Join"), plan.take(400))
+  }
+
+  test("pairsWithinGroups survives a degenerate 10^4-member key " +
+      "(the solid-color-thumbnail hash)") {
+    // the collect_list form held all 10^4 ids in ONE aggregate row and
+    // exploded ~5*10^7 pairs from it in one task; the SMJ form streams
+    // the group through a spillable buffer — this proves the shape
+    // RUNS and the quadratic count is exact
+    val n = 10000L
+    val df = spark.range(n).select(col("id"), lit("hot").as("key"))
+      .unionAll(spark.range(5).select((col("id") + 100000L).as("id"),
+        concat(lit("cold"), col("id")).as("key")))
+    val cnt = Dedup.pairsWithinGroups(df, "key", "id")
+      .agg(count(lit(1))).head().getLong(0)
+    assert(cnt == n * (n - 1) / 2)
+  }
+
+  test("pairsWithinGroups maxGroupSize: degenerate keys drop whole " +
+      "(conservative miss), bounded keys keep exact pairs") {
+    val df = (0L until 50L).map(i => (i, "hot"))
+      .++(Seq((100L, "ok"), (101L, "ok"), (102L, "ok")))
+      .toDF("id", "key")
+    val got = Dedup.pairsWithinGroups(df, "key", "id", maxGroupSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the 50-member hot key emits NOTHING (never a partial cluster);
+    // the 3-member key is untouched
+    assert(got == Seq((100L, 101L), (100L, 102L), (101L, 102L)))
+  }
+
+  test("starEdges: n-1 edges per group, connectivity-equivalent to the " +
+      "pair set, linear on a degenerate key") {
+    val df = Seq(
+      (10L, "k1"), (11L, "k1"), (12L, "k1"),
+      (20L, "k2"), (21L, "k2"),
+      (30L, "k3")
+    ).toDF("id", "key")
+    val edges = Dedup.starEdges(df, "key", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(edges == Seq((10L, 11L), (10L, 12L), (20L, 21L)))
+    // connected components over star edges == over the full pair set
+    def reps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(df.select(col("id")), pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(reps(Dedup.starEdges(df, "key", "id")) ==
+      reps(Dedup.pairsWithinGroups(df, "key", "id")))
+    spark.catalog.clearCache() // connectedComponents returns cached labels
+    // linear on the degenerate key: 10^4 members -> 9999 edges, fast
+    val hot = spark.range(10000L).select(col("id"), lit("h").as("key"))
+    assert(Dedup.starEdges(hot, "key", "id")
+      .agg(count(lit(1))).head().getLong(0) == 9999L)
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val out = Dedup.exactDedup(docs, "text", "doc_id")
     assert(out.count() == 4)

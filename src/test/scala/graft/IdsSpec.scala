@@ -126,6 +126,30 @@ class IdsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("runningTotalByKey fails LOUDLY on null keys (the offsets join " +
+      "would silently drop them)") {
+    val df = Seq((1L, Some("a"), 1L), (2L, None, 1L), (3L, Some("a"), 1L))
+      .toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"), "rt")
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
+  test("runningTotalByKey fails fast past maxOffsetRows instead of " +
+      "flooding the driver") {
+    // 300 distinct keys x partitions >> maxOffsetRows=64: a misuse with
+    // a high-cardinality key must point the caller at the plain window
+    val df = (0L until 300L).map(i => (i, s"k$i", 1L)).toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"), "rt",
+        maxOffsetRows = 64)
+    }
+    assert(e.getMessage.contains("window"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("denseIds survives fewer rows than shuffle partitions") {
     val out = Ids.denseIds(Seq((3L, "c"), (1L, "a"), (2L, "b"))
         .toDF("id", "k"), Seq(col("id")))

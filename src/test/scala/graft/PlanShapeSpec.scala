@@ -292,19 +292,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, plan.take(600))
   }
 
-  test("m09 image dedup decodes each image exactly ONCE (no self-join re-decode)") {
-    // At an image-corpus scale decode IS the query cost: the old shape
-    // self-joined the decode output on content_key, and the broadcast
-    // build side + probe side each re-ran ImageIO (m09 was 2x its cost
-    // class). The groupBy pair-emission shape keeps exactly ONE decode
-    // pass in the plan: one MapPartitions for the synthetic-PNG encode,
-    // one for the ImageIO decode, and no join anywhere.
-    val plan = SparkEntry.queries("m09_image_dups")(spark, sf)
-      .queryExecution.executedPlan.toString
-    val mp = "MapPartitions".r.findAllIn(plan).size
+  test("m09 image dedup decodes each image exactly ONCE " +
+      "(exchange reuse across the pair self-join)") {
+    // At an image-corpus scale decode IS the query cost. The pair
+    // emission is a sort-merge self-join on the digest (distributed —
+    // a degenerate digest group streams through a spillable buffer,
+    // never one collect_list row), and the merge hint forces identical
+    // hash-partition exchanges on both sides so ReusedExchange replays
+    // the decode stage's shuffle files for the probe side: exactly ONE
+    // MapPartitions pass for the synthetic-PNG encode and one for the
+    // ImageIO decode in the FINAL adaptive plan. An un-hinted broadcast
+    // join would re-run the decode for its build side (2x cost class).
+    val df = SparkEntry.queries("m09_image_dups")(spark, sf)
+    df.collect() // finalize AQE stages — reuse shows in the final plan
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val mp = "MapPartitions".r.findAllIn(fin).size
     assert(mp == 2, s"expected encode+decode = 2 MapPartitions, got $mp:\n" +
-      plan.take(800))
-    assert(!plan.contains("Join"), plan.take(800))
+      fin.take(800))
+    assert(fin.contains("SortMergeJoin"), fin.take(800))
+    assert(fin.contains("ReusedExchange"),
+      "probe side re-ran the decode instead of reusing the exchange:\n" +
+        fin.take(800))
+  }
+
+  test("no registry plan collect_lists over a content-hash key " +
+      "(the degenerate-group OOM shape)") {
+    // pairsWithinGroups' old form grouped by a content hash and pulled
+    // every same-hash id into ONE aggregate row — at 100 TB a single
+    // degenerate perceptual hash (solid-color thumbnails) is a
+    // single-task OOM. The legitimate collect_list sites group by a
+    // per-document / per-session / per-block key whose group size is
+    // bounded by construction. This lint walks EVERY registry plan and
+    // fails any aggregate that collects a list while grouping by a
+    // hash-like key column.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    val hashLike =
+      "(?i)(dhash|content_key|digest|simhash|minhash|md5|sha\\d*|xxh)".r
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case a: Aggregate =>
+          val collects = a.aggregateExpressions.exists(_.exists {
+            case _: CollectList => true
+            case _ => false
+          })
+          val hashKey = a.groupingExpressions.exists(_.references.exists(
+            r => hashLike.findFirstIn(r.name).isDefined))
+          if (collects && hashKey)
+            offenders += s"$name: ${a.simpleString(80)}"
+        case _ => ()
+      }
+      CacheScope.harness.release()
+      spark.catalog.clearCache() // operators persist plan-lifetime caches
+    }
+    assert(offenders.isEmpty,
+      "collect_list over a content-hash grouping key:\n" +
+        offenders.mkString("\n"))
   }
 
   test("d29 DSIR: zero-shuffle gram build; fit broadcasts back onto the counts") {

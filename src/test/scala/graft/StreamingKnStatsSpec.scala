@@ -53,9 +53,19 @@ class StreamingKnStatsSpec extends SparkSpec {
     // crash-replay: re-writing a batch partition (same content,
     // overwrite semantics) leaves the merged artifact unchanged —
     // the reason the fold is per-batch overwrite + merge-at-read,
-    // never a mutated running total
-    TextAnalysis.knStats(b2.toDF("doc_id", "text"), "doc_id", "text")
-      .write.mode("overwrite").parquet(s"$statsDir/batch=1")
+    // never a mutated running total. The file source assigns batch
+    // ids by mtime order, which coarse-mtime filesystems can flip —
+    // so find b2's partition by CONTENT (the one whose stats equal a
+    // b2 refit) instead of assuming it is batch=1.
+    val b2Stats = TextAnalysis.knStats(b2.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val b2Rows = rows(b2Stats)
+    val b2Dir = new java.io.File(statsDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.toString)
+      .find(d => rows(spark.read.parquet(d)) == b2Rows)
+      .getOrElse(fail("no batch partition holds b2's stats"))
+    b2Stats.write.mode("overwrite").parquet(b2Dir)
     assert(rows(StreamingKnStats.readStats(spark, statsDir)) ==
       rows(wholeStats))
   }
