@@ -105,7 +105,8 @@ object Registry {
       RegistryWide.entries ++ RegistryR6.entries ++ RegistryR8.entries ++
       RegistryR10.entries ++ RegistryR11.entries ++ RegistryR11.entries2 ++
       RegistryTpchPs.entries ++ RegistryR12.entries ++
-      RegistryR13.entries ++ RegistryR14.entries ++ RegistryR14.entries2
+      RegistryR13.entries ++ RegistryR14.entries ++ RegistryR14.entries2 ++
+      RegistryR15.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

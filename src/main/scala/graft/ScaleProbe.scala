@@ -201,6 +201,81 @@ object ScaleProbe {
         graft.llm.UnigramLm.Params())
       graft.llm.UnigramLm.encode(d, "doc_id", "text", vocab,
         graft.llm.UnigramLm.Params())
+    }),
+    // l22 shape (round-15): the COMPOSED CommonCrawl chain, unbounded —
+    // stages are probed individually (d31 above, l07/l13 shapes), but
+    // the chain is the product and its composed exponent was unmeasured:
+    // full corpus → executor-written gzip WARC archives → container
+    // read-back → C4-lite line cleaning → ExactSubstr-FULL → temperature
+    // mix → 512-token block count, one probe row (wall + shuffle).
+    "l22_chain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val warcIn = d.select(
+        col("doc_id"),
+        lit("conversion").as("warc_type"),
+        concat(lit("<urn:graft:doc:"), col("doc_id"), lit(">"))
+          .as("record_id"),
+        concat(lit("https://example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain").as("content_type"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val tmp = graft.Registry.scratchDir("probe_l22_warc")
+      graft.sources.WarcIngest.writeWarcDir(
+        warcIn.repartition(32, col("doc_id")), tmp, gzip = true)
+      val (records, _) = graft.sources.WarcIngest.readWarcDir(s, tmp)
+      val fromWarc = graft.CacheScope.harness.track(records.select(
+        regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("target_uri"), "example\\.org/([^/]+)/", 1)
+          .as("source"),
+        decode(col("payload"), "UTF-8").as("text"))).toDF()
+      val c1 = graft.CacheScope.harness.track(
+        fromWarc.filter(col("text").rlike("\\S"))
+          .select(col("doc_id"), col("source"), expr(
+            """element_at(transform(
+              |  array(filter(split(trim(text), '\\s+'),
+              |        x -> length(x) > 0)),
+              |  ws -> filter(
+              |    transform(sequence(0,
+              |        cast(ceil(size(ws) / 7.0) as int) - 1),
+              |      i -> slice(ws, i * 7 + 1, 7)),
+              |    l -> size(l) >= 3)), 1)""".stripMargin).as("kept"))
+          .filter(size(col("kept")) >= 5)
+          .select(col("doc_id"), col("source"), expr(
+            "array_join(transform(kept, l -> array_join(l, ' ')), ' ')")
+            .as("ctext"))).toDF()
+      val dd = graft.llm.Dedup.exactSubstrDedup(c1, "ctext", "doc_id",
+        w = 8)
+      val surv = graft.CacheScope.harness.track(
+        dd.as("dd").join(c1.as("c"), col("dd.id") === col("c.doc_id"))
+          .select(col("c.doc_id").as("doc_id"),
+            col("c.source").as("source"),
+            (size(split(col("c.ctext"), " ")) -
+              col("dd.n_tokens_removed")).cast("long").as("nt"))
+          .filter(col("nt") > 0)).toDF()
+      val counts = surv.groupBy("source").agg(count(lit(1)).as("c"))
+      val qq = counts
+        .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+        .withColumn("qs_micro",
+          round(pow(col("c").cast("double") / col("total").cast("double"),
+            0.7) * 1e9).cast("long"))
+      val rates = qq.crossJoin(broadcast(
+          qq.agg(sum("qs_micro").as("z_micro"))))
+        .withColumn("rate_micro",
+          least(lit(1000000L),
+            round(lit(100.0) *
+              (col("qs_micro").cast("double") /
+                col("z_micro").cast("double")) /
+              col("c").cast("double") * 1e6).cast("long")))
+        .select(col("source"), col("rate_micro"))
+      val q4 = surv.join(broadcast(rates), "source")
+        .filter(conv(substring(md5(concat(lit("l22-"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 1000000L < col("rate_micro"))
+      q4.agg(
+        count(lit(1)).as("n_sampled"),
+        expr("CAST((sum(nt) + 511) div 512 AS BIGINT)").as("n_blocks"))
     })
   )
 

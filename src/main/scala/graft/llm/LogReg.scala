@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine TRAINED quality classifier: fixed-iteration batch
+  * gradient descent for logistic regression over hashed token-bucket
+  * counts — the "train the filter on the corpus itself" story the
+  * published curation pipelines run (CCNet / LLaMA-style quality
+  * classifiers), expressed so EVERY iteration is exact integer
+  * arithmetic that an independent engine replays bit-for-bit (the
+  * d29/t30 discipline).
+  *
+  * Zero IEEE operations anywhere: the sigmoid is the integer "fast
+  * sigmoid" σ̃(x) = 1/2 + x / (2·(1 + |x|)) evaluated in micro units
+  * with truncating integer division (Spark `div` ≡ DuckDB `//` on
+  * BIGINT, both toward zero) — monotone, symmetric, range (0, 1),
+  * gradient direction identical to the logistic's. Weights live in
+  * integer micro units; margins and gradients are exact BIGINT sums;
+  * the learning-rate step is one truncating division by
+  * (lrDen · nTrain). Same data → same weights, on any engine, under
+  * any partitioning.
+  *
+  * Scale shape: the feature frame is the per-(doc, bucket) count
+  * table — ONE shuffle to build, cached across iterations. Each
+  * iteration is (a) margin pass: broadcast-join the ≤(buckets+1)-row
+  * weight frame onto the counts, groupBy doc; (b) gradient pass: join
+  * the per-doc error back onto the counts by doc id, groupBy bucket —
+  * a ≤(buckets+1)-row aggregate collected to the driver. The corpus
+  * text is never rescanned; iteration cost is linear in the count
+  * table.
+  */
+object LogReg {
+
+  /** Hashed-unigram bucket counts plus an intercept pseudo-bucket
+    * b = -1 with count 1 per document: (id, y, b, c). The md5-bucket
+    * recipe is t27's (portable: DuckDB replays it exactly).
+    */
+  def hashedCounts(docs: DataFrame, idCol: String, labelCol: String,
+                   textCol: String, buckets: Int): DataFrame = {
+    val toks = expr(s"filter(split(lower(trim($textCol)), " +
+      "'\\\\s+'), x -> length(x) > 0)")
+    val grams = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("boolean").as("y"), explode(toks).as("tok"))
+      .select(col("id"), col("y"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+      .groupBy("id", "y", "b").agg(count(lit(1)).as("c"))
+    grams.unionByName(docs.select(col(idCol).as("id"),
+      col(labelCol).cast("boolean").as("y"),
+      lit(-1L).as("b"), lit(1L).as("c")))
+  }
+
+  /** Per-doc integer margin under a weight map (micro units):
+    * (id, y, m). Unseen buckets score 0 — the same convention the
+    * oracle uses.
+    */
+  def margins(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.toDF("b", "w")
+    feats.join(broadcast(wDf), Seq("b"), "left")
+      .groupBy("id", "y")
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+  }
+
+  /** `iters` rounds of batch GD; returns bucket → weight (micro).
+    * The per-round driver round-trip is the ≤(buckets+1)-row gradient
+    * — the bounded fit-collect discipline (d29/n13).
+    */
+  def fit(feats: DataFrame, iters: Int, lrDen: Long,
+          scope: graft.CacheScope = graft.CacheScope.harness)
+      : Map[Long, Long] = {
+    val train = scope.track(feats).toDF()
+    val nTrain = train.select(col("id")).distinct().count()
+    require(nTrain > 0, "LogReg.fit: empty training set")
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val err = margins(train, w.toMap)
+        .select(col("id"), (expr(
+          "500000L + (m * 1000000L) div (2L * (1000000L + abs(m)))") -
+          when(col("y"), 1000000L).otherwise(0L)).as("e"))
+      val grad = train.join(err, "id")
+        .groupBy("b").agg(sum(col("e") * col("c")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      w = (w ++ grad.map { case (b, g) =>
+        b -> (w(b) - g / (lrDen * nTrain)) // toward-zero div, g exact
+      }).withDefaultValue(0L)
+    }
+    w.toMap
+  }
+
+  /** Oracle CTE list replaying the ENTIRE fit — every margin, fast
+    * sigmoid, gradient and weight update of every iteration — plus the
+    * held-out scoring, in DuckDB SQL. `docsCte` must yield
+    * (doc_id, is_train, is_pos, ts[]) as `lr_d`. The final CTE is
+    * `lr_out` (doc_id, label, score_micro, pred, correct).
+    */
+  def oracleCtes(buckets: Int, iters: Int, lrDen: Long): Seq[String] = {
+    val base = Seq(
+      s"""lr_g AS (
+         |  SELECT doc_id, is_train, is_pos,
+         |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+         |      % $buckets AS b
+         |  FROM (SELECT doc_id, is_train, is_pos, unnest(ts) AS tok
+         |        FROM lr_d))""".stripMargin,
+      """lr_db AS (
+        |  SELECT doc_id, is_train, is_pos, b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lr_g GROUP BY ALL
+        |  UNION ALL
+        |  SELECT doc_id, is_train, is_pos, CAST(-1 AS BIGINT),
+        |    CAST(1 AS BIGINT)
+        |  FROM lr_d)""".stripMargin,
+      """lr_n AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM lr_db WHERE is_train)""".stripMargin,
+      """lr_w0 AS (
+        |  SELECT b, CAST(0 AS BIGINT) AS w
+        |  FROM (SELECT DISTINCT b FROM lr_db WHERE is_train))"""
+        .stripMargin)
+    val rounds = (1 to iters).flatMap { k =>
+      Seq(
+        s"""lr_m$k AS (
+           |  SELECT db.doc_id, db.is_pos,
+           |    CAST(sum(db.c * w.w) AS BIGINT) AS m
+           |  FROM lr_db db JOIN lr_w${k - 1} w USING (b)
+           |  WHERE db.is_train GROUP BY 1, 2)""".stripMargin,
+        s"""lr_e$k AS (
+           |  SELECT doc_id,
+           |    (500000 + (m * 1000000) // (2 * (1000000 + abs(m))))
+           |      - CASE WHEN is_pos THEN 1000000 ELSE 0 END AS e
+           |  FROM lr_m$k)""".stripMargin,
+        s"""lr_gr$k AS (
+           |  SELECT db.b, CAST(sum(e.e * db.c) AS BIGINT) AS g
+           |  FROM lr_db db JOIN lr_e$k e USING (doc_id)
+           |  WHERE db.is_train GROUP BY 1)""".stripMargin,
+        s"""lr_w$k AS (
+           |  SELECT w.b, CAST(w.w - g.g // ($lrDen * n.n) AS BIGINT) AS w
+           |  FROM lr_w${k - 1} w JOIN lr_gr$k g USING (b), lr_n n)"""
+          .stripMargin)
+    }
+    val score = Seq(
+      s"""lr_sc AS (
+         |  SELECT db.doc_id, db.is_pos,
+         |    CAST(sum(db.c * coalesce(w.w, 0)) AS BIGINT) AS m
+         |  FROM lr_db db LEFT JOIN lr_w$iters w USING (b)
+         |  WHERE NOT db.is_train GROUP BY 1, 2)""".stripMargin,
+      """lr_out AS (
+        |  SELECT doc_id, CAST(is_pos AS INT) AS label,
+        |    m AS score_micro, CAST(m > 0 AS INT) AS pred,
+        |    CAST((m > 0) = is_pos AS INT) AS correct
+        |  FROM lr_sc)""".stripMargin)
+    base ++ rounds ++ score
+  }
+}

@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Training-shard manifest emission — the FINAL mile of the data-prep
+  * DAG: the packer (CorpusPipeline.packByCount / packSequences)
+  * assigns documents to (block, bin) training bins and l19 emits
+  * shuffle keys, but a training job mounts FILES — a deterministic
+  * shard assignment plus a manifest row per shard (bin count, doc
+  * count, token count, content checksum) it can trust without
+  * re-reading the corpus.
+  *
+  * Determinism discipline (the mixSources/u11 recipe): the shard of a
+  * bin is a pure integer function of (block, bin) — Knuth
+  * multiplicative hash over the bin key, reduced mod 100000 BEFORE the
+  * multiply so the product can never overflow BIGINT and wrap
+  * differently across engines. Same corpus, same packing → same
+  * shards, run-to-run, engine-to-engine, under retries and
+  * speculative execution.
+  *
+  * The checksum is an ORDER-INDEPENDENT exact sum: each row
+  * contributes a 48-bit integer from the md5 of "doc_id:n_tokens",
+  * reduced mod 1e9+7 per row and once more after the sum — plain
+  * BIGINT arithmetic that any engine replays bit-for-bit and that
+  * never depends on partitioning or arrival order (a concatenation
+  * hash would need a per-shard global sort; a commutative sum needs
+  * only the one groupBy the manifest already pays). Capacity: the
+  * pre-reduction summands are < 1e9+7, so the BIGINT sum is exact up
+  * to ~9.2e9 rows per shard.
+  */
+object ShardManifest {
+
+  private val P = 1000000007L
+
+  /** Per-row 48-bit content hash, reduced mod P (exact, portable). */
+  private def rowHash(idCol: String, countCol: String) =
+    conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col(countCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long") % P
+
+  /** Deterministic shard id for every packed row: a pure projection
+    * (no shuffle — pushes into whatever scan feeds it).
+    */
+  def assignShards(blocks: DataFrame, nShards: Int,
+                   blockCol: String = "block", binCol: String = "bin")
+      : DataFrame = {
+    require(nShards > 0, "assignShards: nShards must be positive")
+    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
+    blocks.withColumn("shard",
+      pmod(pmod(pmod(bkey, lit(100000L)) * lit(2654435761L),
+        lit(100000L)), lit(nShards.toLong)))
+  }
+
+  /** The manifest: one row per shard — (shard, n_bins, n_docs,
+    * n_tokens, checksum). ONE shuffle (the shard groupBy over skinny
+    * scalar rows); the corpus text never moves.
+    */
+  def manifest(blocks: DataFrame, nShards: Int,
+               idCol: String = "doc_id", blockCol: String = "block",
+               binCol: String = "bin", countCol: String = "n_tokens")
+      : DataFrame = {
+    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
+    assignShards(blocks, nShards, blockCol, binCol)
+      .select(col("shard"), bkey.as("__bkey"),
+        col(idCol), col(countCol).cast("long").as("__nt"),
+        rowHash(idCol, countCol).as("__h"))
+      .groupBy("shard")
+      .agg(countDistinct(col("__bkey")).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        (sum(col("__h")) % P).as("checksum"))
+  }
+
+  /** Byte-stable shard files: every shard's rows as ONE JSONL file
+    * `shard-NNNNN.jsonl` in (block, bin, id) order — the artifact a
+    * training loader mounts. Executor-written (the WarcIngest sink
+    * pattern): rows are hash-partitioned BY SHARD and sorted within
+    * partitions, so each shard's rows are contiguous in one task and
+    * stream to its file in deterministic order — same input, same
+    * bytes, whatever the upstream partitioning was. Returns the number
+    * of files written.
+    */
+  def writeShards(blocks: DataFrame, dir: String, nShards: Int,
+                  idCol: String = "doc_id", blockCol: String = "block",
+                  binCol: String = "bin", countCol: String = "n_tokens")
+      : Long = {
+    val rows = assignShards(blocks, nShards, blockCol, binCol)
+      .select(col("shard"), col(blockCol).cast("long").as("block"),
+        col(binCol).cast("long").as("bin"),
+        col(idCol).cast("long").as("id"),
+        col(countCol).cast("long").as("nt"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "block", "bin", "id")
+    rows.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.single(0L)
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var current = -1L
+        var files = 0L
+        try {
+          it.foreach { r =>
+            val shard = r.getLong(0)
+            if (shard != current) { // sorted ⇒ shard change = file change
+              if (out != null) out.close()
+              val path = new org.apache.hadoop.fs.Path(
+                dir, f"shard-$shard%05d.jsonl")
+              out = path.getFileSystem(conf).create(path, true)
+              current = shard
+              files += 1L
+            }
+            val line =
+              s"""{"doc_id":${r.getLong(3)},"block":${r.getLong(1)},""" +
+                s""""bin":${r.getLong(2)},"n_tokens":${r.getLong(4)}}""" + "\n"
+            out.write(line.getBytes("UTF-8"))
+          }
+        } finally if (out != null) out.close()
+        Iterator.single(files)
+      }
+    }.sum().toLong
+  }
+
+  /** Per-(shard, bin) partial stats — the MERGEABLE granularity of the
+    * manifest (the incremental-stats discipline: d12/t32/t33): a bin
+    * may receive documents from several batches, and (n_docs,
+    * n_tokens, checksum) all fold by grouped addition (the checksum is
+    * a sum mod P, so partial sums re-reduce losslessly). The manifest
+    * itself ([[manifestFromBinStats]]) is a per-shard rollup of this
+    * frame; maintaining bin stats incrementally keeps the training
+    * manifest current as the corpus grows WITHOUT rescanning packed
+    * history — provided batches are aligned to pack-block boundaries
+    * (block = id div blockSize is id-derived and packing is per-block,
+    * so block-aligned batches pack identically to a whole-corpus pack;
+    * a batch that splits a block would bin its fragment differently).
+    */
+  def binStats(blocks: DataFrame, nShards: Int,
+               idCol: String = "doc_id", blockCol: String = "block",
+               binCol: String = "bin", countCol: String = "n_tokens")
+      : DataFrame = {
+    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
+    assignShards(blocks, nShards, blockCol, binCol)
+      .select(col("shard"), bkey.as("bkey"),
+        col(countCol).cast("long").as("__nt"),
+        rowHash(idCol, countCol).as("__h"))
+      .groupBy("shard", "bkey")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        (sum(col("__h")) % P).as("checksum"))
+  }
+
+  /** Fold two bin-stats frames by grouped addition (disjoint DOC sets;
+    * bins may overlap across the inputs — that is the point).
+    */
+  def mergeBinStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("shard", "bkey")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("checksum")) % P).as("checksum"))
+
+  def saveBinStats(stats: DataFrame, dir: String): Unit =
+    stats.write.mode("overwrite").parquet(dir)
+
+  def loadBinStats(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** The manifest as a rollup of maintained bin stats — identical to
+    * [[manifest]] over the same packed rows (oracle-gated: l24 folds
+    * two batches and hash-matches l23's whole-corpus replay).
+    */
+  def manifestFromBinStats(stats: DataFrame): DataFrame =
+    stats.groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("checksum")) % P).as("checksum"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.LogReg
+
+/** Integer logistic regression: convergence direction on planted
+  * separable data, determinism under repartitioning, and the
+  * intercept/unseen-bucket conventions the oracle relies on.
+  */
+class LogRegSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted separable corpus: positives carry "goodmark", negatives
+  // "badmark"; shared noise tokens on both sides
+  private def docs = (0L until 60L).map { i =>
+    val pos = i % 2 == 0
+    val mark = if (pos) "goodmark" else "badmark"
+    (i, pos, s"common$i filler the and $mark $mark tail${i % 7}")
+  }.toDF("doc_id", "is_pos", "text")
+
+  test("planted separable data: 5 GD rounds classify the training set, " +
+      "and weights move in the signal direction") {
+    val feats = LogReg.hashedCounts(docs, "doc_id", "is_pos", "text",
+      buckets = 16)
+    val w = LogReg.fit(feats, iters = 5, lrDen = 10L)
+    val scored = LogReg.margins(feats, w)
+      .collect().map(r => (r.getBoolean(1), r.getLong(2)))
+    assert(scored.nonEmpty)
+    assert(scored.forall { case (y, m) => (m > 0) == y },
+      scored.take(6).mkString(", "))
+    // the signal buckets moved away from zero
+    assert(w.values.exists(_ != 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("fit is deterministic under repartitioning (exact integer " +
+      "arithmetic, no order dependence)") {
+    val feats = LogReg.hashedCounts(docs, "doc_id", "is_pos", "text",
+      buckets = 16)
+    val w1 = LogReg.fit(feats, iters = 3, lrDen = 10L)
+    val w2 = LogReg.fit(feats.repartition(13), iters = 3, lrDen = 10L)
+    assert(w1 == w2)
+    spark.catalog.clearCache()
+  }
+
+  test("margins: unseen buckets score 0 (the oracle's left-join " +
+      "coalesce convention)") {
+    val feats = Seq((1L, true, 99L, 5L), (1L, true, -1L, 1L))
+      .toDF("id", "y", "b", "c")
+    val m = LogReg.margins(feats, Map(-1L -> 7L))
+      .collect().map(r => r.getLong(2)).head
+    assert(m == 7L) // bucket 99 unseen -> 0; intercept 1 * 7
+  }
+}

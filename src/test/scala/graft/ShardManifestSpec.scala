@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.ShardManifest
+
+/** Shard manifest + byte-stable shard sink: deterministic assignment,
+  * exact order-independent checksum, and files whose bytes are a pure
+  * function of the input (the K5/WARC golden posture).
+  */
+class ShardManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (doc_id, block, bin, n_tokens) — two blocks, three bins
+  private val blockRows = Seq(
+    (1L, 0L, 0L, 50L), (2L, 0L, 0L, 60L), (3L, 0L, 1L, 80L),
+    (4L, 1L, 0L, 40L), (5L, 1L, 0L, 30L), (6L, 1L, 0L, 20L))
+  private def blocks = blockRows.toDF("doc_id", "block", "bin", "n_tokens")
+
+  private val P = 1000000007L
+  private def shardOf(block: Long, bin: Long, n: Int): Long =
+    ((block * 10000L + bin) % 100000L * 2654435761L % 100000L) % n
+  private def h48(id: Long, nt: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$nt".getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      md.take(6).map(b => f"${b & 0xff}%02x").mkString, 16) % P
+  }
+
+  test("manifest: deterministic assignment, exact counts, " +
+      "order-independent checksum == scala replay") {
+    val got = ShardManifest.manifest(blocks, nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val expected = blockRows
+      .groupBy { case (_, block, bin, _) => shardOf(block, bin, 3) }
+      .map { case (shard, rows) =>
+        (shard,
+          rows.map(r => r._2 * 10000L + r._3).distinct.size.toLong,
+          rows.size.toLong,
+          rows.map(_._4).sum,
+          rows.map(r => h48(r._1, r._4)).sum % P)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    // shuffled input → identical manifest (order independence)
+    val got2 = ShardManifest.manifest(
+        blocks.orderBy(rand(42)).repartition(7), nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got2 == got)
+  }
+
+  test("writeShards: one JSONL file per shard, rows in (block, bin, id) " +
+      "order, bytes a pure function of the input (double-write equal, " +
+      "expected bytes exact)") {
+    val dir = Registry.scratchDir("spec_shards") + "/out"
+    val n = ShardManifest.writeShards(blocks, dir, nShards = 3)
+    def fileBytes(): Map[String, String] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".jsonl"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> new String(bytes, "UTF-8")
+        }.toMap
+    val first = fileBytes()
+    assert(first.size == n.toInt)
+    // expected content derived independently: shard rows in
+    // (block, bin, id) order, one canonical JSONL line each
+    val expected = blockRows
+      .groupBy { case (_, block, bin, _) => shardOf(block, bin, 3) }
+      .map { case (shard, rows) =>
+        f"shard-$shard%05d.jsonl" -> rows
+          .sortBy { case (id, block, bin, _) => (block, bin, id) }
+          .map { case (id, block, bin, nt) =>
+            s"""{"doc_id":$id,"block":$block,"bin":$bin,"n_tokens":$nt}\n"""
+          }.mkString
+      }
+    assert(first == expected)
+    // double-write from a differently-partitioned input → same bytes
+    ShardManifest.writeShards(blocks.orderBy(rand(7)).repartition(5),
+      dir, nShards = 3)
+    assert(fileBytes() == first)
+  }
+}
