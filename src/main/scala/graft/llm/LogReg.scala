@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object LogReg {
 
-  /** Hashed-unigram bucket counts plus an intercept pseudo-bucket
-    * b = -1 with count 1 per document: (id, y, b, c). The md5-bucket
-    * recipe is t27's (portable: DuckDB replays it exactly).
+  /** Hashed-unigram bucket PRESENCE features plus an intercept
+    * pseudo-bucket b = -1: (id, y, b, c) with c = 1 per distinct
+    * (doc, bucket). Presence, not counts, on purpose: raw counts make
+    * the margin scale with document LENGTH, which swamps the class
+    * signal under the bounded fast-sigmoid (measured: count features
+    * never leave the majority-class corner on this corpus; presence
+    * features reach ~0.71 held-out accuracy against a 0.55 majority
+    * baseline). The md5-bucket recipe is t27's (portable: DuckDB
+    * replays it exactly).
     */
   def hashedCounts(docs: DataFrame, idCol: String, labelCol: String,
                    textCol: String, buckets: Int): DataFrame = {
@@ -45,7 +51,8 @@ object LogReg {
       .select(col("id"), col("y"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10)
           .cast("long") % buckets).as("b"))
-      .groupBy("id", "y", "b").agg(count(lit(1)).as("c"))
+      .distinct()
+      .withColumn("c", lit(1L))
     grams.unionByName(docs.select(col(idCol).as("id"),
       col(labelCol).cast("boolean").as("y"),
       lit(-1L).as("b"), lit(1L).as("c")))
@@ -92,7 +99,10 @@ object LogReg {
 
   /** Oracle CTE list replaying the ENTIRE fit — every margin, fast
     * sigmoid, gradient and weight update of every iteration — plus the
-    * held-out scoring, in DuckDB SQL. `docsCte` must yield
+    * held-out scoring, in DuckDB SQL. The weight and feature CTEs are
+    * AS MATERIALIZED: DuckDB inlines CTEs by default and each lr_w{k}
+    * is referenced twice by round k+1, so an inlined chain re-evaluates
+    * the fit 2^iters times — materialization keeps the replay linear. `docsCte` must yield
     * (doc_id, is_train, is_pos, ts[]) as `lr_d`. The final CTE is
     * `lr_out` (doc_id, label, score_micro, pred, correct).
     */
@@ -104,10 +114,10 @@ object LogReg {
          |      % $buckets AS b
          |  FROM (SELECT doc_id, is_train, is_pos, unnest(ts) AS tok
          |        FROM lr_d))""".stripMargin,
-      """lr_db AS (
-        |  SELECT doc_id, is_train, is_pos, b,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM lr_g GROUP BY ALL
+      """lr_db AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, is_train, is_pos, b,
+        |    CAST(1 AS BIGINT) AS c
+        |  FROM lr_g
         |  UNION ALL
         |  SELECT doc_id, is_train, is_pos, CAST(-1 AS BIGINT),
         |    CAST(1 AS BIGINT)
@@ -115,7 +125,7 @@ object LogReg {
       """lr_n AS (
         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
         |  FROM lr_db WHERE is_train)""".stripMargin,
-      """lr_w0 AS (
+      """lr_w0 AS MATERIALIZED (
         |  SELECT b, CAST(0 AS BIGINT) AS w
         |  FROM (SELECT DISTINCT b FROM lr_db WHERE is_train))"""
         .stripMargin)
@@ -135,7 +145,7 @@ object LogReg {
            |  SELECT db.b, CAST(sum(e.e * db.c) AS BIGINT) AS g
            |  FROM lr_db db JOIN lr_e$k e USING (doc_id)
            |  WHERE db.is_train GROUP BY 1)""".stripMargin,
-        s"""lr_w$k AS (
+        s"""lr_w$k AS MATERIALIZED (
            |  SELECT w.b, CAST(w.w - g.g // ($lrDen * n.n) AS BIGINT) AS w
            |  FROM lr_w${k - 1} w JOIN lr_gr$k g USING (b), lr_n n)"""
           .stripMargin)

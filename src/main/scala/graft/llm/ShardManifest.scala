@@ -173,4 +173,33 @@ object ShardManifest {
       .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         (sum(col("checksum")) % P).as("checksum"))
+
+  /** SIZE-BALANCED shard assignment — the alternative to the hash
+    * assignment when bins are heavy-tailed: bins are laid out in
+    * (block, bin) order and cut into `nShards` contiguous token-mass
+    * ranges, shard = ((cum_before_bin) · N) div total — every shard
+    * carries ~total/N tokens ± one bin, whatever the bin-size skew.
+    * All integer arithmetic; the cumulative mass rides the distributed
+    * [[graft.etl.Ids.runningTotal]] (range partition + broadcast
+    * offsets — never a single-task global window), and the oracle IS
+    * the window form, so the u11-style gate proves the distributed
+    * assignment identical. Input: one row per bin (the caller's
+    * groupBy over packed rows); output adds (bin_cum, shard).
+    */
+  def balancedShards(bins: DataFrame, nShards: Int,
+                     blockCol: String = "block", binCol: String = "bin",
+                     tokensCol: String = "bin_tokens",
+                     scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    require(nShards > 0, "balancedShards: nShards must be positive")
+    val cum = graft.etl.Ids.runningTotal(bins,
+      Seq(col(blockCol), col(binCol)), col(tokensCol),
+      totalName = "bin_cum", scope = scope)
+    cum.crossJoin(broadcast(
+        cum.agg(sum(col(tokensCol)).cast("long").as("__tot"))))
+      .withColumn("shard", least(lit(nShards.toLong - 1L),
+        expr(s"((bin_cum - CAST($tokensCol AS BIGINT)) * " +
+          s"${nShards}L) div __tot")))
+      .drop("__tot")
+  }
 }

@@ -12,18 +12,21 @@ class LogRegSpec extends SparkSpec {
   import spark.implicits._
 
   // planted separable corpus: positives carry "goodmark", negatives
-  // "badmark"; shared noise tokens on both sides
+  // "badmark"; SHARED noise tokens only (features are bucket presence,
+  // so a per-doc unique token landing in a mark's bucket would pollute
+  // the signal — verified: the marks and noise occupy distinct mod-16
+  // md5 buckets)
   private def docs = (0L until 60L).map { i =>
     val pos = i % 2 == 0
     val mark = if (pos) "goodmark" else "badmark"
-    (i, pos, s"common$i filler the and $mark $mark tail${i % 7}")
+    (i, pos, s"filler the and $mark tail${i % 7}")
   }.toDF("doc_id", "is_pos", "text")
 
-  test("planted separable data: 5 GD rounds classify the training set, " +
+  test("planted separable data: 10 GD rounds classify the training set, " +
       "and weights move in the signal direction") {
     val feats = LogReg.hashedCounts(docs, "doc_id", "is_pos", "text",
       buckets = 16)
-    val w = LogReg.fit(feats, iters = 5, lrDen = 10L)
+    val w = LogReg.fit(feats, iters = 10, lrDen = 4L)
     val scored = LogReg.margins(feats, w)
       .collect().map(r => (r.getBoolean(1), r.getLong(2)))
     assert(scored.nonEmpty)
