@@ -276,6 +276,74 @@ object ScaleProbe {
       q4.agg(
         count(lit(1)).as("n_sampled"),
         expr("CAST((sum(nt) + 511) div 512 AS BIGINT)").as("n_blocks"))
+    }),
+    // m18 shape (round-15): the COMPOSED multimodal chain, unbounded —
+    // synthetic cross-scale image corpus (1000 perceptual clusters,
+    // half the corpus pixel-doubled) + captions through the TAR
+    // container, metadata strip, dHash, star-edge connected
+    // components, canonical election by decoded width, caption join,
+    // interleaved packing. The claim measured: pixels never shuffle
+    // (payloads stay scan-side; hashes/widths/token counts travel), so
+    // the chain's shuffle tracks members, not bytes, and CC rounds
+    // stay bounded under 10x more clusters.
+    "m18_chain" -> ((s, dir) => {
+      val mm = graft.llm.Multimodal
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id").cast("long").as("id"),
+        (col("doc_id") % 1000).as("key"),
+        (col("doc_id") % 2 + 1).cast("int").as("scale"))
+      val pristine = mm.withSyntheticImagesScaled(ids, "id", "key",
+        "scale", baseW = 36, baseH = 32)
+      val planted = mm.withPlantedText(
+        pristine.join(d.select(col("doc_id").cast("long").as("id"),
+          concat(lit("gps-"), col("doc_id")).as("gps_v")), "id"),
+        "id", "payload", Seq("gps" -> "gps_v"))
+      val tarIn = planted
+        .select(col("id"),
+          format_string("img/%07d.png", col("id")).as("name"),
+          col("payload"))
+        .unionByName(d.select(col("doc_id").cast("long").as("id"),
+          format_string("img/%07d.txt", col("doc_id")).as("name"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")))
+      val tmp = graft.Registry.scratchDir("probe_m18_tar")
+      graft.sources.TarIngest.writeTarDir(
+        tarIn.repartition(32, col("id")).drop("id"), tmp, gzip = true)
+      val (members, _) = graft.sources.TarIngest.readTarDir(s, tmp)
+      val samples = graft.CacheScope.harness.track(
+        graft.sources.TarIngest.wdsSamples(members)).toDF()
+      val pngs = samples.filter(col("ext") === "png")
+        .select(regexp_extract(col("sample_key"), "(\\d+)$", 1)
+          .cast("long").as("id"), col("payload"))
+      val caps = samples.filter(col("ext") === "txt")
+        .select(regexp_extract(col("sample_key"), "(\\d+)$", 1)
+          .cast("long").as("id"),
+          decode(col("payload"), "UTF-8").as("caption"))
+      val stripped = graft.CacheScope.harness.track(
+        mm.stripPngMeta(pngs, "id", "payload")
+          .select(col("id"), col("payload"))).toDF()
+      val hashed = mm.dhashes(stripped, "id")
+        .filter(col("dhash").isNotNull)
+      val cc = graft.llm.Dedup.connectedComponents(
+        hashed.select(col("id")),
+        graft.llm.Dedup.starEdges(hashed, "dhash", "id"))
+      val meta = mm.decodeImageFeatures(stripped, "id")
+        .select(col("id"), col("width").cast("long").as("width"))
+      val w = Window.partitionBy(col("rep"))
+        .orderBy(col("width").desc, col("id"))
+      val canonical = cc.join(meta, "id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("rep"), col("id").as("canonical"))
+      val counts = canonical
+        .join(caps, canonical("canonical") === caps("id"))
+        .select(col("canonical").as("doc_id"),
+          (lit(64L) + graft.llm.TextAnalysis.tokenCount(col("caption")))
+            .as("n_tokens"))
+      graft.llm.CorpusPipeline.packByCount(counts,
+          capacity = 256, blockSize = 64)
+        .agg(count(lit(1)).as("n_canonical"),
+          countDistinct(col("block") * 100000L + col("bin"))
+            .as("n_blocks"))
     })
   )
 
