@@ -80,4 +80,35 @@ class ShardManifestSpec extends SparkSpec {
       dir, nShards = 3)
     assert(fileBytes() == first)
   }
+
+  test("balancedShards: every shard within one max-bin of total/N, " +
+      "contiguous ranges, deterministic under repartitioning") {
+    // heavy-tailed bins on purpose: one bin holds ~30% of the mass
+    val bins = ((0L until 40L).map(i => (i / 10L, i % 10L, 1L, 100L))
+      :+ (4L, 0L, 1L, 1700L)).toDF("block", "bin", "n_docs", "bin_tokens")
+    val out = graft.llm.ShardManifest.balancedShards(bins, nShards = 4)
+      .collect().map(r => (r.getAs[Long]("block"), r.getAs[Long]("bin"),
+        r.getAs[Long]("bin_tokens"), r.getAs[Long]("shard")))
+    spark.catalog.clearCache() // runningTotal pins its range exchange
+    assert(out.length == 41)
+    val total = out.map(_._3).sum // 5700
+    val maxBin = out.map(_._3).max // 1700
+    val byShard = out.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    // each shard's mass is < total/N + one bin (the contiguous-cut bound)
+    byShard.foreach { case (sh, mass) =>
+      assert(mass < total / 4 + maxBin, s"shard $sh carries $mass")
+    }
+    // shards are contiguous in (block, bin) order
+    val ordered = out.sortBy(r => (r._1, r._2)).map(_._4)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+      ordered.mkString(","))
+    // deterministic under a different input partitioning
+    val out2 = graft.llm.ShardManifest.balancedShards(
+        bins.repartition(7), nShards = 4)
+      .collect().map(r => (r.getAs[Long]("block"), r.getAs[Long]("bin"),
+        r.getAs[Long]("shard"))).sorted.toSeq
+    spark.catalog.clearCache()
+    assert(out2 == out.map(r => (r._1, r._2, r._4)).sorted.toSeq)
+  }
 }
