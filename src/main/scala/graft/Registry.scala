@@ -106,7 +106,7 @@ object Registry {
       RegistryR10.entries ++ RegistryR11.entries ++ RegistryR11.entries2 ++
       RegistryTpchPs.entries ++ RegistryR12.entries ++
       RegistryR13.entries ++ RegistryR14.entries ++ RegistryR14.entries2 ++
-      RegistryR15.entries
+      RegistryR15.entries ++ RegistryR16.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

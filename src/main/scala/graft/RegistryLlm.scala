@@ -386,13 +386,16 @@ object RegistryLlm {
 
     // ---- D14: canonical-doc selection — dedup that keeps the BEST copy,
     //      not the first: within each near-dup cluster (d08's connected
-    //      components) pick by quality desc, length desc, id asc. The
-    //      window partitions by cluster rep (#reps ≈ #docs — no skewed
-    //      partition), and quality is the integer-derived t02 ratio, so
-    //      the ordering is bit-identical across engines -------------------
+    //      components) pick by quality desc, length desc, id asc —
+    //      through the map-side-combinable argmax (max_by over the
+    //      (quality, len, −id) struct, the Dedup.electCanonical shape),
+    //      never a rank window over the rep key: a degenerate cluster
+    //      must never become a one-task sort. The winner's quality is
+    //      the cluster max (quality is the primary order key), and the
+    //      integer-derived t02 ratio makes the ordering bit-identical
+    //      across engines -------------------------------------------------
     Q("d14_canonical_docs",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
         val cc = Dedup.connectedComponents(
           docs.select(col("doc_id").as("id")),
@@ -400,12 +403,11 @@ object RegistryLlm {
         val scored = docs.select(col("doc_id").as("id"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           length(col("text")).cast("long").as("len"))
-        val w = Window.partitionBy(col("rep"))
-          .orderBy(col("quality").desc, col("len").desc, col("id"))
         cc.join(scored, "id")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("rep"), col("id").as("canonical"), col("quality"))
+          .groupBy(col("rep"))
+          .agg(max_by(col("id"), struct(col("quality"), col("len"),
+              negate(col("id")))).as("canonical"),
+            max(col("quality")).as("quality"))
           .orderBy("rep")
       },
       Some("""WITH RECURSIVE t AS (

@@ -281,7 +281,6 @@ object RegistryR14 {
     //      drift anywhere breaks the gate. ----------------------------
     Q("m17_canonical_image",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val ids = t(s, dir, "documents").filter(col("doc_id") < 150)
           .select(col("doc_id").cast("long").as("id"),
             (col("doc_id") % 25).as("key"),
@@ -300,14 +299,12 @@ object RegistryR14 {
         // resolution read from the DECODED image, never trusted metadata
         val meta = graft.llm.Multimodal.decodeImageFeatures(imgs, "id")
           .select(col("id"), col("width").cast("long").as("width"))
-        val w = Window.partitionBy(col("rep"))
-          .orderBy(col("width").desc, col("id"))
-        cc.join(meta, "id")
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("rep"))))
-          .filter(col("rk") === 1)
-          .select(col("rep"), col("id").as("canonical"), col("width"),
+        // election is the map-side-combinable argmax (the a35 machinery
+        // via Dedup.electCanonical), NEVER a rank window over rep: a
+        // degenerate perceptual cluster must not become a one-task sort
+        graft.llm.Dedup.electCanonical(cc.join(meta, "id"),
+            "rep", "id", "width")
+          .select(col("rep"), col("canonical"), col("width"),
             col("n_members"))
           .orderBy("rep")
       },

@@ -207,13 +207,11 @@ object RegistryR15 {
           graft.llm.Dedup.starEdges(hashed, "dhash", "id"))
         val meta = mm.decodeImageFeatures(stripped, "id")
           .select(col("id"), col("width").cast("long").as("width"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("rep"))
-          .orderBy(col("width").desc, col("id"))
-        val canonical = cc.join(meta, "id")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("rep"), col("id").as("canonical"))
+        // m17's rule through the map-side-combinable argmax election —
+        // never a rank window over the connected-components rep key
+        val canonical = graft.llm.Dedup.electCanonical(
+            cc.join(meta, "id"), "rep", "id", "width")
+          .select(col("rep"), col("canonical"))
         val withCap = canonical
           .join(caps, canonical("canonical") === caps("id"))
         val counts = withCap.select(col("canonical").as("doc_id"),

@@ -328,12 +328,9 @@ object ScaleProbe {
         graft.llm.Dedup.starEdges(hashed, "dhash", "id"))
       val meta = mm.decodeImageFeatures(stripped, "id")
         .select(col("id"), col("width").cast("long").as("width"))
-      val w = Window.partitionBy(col("rep"))
-        .orderBy(col("width").desc, col("id"))
-      val canonical = cc.join(meta, "id")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("rep"), col("id").as("canonical"))
+      val canonical = graft.llm.Dedup.electCanonical(
+          cc.join(meta, "id"), "rep", "id", "width")
+        .select(col("rep"), col("canonical"))
       val counts = canonical
         .join(caps, canonical("canonical") === caps("id"))
         .select(col("canonical").as("doc_id"),
@@ -344,8 +341,132 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_canonical"),
           countDistinct(col("block") * 100000L + col("bin"))
             .as("n_blocks"))
-    })
+    }),
+    // m19 shape (round-16): the COMPOSED audio/video chain, unbounded —
+    // cross-duration WAV corpus (1000 envelope clusters, half
+    // integer-upsampled 2x) + MJPEG AVIs + captions through the TAR
+    // container, RIFF decode to the duration-invariant envelope,
+    // star-edge CC, longest-rendition argmax election, scene-cut walk,
+    // caption join, packing. Claim measured: samples/pixels never
+    // shuffle — envelopes, durations and token counts travel — so the
+    // chain's shuffle tracks members, not media bytes.
+    "m19_chain" -> ((s, dir) => {
+      val mm = graft.llm.Multimodal
+      val d = docs(s, dir)
+      val ids = d.select(col("doc_id").cast("long").as("id"),
+        (col("doc_id") % 1000).as("key"),
+        (col("doc_id") % 2 + 1).cast("int").as("scale"))
+      val wavs = mm.withSyntheticAudioScaled(ids, "id", "key", "scale",
+        baseSamples = 1000, rate = 8000)
+      val avis = mm.withSyntheticVideos(ids, "id", frames = 6)
+      val tarIn = wavs.select(col("id"),
+          format_string("av/%07d.wav", col("id")).as("name"),
+          col("payload"))
+        .unionByName(avis.select(col("id"),
+          format_string("av/%07d.avi", col("id")).as("name"),
+          col("payload")))
+        .unionByName(d.select(col("doc_id").cast("long").as("id"),
+          format_string("av/%07d.txt", col("doc_id")).as("name"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload")))
+      val tmp = graft.Registry.scratchDir("probe_m19_tar")
+      graft.sources.TarIngest.writeTarDir(
+        tarIn.repartition(32, col("id")).drop("id"), tmp, gzip = true)
+      val (members, _) = graft.sources.TarIngest.readTarDir(s, tmp)
+      val samples = graft.CacheScope.harness.track(
+        graft.sources.TarIngest.wdsSamples(members)).toDF()
+      def byExt(e: String) = samples.filter(col("ext") === e)
+        .select(regexp_extract(col("sample_key"), "(\\d+)$", 1)
+          .cast("long").as("id"), col("payload"))
+      val caps = samples.filter(col("ext") === "txt")
+        .select(regexp_extract(col("sample_key"), "(\\d+)$", 1)
+          .cast("long").as("id"),
+          decode(col("payload"), "UTF-8").as("caption"))
+      val env = graft.CacheScope.harness.track(
+        mm.audioEnvelopes(byExt("wav"), "id", windows = 10)).toDF()
+      val cc = graft.llm.Dedup.connectedComponents(
+        env.select(col("id")),
+        graft.llm.Dedup.starEdges(
+          env.select(col("id"),
+            md5(to_json(col("envelope"))).as("akey")), "akey", "id"))
+      val canonical = graft.llm.Dedup.electCanonical(
+        cc.join(env.select(col("id"), col("num_samples")), "id"),
+        "rep", "id", "num_samples")
+      val w = Window.partitionBy("id").orderBy("frame_idx")
+      val cuts = mm.decodeVideoFrames(byExt("avi"), "id")
+        .withColumn("prev", lag(col("sum_gray"), 1).over(w))
+        .filter(col("prev").isNotNull &&
+          abs(col("sum_gray") - col("prev")) > 300)
+      val counts = canonical
+        .join(caps, canonical("canonical") === caps("id"))
+        .select(col("canonical").as("doc_id"),
+          (lit(128L) + graft.llm.TextAnalysis.tokenCount(col("caption")))
+            .as("n_tokens"))
+      graft.llm.CorpusPipeline.packByCount(counts,
+          capacity = 384, blockSize = 64)
+        .agg(count(lit(1)).as("n_canonical"),
+          countDistinct(col("block") * 100000L + col("bin"))
+            .as("n_blocks"))
+        .crossJoin(cuts.agg(count(lit(1)).as("n_cuts")))
+    }),
+    // t34/l26 shape (round-16): the trained-filter fit+score at scale —
+    // 10 integer-GD iterations over the cached presence-feature table
+    // (the new cost ceiling, 5.2-5.3 s committed at sf0.1). Claim
+    // measured: iteration cost is linear in the count table (built
+    // once, cached), the per-round driver round-trip stays <=257 rows,
+    // and the scoring pass is one broadcast join — so wall and shuffle
+    // grow ~linearly with the corpus at a FIXED iteration count.
+    "t34_logreg_fit" -> ((s, dir) => {
+      val lr = graft.llm.LogReg
+      val d = docs(s, dir).select(col("doc_id"),
+        (conv(substring(md5(concat(lit("t34:"), col("doc_id"))),
+          1, 15), 16, 10).cast("long") % 100 < 70).as("is_train"),
+        (col("lang") === "en").as("is_pos"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          concat(lit(" m"), col("lang"))).otherwise(lit("")))
+          .as("text"))
+      val train = lr.hashedCounts(d.filter(col("is_train")),
+        "doc_id", "is_pos", "text", buckets = 256)
+      val rest = lr.hashedCounts(d.filter(!col("is_train")),
+        "doc_id", "is_pos", "text", buckets = 256)
+      val w = lr.fit(train, iters = 10, lrDen = 4L)
+      lr.margins(rest, w)
+    }),
+    // m13-shape media pair VALVE posture (round-16): the real audio
+    // decode → envelope digest → pair join, planted with 1000 bounded
+    // content classes (~0.09% of the corpus each) plus ONE degenerate
+    // key holding 10% of the corpus (the solid-color-thumbnail story).
+    // Uncapped, the hot key alone emits C(n/10, 2) pairs — quadratic in
+    // corpus size; capped at the production posture (maxGroupSize 128,
+    // above every honest cluster at both SFs) the hot key drops WHOLE
+    // (conservative miss, the d35 contract) while bounded keys keep
+    // their exact pair sets. rows = pairs emitted (the forgone-pairs
+    // accounting), shuffle = the valve's effect.
+    "m13_pairs_uncapped" -> ((s, dir) => mediaPairs(s, dir, cap = 0)),
+    "m13_pairs_capped" -> ((s, dir) => mediaPairs(s, dir, cap = 128))
   )
+
+  /** The m13 registry shape — synthetic WAVs, real RIFF decode, exact
+    * envelope digest, distributed pair self-join — with a skew plant:
+    * every 10th doc shares ONE degenerate content key; the rest spread
+    * over 1000 bounded classes.
+    */
+  private def mediaPairs(s: SparkSession, dir: String, cap: Int)
+      : DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id").cast("long").as("id"),
+      when(col("doc_id") % 10 === 0, lit(0L))
+        .otherwise(col("doc_id") % 1000 + 1L).as("key"),
+      lit(1).as("scale"))
+    val wavs = graft.llm.Multimodal.withSyntheticAudioScaled(
+      keyed, "id", "key", "scale", baseSamples = 200, rate = 8000)
+    val env = graft.llm.Multimodal.audioWindowEnergy(wavs, "id",
+      windows = 10)
+    val feats = env.groupBy("id")
+      .agg(md5(to_json(sort_array(
+        collect_list(struct(col("win"), col("energy"))))))
+        .as("content_key"))
+    graft.llm.Dedup.pairsWithinGroups(feats, "content_key", "id",
+      maxGroupSize = cap)
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleProbe <dir1> <dir2> ...")

@@ -110,6 +110,28 @@ object Dedup {
       .select(col("__rep").as("id_a"), col("__id").as("id_b"))
   }
 
+  /** Map-side-combinable CANONICAL election per duplicate cluster — the
+    * keep-best step after [[connectedComponents]]: ONE argmax aggregate
+    * per rep (`max_by` over a (quality, −id) struct — quality desc, id
+    * asc tie-break), never a rank window. A
+    * `row_number().over(Window.partitionBy(rep))` puts a degenerate
+    * perceptual cluster's ENTIRE member list into one task to rank a
+    * single winner (the solid-color-thumbnail story, one level above
+    * the pair valve); the aggregate keeps O(1) state per rep, combines
+    * map-side, and a web-scale cluster costs the same as a pair.
+    * Output: (rep, canonical, <qualityCol> of the winner = the cluster
+    * max, n_members). Total order ⇒ deterministic, oracle-exact.
+    */
+  def electCanonical(members: DataFrame, repCol: String = "rep",
+                     idCol: String = "id", qualityCol: String = "width")
+      : DataFrame =
+    members.groupBy(col(repCol).as("rep"))
+      .agg(
+        max_by(col(idCol), struct(col(qualityCol), negate(col(idCol))))
+          .as("canonical"),
+        max(col(qualityCol)).as(qualityCol),
+        count(lit(1)).as("n_members"))
+
   def exactDupStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("total_docs"),

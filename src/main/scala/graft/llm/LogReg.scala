@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** In-engine TRAINED quality classifier: fixed-iteration batch
@@ -58,27 +58,99 @@ object LogReg {
       lit(-1L).as("b"), lit(1L).as("c")))
   }
 
+  /** Label-free twin of [[hashedCounts]] for SCORING unlabeled corpora
+    * (the trained filter's steady state): (id, b, c) presence features
+    * plus the intercept pseudo-bucket, same md5 bucket recipe —
+    * `scores(features(batch), loadWeights(dir))` is the production
+    * apply path.
+    */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int): DataFrame = {
+    val toks = expr(s"filter(split(lower(trim($textCol)), " +
+      "'\\\\s+'), x -> length(x) > 0)")
+    docs.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+      .distinct()
+      .withColumn("c", lit(1L))
+      .unionByName(docs.select(col(idCol).as("id"),
+        lit(-1L).as("b"), lit(1L).as("c")))
+  }
+
+  /** Integer margin per doc from a weight map, label-free: (id, m) with
+    * m > 0 ⇔ predicted positive. Weights broadcast (≤ buckets+1 rows);
+    * the only shuffle is the per-doc groupBy.
+    */
+  def scores(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.toDF("b", "w")
+    feats.join(broadcast(wDf), Seq("b"), "left")
+      .groupBy("id")
+      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+  }
+
+  /** Persist trained weights as a ≤(buckets+1)-row parquet artifact —
+    * the fit-once-score-forever posture every sibling artifact has (BPE
+    * merges, Unigram vocab, KN stats, BM25): the production quality
+    * filter is trained once and applied to every later drop, so the fit
+    * must never re-run per job. Lossless by construction (exact BIGINT
+    * columns); gated by t35's oracle replaying the full fit against the
+    * score-after-load output.
+    */
+  def saveWeights(spark: SparkSession, w: Map[Long, Long],
+                  dir: String): Unit = {
+    import spark.implicits._
+    w.toSeq.toDF("b", "w").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveWeights]] artifact back into the driver-side map the
+    * scorers take (bounded: ≤ buckets+1 rows).
+    */
+  def loadWeights(spark: SparkSession, dir: String): Map[Long, Long] =
+    spark.read.parquet(dir).select(col("b"), col("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Per-doc integer margin under a weight map (micro units):
     * (id, y, m). Unseen buckets score 0 — the same convention the
-    * oracle uses.
+    * oracle uses. Groups by `id` ALONE (y is functionally dependent on
+    * the doc id and rides along as an aggregate): when the feature
+    * frame is already hash-partitioned by id — [[fit]] pins exactly
+    * that before caching — the margin aggregate reuses the partitioning
+    * with NO exchange, which is what keeps each GD iteration's shuffle
+    * bounded instead of re-shuffling the corpus-sized count table
+    * per round (measured: the (id, y) grouping re-keyed the table every
+    * iteration — 21.5× shuffle growth for 10× input; this form is
+    * ~bounded-partials per iteration).
     */
   def margins(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     val wDf = w.toSeq.toDF("b", "w")
     feats.join(broadcast(wDf), Seq("b"), "left")
-      .groupBy("id", "y")
-      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+      .groupBy("id")
+      .agg(max(col("y")).as("y"),
+        sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+      .select(col("id"), col("y"), col("m"))
   }
 
   /** `iters` rounds of batch GD; returns bucket → weight (micro).
     * The per-round driver round-trip is the ≤(buckets+1)-row gradient
     * — the bounded fit-collect discipline (d29/n13).
+    *
+    * Shuffle shape: the count table is REPARTITIONED BY id once and
+    * cached — every iteration's margin aggregate (groupBy id) and
+    * gradient join (on id) reuse that partitioning with no exchange,
+    * so per-iteration shuffle is the bounded gradient partials, not
+    * the corpus-sized count table. At a fixed iteration count total
+    * shuffle grows linearly with the corpus (sf1 probe-pinned).
     */
   def fit(feats: DataFrame, iters: Int, lrDen: Long,
           scope: graft.CacheScope = graft.CacheScope.harness)
       : Map[Long, Long] = {
-    val train = scope.track(feats).toDF()
+    val train = scope.track(feats.repartition(col("id"))).toDF()
     val nTrain = train.select(col("id")).distinct().count()
     require(nTrain > 0, "LogReg.fit: empty training set")
     var w = Map.empty[Long, Long].withDefaultValue(0L)

@@ -730,6 +730,99 @@ object Multimodal {
     }(encoder)
   }
 
+  /** [[withSyntheticAudio]]'s scale-aware sibling (the audio twin of
+    * [[withSyntheticImagesScaled]]): the `scale`× rendition repeats each
+    * base sample `scale` times (integer upsampling), so the
+    * duration-invariant envelope ([[decodeWavEnvelope]]) is IDENTICAL
+    * across scales while the encoded bytes and the decoded duration
+    * differ — the planted ground truth for cross-duration audio
+    * near-dup detection plus longest-rendition canonical election.
+    * Base sample j of key k is ((k·31 + j·7) mod 65536) − 32768.
+    */
+  def withSyntheticAudioScaled(df: DataFrame, idCol: String,
+                               keyCol: String, scaleCol: String,
+                               baseSamples: Int = 1000,
+                               rate: Int = 8000): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val in = df.select(col(idCol).cast("long").as("id"),
+      col(keyCol).cast("long").as("key"),
+      col(scaleCol).cast("int").as("scale"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getLong(1); val scale = r.getInt(2)
+        val samples = Array.tabulate(baseSamples * scale)(i =>
+          (((key * 31 + (i / scale).toLong * 7) % 65536) - 32768).toShort)
+        Row(r.getLong(0), buildWav(samples, rate))
+      }
+    }(encoder)
+  }
+
+  /** DURATION-INVARIANT audio fingerprint: per-window truncating MEAN
+    * energy (Σ amp² div window sample count) plus the decoded sample
+    * count. An integer-upsampled rendition (each sample repeated k
+    * times) has per-window energy k·E over k·c samples, and
+    * floor(kE / kc) = floor(E / c) exactly — so envelopes agree across
+    * scales while byte digests (m13's `content_key`) cannot, the audio
+    * analogue of dHash's pooling invariance. Requires window boundaries
+    * to land on whole base samples: sample counts divisible by
+    * `windows` (the synthetic plants use 1000·scale over 10 windows).
+    * @return (numSamples, per-window mean energies), None if not PCM WAV
+    */
+  def decodeWavEnvelope(bytes: Array[Byte], windows: Int)
+      : Option[(Long, Array[Long])] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    val (_, channels, dataOff, n) = parsePcmWav(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val frameBytes = 2 * channels
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val lo = (n.toLong * w / windows).toInt
+      val hi = (n.toLong * (w + 1) / windows).toInt
+      var ss = 0L; var i = lo
+      while (i < hi) {
+        var c = 0; var amp = 0L
+        while (c < channels) {
+          amp += le16(dataOff + i * frameBytes + 2 * c).toShort
+          c += 1
+        }
+        ss += amp * amp; i += 1
+      }
+      out(w) = if (hi > lo) ss / (hi - lo) else 0L
+      w += 1
+    }
+    Some((n.toLong, out))
+  }
+
+  /** Batched [[decodeWavEnvelope]]: one row per decodable payload with
+    * (id, num_samples, envelope) — ONE decode per asset (the m09/m13
+    * lesson); undecodable payloads yield no rows.
+    */
+  def audioEnvelopes(df: DataFrame, idCol: String, windows: Int = 10)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("num_samples", LongType),
+      StructField("envelope", ArrayType(LongType))))
+    val in = df.select(col(idCol).cast("long").as("id"), col("payload"))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeWavEnvelope(r.getAs[Array[Byte]](1), windows) match {
+          case Some((n, env)) => Iterator.single(Row(id, n, env))
+          case None => Iterator.empty
+        }
+      }
+    }(encoder)
+  }
+
   /** RIFF/WAVE walker for 16-bit PCM (mono or stereo, channels averaged).
     * @return (sampleRate, numSamples, per-window RMS of [-1,1] samples)
     */

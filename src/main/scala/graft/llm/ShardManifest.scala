@@ -42,14 +42,29 @@ object ShardManifest {
   /** Deterministic shard id for every packed row: a pure projection
     * (no shuffle — pushes into whatever scan feeds it).
     */
+  /** bkey = block·10000 + bin is collision-free ONLY while
+    * bin ∈ [0, 10000) — a wider bin id would silently merge distinct
+    * bins in shard assignment, n_bins and checksums. All public entry
+    * points route through [[assignShards]], whose per-row guard fails
+    * fast instead (every in-engine packer yields ≤ 256 bins/block, so
+    * honest callers never pay more than the codegen'd range check).
+    */
+  private def guardedBkey(blockCol: String, binCol: String) = {
+    val bin = col(binCol).cast("long")
+    when(bin >= 0L && bin < 10000L,
+      col(blockCol).cast("long") * 10000L + bin)
+      .otherwise(raise_error(concat(
+        lit("ShardManifest: bin out of [0, 10000) — bkey would "
+          + "collide: "), bin.cast("string"))))
+  }
+
   def assignShards(blocks: DataFrame, nShards: Int,
                    blockCol: String = "block", binCol: String = "bin")
       : DataFrame = {
     require(nShards > 0, "assignShards: nShards must be positive")
-    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
     blocks.withColumn("shard",
-      pmod(pmod(pmod(bkey, lit(100000L)) * lit(2654435761L),
-        lit(100000L)), lit(nShards.toLong)))
+      pmod(pmod(pmod(guardedBkey(blockCol, binCol), lit(100000L))
+        * lit(2654435761L), lit(100000L)), lit(nShards.toLong)))
   }
 
   /** The manifest: one row per shard — (shard, n_bins, n_docs,
@@ -60,9 +75,8 @@ object ShardManifest {
                idCol: String = "doc_id", blockCol: String = "block",
                binCol: String = "bin", countCol: String = "n_tokens")
       : DataFrame = {
-    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
     assignShards(blocks, nShards, blockCol, binCol)
-      .select(col("shard"), bkey.as("__bkey"),
+      .select(col("shard"), guardedBkey(blockCol, binCol).as("__bkey"),
         col(idCol), col(countCol).cast("long").as("__nt"),
         rowHash(idCol, countCol).as("__h"))
       .groupBy("shard")
@@ -80,11 +94,33 @@ object ShardManifest {
     * stream to its file in deterministic order — same input, same
     * bytes, whatever the upstream partitioning was. Returns the number
     * of files written.
+    *
+    * Commit discipline (two-phase, the maintainUpsert posture): each
+    * task streams to a PER-ATTEMPT dot-prefixed temp name and renames
+    * onto the final name only after the shard's rows are fully written
+    * — a crashed or superseded attempt can leave a stale `.tmp` (never
+    * mounted: loaders glob `shard-*.jsonl`) but never a torn or
+    * interleaved final file; duplicate attempts race only at the
+    * rename, and both attempts carry identical bytes (the input is
+    * deterministic per shard), so either winner is correct. Before
+    * writing, stale `shard-*.jsonl` and orphaned temps from a previous
+    * run are cleared — re-running with a smaller nShards must not leave
+    * old shard files a globbing loader would mount.
     */
   def writeShards(blocks: DataFrame, dir: String, nShards: Int,
                   idCol: String = "doc_id", blockCol: String = "block",
                   binCol: String = "bin", countCol: String = "n_tokens")
       : Long = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    if (dfs.exists(dirPath)) {
+      (dfs.globStatus(new org.apache.hadoop.fs.Path(dirPath,
+        "shard-*.jsonl")) ++
+        dfs.globStatus(new org.apache.hadoop.fs.Path(dirPath,
+          ".shard-*.jsonl.*.tmp")))
+        .foreach(s => dfs.delete(s.getPath, false))
+    }
     val rows = assignShards(blocks, nShards, blockCol, binCol)
       .select(col("shard"), col(blockCol).cast("long").as("block"),
         col(binCol).cast("long").as("bin"),
@@ -96,17 +132,29 @@ object ShardManifest {
       if (!it.hasNext) Iterator.single(0L)
       else {
         val conf = new org.apache.hadoop.conf.Configuration()
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
         var current = -1L
         var files = 0L
+        def commit(): Unit = if (out != null) {
+          out.close(); out = null
+          val fin = new org.apache.hadoop.fs.Path(
+            dir, f"shard-$current%05d.jsonl")
+          val fs = fin.getFileSystem(conf)
+          fs.delete(fin, false) // duplicate attempts: identical bytes
+          require(fs.rename(tmp, fin),
+            s"writeShards: rename $tmp -> $fin failed")
+        }
         try {
           it.foreach { r =>
             val shard = r.getLong(0)
             if (shard != current) { // sorted ⇒ shard change = file change
-              if (out != null) out.close()
-              val path = new org.apache.hadoop.fs.Path(
-                dir, f"shard-$shard%05d.jsonl")
-              out = path.getFileSystem(conf).create(path, true)
+              commit()
+              tmp = new org.apache.hadoop.fs.Path(
+                dir, f".shard-$shard%05d.jsonl.$attempt.tmp")
+              out = tmp.getFileSystem(conf).create(tmp, true)
               current = shard
               files += 1L
             }
@@ -115,7 +163,8 @@ object ShardManifest {
                 s""""bin":${r.getLong(2)},"n_tokens":${r.getLong(4)}}""" + "\n"
             out.write(line.getBytes("UTF-8"))
           }
-        } finally if (out != null) out.close()
+          commit()
+        } finally if (out != null) out.close() // crash: temp only
         Iterator.single(files)
       }
     }.sum().toLong
@@ -138,9 +187,8 @@ object ShardManifest {
                idCol: String = "doc_id", blockCol: String = "block",
                binCol: String = "bin", countCol: String = "n_tokens")
       : DataFrame = {
-    val bkey = col(blockCol).cast("long") * 10000L + col(binCol).cast("long")
     assignShards(blocks, nShards, blockCol, binCol)
-      .select(col("shard"), bkey.as("bkey"),
+      .select(col("shard"), guardedBkey(blockCol, binCol).as("bkey"),
         col(countCol).cast("long").as("__nt"),
         rowHash(idCol, countCol).as("__h"))
       .groupBy("shard", "bkey")
@@ -195,11 +243,19 @@ object ShardManifest {
     val cum = graft.etl.Ids.runningTotal(bins,
       Seq(col(blockCol), col(binCol)), col(tokensCol),
       totalName = "bin_cum", scope = scope)
+    // fail fast on a non-positive total mass (all-zero/null token
+    // masses) instead of dividing into a NULL shard column that flows
+    // silently downstream; an EMPTY bins frame short-circuits to an
+    // empty result by construction (no rows reach the expression)
     cum.crossJoin(broadcast(
         cum.agg(sum(col(tokensCol)).cast("long").as("__tot"))))
-      .withColumn("shard", least(lit(nShards.toLong - 1L),
-        expr(s"((bin_cum - CAST($tokensCol AS BIGINT)) * " +
-          s"${nShards}L) div __tot")))
+      .withColumn("shard",
+        when(col("__tot") > 0L, least(lit(nShards.toLong - 1L),
+          expr(s"((bin_cum - CAST($tokensCol AS BIGINT)) * " +
+            s"${nShards}L) div __tot")))
+          .otherwise(raise_error(concat(
+            lit("balancedShards: total token mass must be positive, "
+              + "got "), col("__tot").cast("string")))))
       .drop("__tot")
   }
 }

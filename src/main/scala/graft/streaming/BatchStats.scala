@@ -111,11 +111,16 @@ object BatchStats {
     * any id < the checkpoint's latest committed batch qualifies.
     *
     * Crash safety: the fold writes to a dot-prefixed tmp dir (invisible
-    * to parquet listing) carrying a `.compacted_through` marker, swaps
-    * it into place, then deletes the folded sources. A crash mid-swap
-    * is repaired by [[recover]] (also run at the start of every
-    * compact): the marker names exactly which batch ids were folded,
-    * so recovery finishes the swap and the deletes idempotently.
+    * to parquet listing) carrying a `.compacted_through` marker (itself
+    * committed by rename, so it is never torn), swaps it into place,
+    * then deletes the folded sources. A crash mid-swap is repaired by
+    * [[recover]] (also run at the start of every compact): the marker
+    * names exactly which batch ids were folded, so recovery finishes
+    * the swap and the deletes idempotently; an absent or unparseable
+    * marker reads as "fold not committed" (tmp discarded, sources
+    * intact). Every rename's boolean result is require-checked — Hadoop
+    * reports failure as false, and proceeding past a failed swap would
+    * delete sources whose fold only exists in the listing-invisible tmp.
     * Readers racing a mid-compact crash window can transiently
     * over/under-count — run compact from the maintenance path, not
     * concurrently with a reader, and recover before the next read.
@@ -133,12 +138,26 @@ object BatchStats {
     spark.read.parquet(ids.map(i => s"$statsDir/batch=$i"): _*)
       .groupBy(keyCols.map(col): _*).agg(sums.head, sums.tail: _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    // marker: which ids this fold covers — recovery's source of truth
-    val out = f.create(new Path(tmp, ".compacted_through"), true)
+    // marker: which ids this fold covers — recovery's source of truth.
+    // Written under a temp name and RENAMED into place (rename is the
+    // commit): a crash mid-write leaves only the .tmp, which recover
+    // treats as an incomplete fold (sources intact) instead of parsing
+    // a torn marker and wedging every future compact.
+    val markerTmp = new Path(tmp, ".compacted_through.tmp")
+    val out = f.create(markerTmp, true)
     out.write(s"${ids.min} ${ids.max}".getBytes("UTF-8")); out.close()
+    require(f.rename(markerTmp, new Path(tmp, ".compacted_through")),
+      s"BatchStats.compact: marker rename failed under $tmp")
     val target = new Path(statsDir, s"batch=${ids.min}")
     f.delete(target, true)
-    f.rename(tmp, target)
+    // Hadoop rename reports failure as FALSE, not an exception (the
+    // Lake.scala discipline): abort BEFORE touching the other sources —
+    // on failure the folded stats sit only in the dot-prefixed tmp
+    // (invisible to parquet listing) and readMerged would silently
+    // undercount after the source deletes below.
+    require(f.rename(tmp, target),
+      s"BatchStats.compact: rename $tmp -> $target failed; " +
+        "folded sources left intact")
     ids.filter(_ != ids.min)
       .foreach(i => f.delete(new Path(statsDir, s"batch=$i"), true))
     ids
@@ -153,33 +172,46 @@ object BatchStats {
     val f = fs(spark, statsDir)
     val tmp = new Path(statsDir, ".compact_tmp")
     val tmpMarker = new Path(tmp, ".compacted_through")
-    if (f.exists(tmpMarker)) {
-      val (lo, hi) = readMarker(f, tmpMarker)
-      val target = new Path(statsDir, s"batch=$lo")
-      f.delete(target, true)
-      f.rename(tmp, target)
-      ((lo + 1) to hi)
-        .foreach(i => f.delete(new Path(statsDir, s"batch=$i"), true))
-    } else if (f.exists(tmp)) {
-      f.delete(tmp, true) // incomplete fold: sources intact, just retry
+    readMarker(f, tmpMarker) match {
+      case Some((lo, hi)) =>
+        val target = new Path(statsDir, s"batch=$lo")
+        f.delete(target, true)
+        require(f.rename(tmp, target),
+          s"BatchStats.recover: rename $tmp -> $target failed; " +
+            "folded sources left intact")
+        ((lo + 1) to hi)
+          .foreach(i => f.delete(new Path(statsDir, s"batch=$i"), true))
+      case None if f.exists(tmp) =>
+        // no marker, or a torn/unparseable one: the fold never
+        // committed — discard the tmp, sources intact, next compact
+        // simply redoes the fold
+        f.delete(tmp, true)
+      case None => ()
     }
     // a compacted partition's marker also cleans up leftover sources
+    // (torn partition markers are skipped, not fatal — the partition's
+    // content is already committed by its directory rename)
     batchIds(spark, statsDir).foreach { id =>
-      val m = new Path(statsDir, s"batch=$id/.compacted_through")
-      if (f.exists(m)) {
-        val (lo, hi) = readMarker(f, m)
-        ((lo + 1) to hi).filter(_ != id)
-          .foreach(i => f.delete(new Path(statsDir, s"batch=$i"), true))
-      }
+      readMarker(f, new Path(statsDir, s"batch=$id/.compacted_through"))
+        .foreach { case (lo, hi) =>
+          ((lo + 1) to hi).filter(_ != id)
+            .foreach(i => f.delete(new Path(statsDir, s"batch=$i"), true))
+        }
     }
   }
 
+  /** Defensive marker read: None when the marker is absent or torn (a
+    * crash mid-write must read as "fold not committed", never wedge).
+    */
   private def readMarker(f: org.apache.hadoop.fs.FileSystem,
-                         p: Path): (Long, Long) = {
+                         p: Path): Option[(Long, Long)] = {
+    if (!f.exists(p)) return None
     val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val parts = txt.trim.split(" ")
-    (parts(0).toLong, parts(1).toLong)
+    if (parts.length != 2) None
+    else try Some((parts(0).toLong, parts(1).toLong))
+    catch { case _: NumberFormatException => None }
   }
 }

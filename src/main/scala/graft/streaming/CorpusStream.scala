@@ -67,4 +67,43 @@ object CorpusStream {
     */
   def readTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
+
+  /** TRAINED-quality-filter ingestion — the production CCNet loop
+    * composed from persisted artifacts: the classifier is fit ONCE in
+    * batch ([[graft.llm.LogReg.fit]] → `saveWeights`), and every
+    * micro-batch of the stream is scored against the LOADED weights
+    * (read once at start, ≤ buckets+1 rows on the driver, broadcast
+    * into each batch's plan) — predicted-positive documents land with
+    * their integer margin as `score_micro`, the rest are dropped. The
+    * verdicts are BY CONSTRUCTION identical to the batch scorer's
+    * (`scores(features(docs))` is the same exact-integer plan, and the
+    * gate is stateless per row), so a corpus filtered on the stream
+    * equals the same corpus filtered in batch — spec-gated by the
+    * two-drain CorpusStreamSpec protocol.
+    *
+    * The sink is the same idempotent per-batch overwrite as [[ingest]];
+    * compose `dropDuplicates` upstream/downstream when dedup is also
+    * wanted (kept orthogonal here — the filter is the member under
+    * test, and state-free scoring replays for free).
+    */
+  def scoredIngest(spark: SparkSession, inDir: String, schema: StructType,
+                   idCol: String, textCol: String, weightsDir: String,
+                   tableDir: String, checkpointDir: String,
+                   buckets: Int = 256): StreamingQuery = {
+    val w = graft.llm.LogReg.loadWeights(spark, weightsDir)
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.llm.LogReg.scores(
+          graft.llm.LogReg.features(batch, idCol, textCol, buckets), w)
+        batch.join(verdicts.filter(col("m") > 0)
+            .select(col("id").as(idCol), col("m").as("score_micro")),
+          idCol)
+          .write.mode("overwrite").parquet(s"$tableDir/batch=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -79,4 +79,31 @@ class BatchStatsSpec extends SparkSpec {
     assert(dirs == Seq("batch=0"))
     assert(!new java.io.File(s"$dir/.compact_tmp").exists())
   }
+
+  test("recover treats a TORN marker as an uncommitted fold: tmp " +
+      "discarded, sources intact, the next compact succeeds") {
+    val dir = Registry.scratchDir("spec_bs_torn") + "/stats"
+    writeBatch(dir, 0, Seq("a" -> 1L))
+    writeBatch(dir, 1, Seq("b" -> 2L))
+    val before = merged(dir)
+    // a crash mid-marker-write left a partial "0 " (the writer now
+    // commits the marker by rename, but recovery must stay defensive —
+    // an unparseable marker must read as "fold not committed", never
+    // wedge every future compact on a parse error)
+    Seq("a" -> 1L, "b" -> 2L).toDF("w", "c").write
+      .mode("overwrite").parquet(s"$dir/.compact_tmp")
+    val f = new java.io.FileOutputStream(
+      s"$dir/.compact_tmp/.compacted_through")
+    f.write("0 ".getBytes("UTF-8")); f.close()
+    BatchStats.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/.compact_tmp").exists())
+    assert(merged(dir) == before) // sources intact, no double count
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("batch=0", "batch=1"))
+    // the redone compact (which runs recover first) folds normally
+    assert(BatchStats.compact(spark, dir, Seq("w"), Seq("c"), 1L) ==
+      Seq(0L, 1L))
+    assert(merged(dir) == before)
+  }
 }

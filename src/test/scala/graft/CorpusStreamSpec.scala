@@ -66,4 +66,58 @@ class CorpusStreamSpec extends SparkSpec {
       CorpusStream.readTable(spark, table)
         .groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("scoredIngest: stream-scored verdicts equal the batch scorer's " +
+      "across two drains (train once, filter the stream)") {
+    import spark.implicits._
+    import graft.llm.LogReg
+    // train the filter ONCE in batch on planted separable docs, persist
+    val labeled = (0L until 60L).map { i =>
+      val mark = if (i % 2 == 0) "goodmark" else "badmark"
+      (i, i % 2 == 0, s"filler the and $mark tail${i % 7}")
+    }.toDF("doc_id", "is_pos", "text")
+    val w = LogReg.fit(LogReg.hashedCounts(labeled, "doc_id", "is_pos",
+      "text", buckets = 16), iters = 10, lrDen = 4L)
+    spark.catalog.clearCache() // fit's harness-scope feature cache
+    val root = Registry.scratchDir("graft-cs-scored")
+    val wDir = s"$root/w"; val in = s"$root/in"
+    val table = s"$root/table"; val cp = s"$root/cp"
+    LogReg.saveWeights(spark, w, wDir)
+
+    // drain 1: one keeper, one reject
+    val b1 = Seq((100L, "filler the and goodmark tail1"),
+      (101L, "filler the and badmark tail2")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(in)
+    CorpusStream.scoredIngest(spark, in, schema, "doc_id", "text",
+      wDir, table, cp, buckets = 16).awaitTermination(120000)
+    val batchVerdicts1 = LogReg.scores(
+        LogReg.features(b1, "doc_id", "text", buckets = 16), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = CorpusStream.readTable(spark, table)
+      .select("doc_id", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t1.keySet == batchVerdicts1.filter(_._2 > 0L).keySet)
+    assert(t1.forall { case (id, m) => batchVerdicts1(id) == m },
+      "stream margins must equal the batch scorer's exactly")
+    assert(t1.contains(100L) && !t1.contains(101L))
+
+    // drain 2: only NEW files are scored; verdicts still batch-equal
+    val b2 = Seq((200L, "filler the and goodmark tail3"),
+      (201L, "filler the and badmark tail4"),
+      (202L, "filler the and goodmark tail5")).toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(in)
+    CorpusStream.scoredIngest(spark, in, schema, "doc_id", "text",
+      wDir, table, cp, buckets = 16).awaitTermination(120000)
+    val batchVerdicts2 = LogReg.scores(
+        LogReg.features(b2, "doc_id", "text", buckets = 16), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t2 = CorpusStream.readTable(spark, table)
+      .select("doc_id", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2.keySet ==
+      (batchVerdicts1.filter(_._2 > 0L).keySet ++
+        batchVerdicts2.filter(_._2 > 0L).keySet))
+    assert(t2.forall { case (id, m) =>
+      batchVerdicts1.getOrElse(id, batchVerdicts2(id)) == m })
+  }
 }

@@ -462,4 +462,31 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(text"), plan.take(600))
     assert(!plan.contains("hashpartitioning(words"), plan.take(600))
   }
+
+  test("electCanonical: a degenerate 10^4-member cluster elects through " +
+      "the argmax aggregate — no window, no sort, map-side combine") {
+    // The solid-color-thumbnail scenario one level above the pair valve:
+    // ONE rep with 10,000 members. The winner is (quality desc, id asc);
+    // quality = id % 100 peaks at 99, first reached at id 99.
+    val members = spark.range(10000).select(
+      lit(0L).as("rep"), col("id"), (col("id") % 100L).as("width"))
+      .unionByName(Seq((1L, 1L, 5L), (1L, 2L, 5L)) // small honest cluster
+        .toDF("rep", "id", "width"))
+    val out = Dedup.electCanonical(members, "rep", "id", "width")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(0L) == ((99L, 99L, 10000L)))
+    assert(rows(1L) == ((1L, 5L, 2L))) // tie on quality -> min id wins
+    // plan shape: never a Window or a Sort (a rank window would sort the
+    // degenerate cluster in one task); the argmax pre-combines map-side
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window}
+    out.queryExecution.optimizedPlan.foreach {
+      case w: Window => fail(s"election planned a window: ${w.simpleString(80)}")
+      case s: Sort => fail(s"election planned a sort: ${s.simpleString(80)}")
+      case _ => ()
+    }
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_max_by"),
+      "argmax must partial-aggregate before the exchange:\n" + phys.take(800))
+  }
 }

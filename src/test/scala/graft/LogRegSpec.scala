@@ -55,4 +55,35 @@ class LogRegSpec extends SparkSpec {
       .collect().map(r => r.getLong(2)).head
     assert(m == 7L) // bucket 99 unseen -> 0; intercept 1 * 7
   }
+
+  test("persistence: weights survive the parquet round trip losslessly " +
+      "and score-after-load ≡ score-after-fit") {
+    val feats = LogReg.hashedCounts(docs, "doc_id", "is_pos", "text",
+      buckets = 16)
+    val w = LogReg.fit(feats, iters = 5, lrDen = 4L)
+    val dir = Registry.scratchDir("spec_lr_weights") + "/w"
+    LogReg.saveWeights(spark, w, dir)
+    val loaded = LogReg.loadWeights(spark, dir)
+    assert(loaded == w) // exact BIGINT columns: bit-lossless
+    val afterFit = LogReg.margins(feats, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val afterLoad = LogReg.margins(feats, loaded)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(afterLoad == afterFit)
+    spark.catalog.clearCache()
+  }
+
+  test("label-free apply path: scores(features(docs)) == the labeled " +
+      "margins (the streaming scorer's contract)") {
+    val feats = LogReg.hashedCounts(docs, "doc_id", "is_pos", "text",
+      buckets = 16)
+    val w = LogReg.fit(feats, iters = 5, lrDen = 4L)
+    val viaMargins = LogReg.margins(feats, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaScores = LogReg.scores(
+        LogReg.features(docs, "doc_id", "text", buckets = 16), w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaScores == viaMargins)
+    spark.catalog.clearCache()
+  }
 }

@@ -497,14 +497,23 @@ class PlanShapeSpec extends SparkSpec {
       "cartesian without a one-row side:\n" + badCross.mkString("\n"))
   }
 
-  test("every partition-less Window in the registry sits above a bounded input") {
+  test("every partition-less Window in the registry sits above a bounded " +
+      "input; no rank window partitions on a connected-components rep key") {
     // The blessed pattern for a global rank is limit-then-window (o01 /
     // t16 / the nCells and ksub centroid indexers): the single-task
     // WindowExec is harmless because its input is at most k rows. This
     // walks EVERY registry plan and proves the invariant stays true — a
     // future edit that grows a partition-less Window over unbounded data
     // fails here instead of shipping a single-node sort.
+    //
+    // The same walk also lints the CLUSTER-SKEW shape one level up: a
+    // rank window (row_number/rank/dense_rank) partitioned by a
+    // connected-components rep key sorts a degenerate perceptual
+    // cluster's whole member list in ONE task to pick a single winner —
+    // canonical election must ride Dedup.electCanonical's argmax
+    // aggregate (map-side-combinable, O(1) state per rep) instead.
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber}
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: GlobalLimit | _: LocalLimit => true
       // a global (no grouping keys) aggregate is one row
@@ -515,11 +524,19 @@ class PlanShapeSpec extends SparkSpec {
       case _ => false
     }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val repRankers = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       plan.foreach {
         case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
           offenders += s"$name: ${w.simpleString(80)}"
+        case w: Window if w.partitionSpec.exists(_.references.exists(
+              _.name == "rep")) &&
+            w.windowExpressions.exists(_.exists {
+              case _: RowNumber | _: Rank | _: DenseRank => true
+              case _ => false
+            }) =>
+          repRankers += s"$name: ${w.simpleString(80)}"
         case _ => ()
       }
       CacheScope.harness.release()
@@ -527,6 +544,9 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       "unbounded partition-less Window(s):\n" + offenders.mkString("\n"))
+    assert(repRankers.isEmpty,
+      "rank window over a connected-components rep key (use " +
+        "Dedup.electCanonical):\n" + repRankers.mkString("\n"))
   }
 
   test("low-cardinality dim windows (source/lang/league) ride the " +

@@ -81,6 +81,67 @@ class ShardManifestSpec extends SparkSpec {
     assert(fileBytes() == first)
   }
 
+  test("writeShards: stale shard files and orphaned attempt temps are " +
+      "cleared; commit is rename-based, so finals are never torn") {
+    val dir = Registry.scratchDir("spec_shards_stale") + "/out"
+    new java.io.File(dir).mkdirs()
+    // a previous larger-nShards run left an orphan a globbing loader
+    // would mount, and a crashed attempt left a temp
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00099.jsonl"),
+      "stale\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".shard-00001.jsonl.42.tmp"),
+      "torn".getBytes("UTF-8"))
+    ShardManifest.writeShards(blocks, dir, nShards = 3)
+    // ignore the local ChecksumFileSystem's .crc sidecars
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSet
+    assert(!names.contains("shard-00099.jsonl"), names.toString)
+    assert(!names.exists(_.endsWith(".tmp")), names.toString)
+    assert(names.forall(_.matches("shard-\\d{5}\\.jsonl")), names.toString)
+    // and a re-run into the same dir stays byte-identical (the rename
+    // commit puts complete files only at final names)
+    val bytes1 = names.map(n => n -> new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(dir, n)), "UTF-8")).toMap
+    ShardManifest.writeShards(blocks.repartition(5), dir, nShards = 3)
+    val bytes2 = new java.io.File(dir).listFiles()
+      .filterNot(_.getName.endsWith(".crc")).map(f =>
+        f.getName -> new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8")).toMap
+    assert(bytes2 == bytes1)
+  }
+
+  test("bkey collision guard: bin outside [0, 10000) fails fast " +
+      "instead of silently merging distinct bins") {
+    val bad = Seq((1L, 0L, 10000L, 5L), (2L, 0L, 0L, 7L))
+      .toDF("doc_id", "block", "bin", "n_tokens")
+    val e = intercept[Throwable] {
+      ShardManifest.manifest(bad, nShards = 3).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("bin out of [0, 10000)"), msg.take(400))
+  }
+
+  test("balancedShards: non-positive total mass fails fast; empty " +
+      "input short-circuits to an empty result") {
+    val zero = Seq((0L, 0L, 1L, 0L), (0L, 1L, 1L, 0L))
+      .toDF("block", "bin", "n_docs", "bin_tokens")
+    val e = intercept[Throwable] {
+      ShardManifest.balancedShards(zero, nShards = 4).collect()
+    }
+    spark.catalog.clearCache() // runningTotal pins its range exchange
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("total token mass"), msg.take(400))
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("block", "bin", "n_docs", "bin_tokens")
+    assert(ShardManifest.balancedShards(empty, nShards = 4)
+      .collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("balancedShards: every shard within one max-bin of total/N, " +
       "contiguous ranges, deterministic under repartitioning") {
     // heavy-tailed bins on purpose: one bin holds ~30% of the mass
