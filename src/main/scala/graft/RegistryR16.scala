@@ -266,6 +266,361 @@ object RegistryR16 {
              |    FROM pk_p
              |  UNION ALL SELECT '9_tokens',
              |    CAST(sum(nt) AS BIGINT) FROM cnt)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // ---- M20: the d35 valve contract ON THE REAL MEDIA DECODE PATH —
+    //      m13's shape (WAV → RIFF decode → exact windowed-energy
+    //      digest → distributed pair self-join) run with a PRODUCTION
+    //      maxGroupSize: a planted degenerate envelope class (every
+    //      10th doc byte-identical — 40 members, over the cap) drops
+    //      WHOLE (conservative miss, never a partial cluster) while 97
+    //      bounded content classes (≤5 members each) keep their exact
+    //      ordered pair sets. Unlike d35 (scalar keys), content-key
+    //      equality across congruent ids here RIDES THE DECODE — an
+    //      envelope divergence between two byte-identical WAVs breaks
+    //      the gate as surely as a wrong cap. This is the registry
+    //      twin of the round-16 valve probe (BENCH_NOTES: at sf1 the
+    //      uncapped hot key alone is C(5000,2) ≈ 12.5M pairs; capped,
+    //      the quadratic term vanishes and bounded keys stay exact). --
+    Q("m20_capped_media_pairs",
+      (s, dir) => {
+        val keyed = t(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id").cast("long").as("id"),
+            when(col("doc_id") % 10 === 0, lit(0L))
+              .otherwise(col("doc_id") % 97 + 1L).as("key"),
+            lit(1).as("scale"))
+        val wavs = graft.llm.Multimodal.withSyntheticAudioScaled(
+          keyed, "id", "key", "scale", baseSamples = 200, rate = 8000)
+        val env = graft.llm.Multimodal.audioWindowEnergy(wavs, "id",
+          windows = 10)
+        val feats = env.groupBy("id")
+          .agg(md5(to_json(sort_array(
+            collect_list(struct(col("win"), col("energy"))))))
+            .as("content_key"))
+        graft.llm.Dedup.pairsWithinGroups(feats, "content_key", "id",
+            maxGroupSize = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 10 = 0 THEN 0
+             |      ELSE doc_id % 97 + 1 END AS key
+             |  FROM documents WHERE doc_id < 400),
+             |sz AS (SELECT key, count(*) AS n FROM k GROUP BY key),
+             |ok AS (SELECT k.id, k.key FROM k JOIN sz USING (key)
+             |       WHERE sz.n <= 8)
+             |SELECT a.id AS id_a, b.id AS id_b
+             |FROM ok a JOIN ok b ON a.key = b.key AND a.id < b.id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- L27: SHARD-DIRECTORY INTEGRITY AUDIT — the check a training
+    //      loader runs before trusting mounted files: pack → write the
+    //      byte-stable JSONL shards → PLANT a corruption (shard 3's
+    //      first line dropped on disk — a truncated file in the wild) →
+    //      read the files back (explicit schema, shard from the file
+    //      name) → recompute every manifest statistic from the
+    //      read-back rows and diff against the trusted manifest, plus
+    //      the placement check (re-derive each row's shard from its
+    //      (block, bin)). The tampered shard audits `corrupt` naming
+    //      exactly the missing doc's token mass; the other six audit
+    //      `ok` — so the gate proves BOTH directions at once: the sink→
+    //      scan→recompute loop is lossless where untouched, and a
+    //      single lost line is detected and localized. The oracle
+    //      replays pack, assignment, the (block, bin, id) write order
+    //      (to name the dropped line) and both stat sets from source
+    //      rows. Scale: the audit costs one scan of the shard files +
+    //      a skinny groupBy; corpus text never moves. ----------------
+    Q("l27_manifest_audit",
+      (s, dir) => {
+        val sm = graft.llm.ShardManifest
+        val packed = graft.llm.CorpusPipeline.packSequences(
+          t(s, dir, "documents"), capacity = 120, blockSize = 256)
+        val tmp = Registry.scratchDir("l27_shards")
+        sm.writeShards(packed, tmp, nShards = 7)
+        // planted corruption: truncate shard 3's first line (absent at
+        // tiny SFs where shard 3 is empty — the oracle's exclusion
+        // matches by construction)
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/shard-00003.jsonl")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val b = new Array[Byte](65536)
+              var n = in.read(b)
+              while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+              buf.toByteArray
+            } finally in.close()
+          val nl = bytes.indexOf('\n'.toByte) + 1
+          val out = fs.create(p, true)
+          try out.write(bytes, nl, bytes.length - nl) finally out.close()
+        }
+        sm.auditShards(sm.readShards(s, tmp),
+            sm.manifest(packed, nShards = 7), nShards = 7)
+          .orderBy("shard")
+      },
+      Some("""WITH RECURSIVE n AS (
+             |  SELECT doc_id, doc_id // 256 AS block,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> strlen(t) > 0)) AS BIGINT) AS nt,
+             |    row_number() OVER (PARTITION BY doc_id // 256
+             |      ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, block, nt, rn, 0 AS bin, nt AS bt
+             |  FROM n WHERE rn = 1
+             |  UNION ALL
+             |  SELECT n.doc_id, n.block, n.nt, n.rn,
+             |    CASE WHEN p.bt + n.nt <= 120 THEN p.bin ELSE p.bin + 1 END,
+             |    CASE WHEN p.bt + n.nt <= 120 THEN p.bt + n.nt ELSE n.nt END
+             |  FROM p JOIN n ON n.block = p.block AND n.rn = p.rn + 1),
+             |b AS (
+             |  SELECT doc_id, nt, block, bin, block * 10000 + bin AS bkey,
+             |    ((((block * 10000 + bin) % 100000) * 2654435761)
+             |      % 100000) % 7 AS shard
+             |  FROM p),
+             |h AS (
+             |  SELECT shard, bkey, nt,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+             |      || ':' || CAST(nt AS VARCHAR)), 1, 12)) AS BIGINT)
+             |      % 1000000007 AS hh,
+             |    row_number() OVER (PARTITION BY shard
+             |      ORDER BY block, bin, doc_id) AS wr
+             |  FROM b),
+             |e AS (
+             |  SELECT shard, count(DISTINCT bkey) AS e_bins,
+             |    count(*) AS e_docs, sum(nt) AS e_tokens,
+             |    sum(hh) % 1000000007 AS e_ck
+             |  FROM h GROUP BY shard),
+             |f AS (
+             |  SELECT shard, count(DISTINCT bkey) AS f_bins,
+             |    count(*) AS f_docs, sum(nt) AS f_tokens,
+             |    sum(hh) % 1000000007 AS f_ck
+             |  FROM h WHERE NOT (shard = 3 AND wr = 1) GROUP BY shard)
+             |SELECT e.shard,
+             |  CAST(e_docs - coalesce(f_docs, 0) AS BIGINT)
+             |    AS n_docs_missing,
+             |  CAST(e_tokens - coalesce(f_tokens, 0) AS BIGINT)
+             |    AS n_tokens_missing,
+             |  CAST(e_bins - coalesce(f_bins, 0) AS BIGINT)
+             |    AS n_bins_missing,
+             |  coalesce(f_ck, -1) = e_ck AS checksum_match,
+             |  CAST(0 AS BIGINT) AS n_misplaced,
+             |  CASE WHEN e_docs = coalesce(f_docs, 0)
+             |    AND e_tokens = coalesce(f_tokens, 0)
+             |    AND e_bins = coalesce(f_bins, 0)
+             |    AND coalesce(f_ck, -1) = e_ck
+             |    THEN 'ok' ELSE 'corrupt' END AS status
+             |FROM e LEFT JOIN f USING (shard)
+             |ORDER BY shard""".stripMargin)),
+
+    // ---- T36: FILTER CALIBRATION — the threshold sweep a production
+    //      quality-filter deployment runs before picking its operating
+    //      point: t34's trained classifier scores the held-out split,
+    //      and every DISTINCT margin becomes a candidate threshold with
+    //      its exact integer confusion counts (tp/fp/fn/tn at
+    //      "keep iff margin ≥ thr"). The cumulatives ride the
+    //      DISTRIBUTED runningTotal (range partition + broadcast
+    //      offsets — never a single-task global window over the
+    //      margin distribution, whose cardinality grows with the
+    //      corpus); the oracle IS the window form (the u11/l25 gate
+    //      shape), so the hash match proves the distributed cumsum
+    //      identical to the sequential definition — through the whole
+    //      replayed 10-iteration fit. --------------------------------
+    Q("t36_filter_calibration",
+      (s, dir) => {
+        val lr = graft.llm.LogReg
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          (conv(substring(md5(concat(lit("t34:"), col("doc_id"))),
+            1, 15), 16, 10).cast("long") % 100 < 70).as("is_train"),
+          (col("lang") === "en").as("is_pos"),
+          concat(col("text"), when(col("doc_id") % 2 === 0,
+            concat(lit(" m"), col("lang"))).otherwise(lit("")))
+            .as("text"))
+        val train = lr.hashedCounts(docs.filter(col("is_train")),
+          "doc_id", "is_pos", "text", buckets = 256)
+        val heldout = lr.hashedCounts(docs.filter(!col("is_train")),
+          "doc_id", "is_pos", "text", buckets = 256)
+        val sc = lr.margins(heldout, lr.fit(train, iters = 10, lrDen = 4L))
+        val byM = sc.groupBy(col("m").as("thr_micro"))
+          .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+            sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+        val ord = Seq(negate(col("thr_micro")))
+        val tp = graft.etl.Ids.runningTotal(byM, ord, col("pos"),
+          totalName = "tp").select(col("thr_micro"), col("tp"))
+        val fp = graft.etl.Ids.runningTotal(byM, ord, col("neg"),
+          totalName = "fp").select(col("thr_micro"), col("fp"))
+        val tot = byM.agg(sum(col("pos")).as("tpos"),
+          sum(col("neg")).as("tneg"))
+        tp.join(fp, "thr_micro").crossJoin(broadcast(tot))
+          .select(col("thr_micro"), col("tp"), col("fp"),
+            (col("tpos") - col("tp")).as("fn"),
+            (col("tneg") - col("fp")).as("tn"))
+          .orderBy("thr_micro")
+      },
+      Some {
+        val ctes = graft.llm.LogReg.oracleCtes(buckets = 256, iters = 10,
+          lrDen = 4L)
+        s"""WITH lr_d AS (
+           |  SELECT doc_id,
+           |    (CAST(concat('0x', substr(md5('t34:' ||
+           |       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |       % 100) < 70 AS is_train,
+           |    lang = 'en' AS is_pos,
+           |    list_filter(string_split_regex(trim(lower(
+           |      text || CASE WHEN doc_id % 2 = 0
+           |        THEN ' m' || lang ELSE '' END)), '\\s+'),
+           |      x -> strlen(x) > 0) AS ts
+           |  FROM documents),
+           |${ctes.mkString(",\n")},
+           |cal_m AS (
+           |  SELECT score_micro AS thr_micro,
+           |    CAST(sum(label) AS BIGINT) AS pos,
+           |    CAST(sum(1 - label) AS BIGINT) AS neg
+           |  FROM lr_out GROUP BY 1),
+           |cal_c AS (
+           |  SELECT thr_micro,
+           |    sum(pos) OVER (ORDER BY thr_micro DESC
+           |      ROWS UNBOUNDED PRECEDING) AS tp,
+           |    sum(neg) OVER (ORDER BY thr_micro DESC
+           |      ROWS UNBOUNDED PRECEDING) AS fp
+           |  FROM cal_m),
+           |cal_t AS (
+           |  SELECT CAST(sum(pos) AS BIGINT) AS tpos,
+           |    CAST(sum(neg) AS BIGINT) AS tneg FROM cal_m)
+           |SELECT thr_micro, CAST(tp AS BIGINT) AS tp,
+           |  CAST(fp AS BIGINT) AS fp,
+           |  CAST(tpos - tp AS BIGINT) AS fn,
+           |  CAST(tneg - fp AS BIGINT) AS tn
+           |FROM cal_c, cal_t ORDER BY thr_micro""".stripMargin
+      }),
+
+    // ---- M21: MEDIA DECONTAMINATION — d10's eval-set anti-join on the
+    //      PERCEPTUAL axis: benchmark images leak into web corpora
+    //      re-encoded and re-scaled, so byte digests miss them; the
+    //      dHash blocklist catches the leak across scales. Plant: m14's
+    //      verified 25-key fixture — corpus doc_id < 150 (key mod 25,
+    //      second half exact pixel-doubling), eval set doc_id ∈
+    //      [315, 325) at scale 1 covering keys 15–24 — so a corpus
+    //      image is contaminated iff its key ≥ 15, INCLUDING the
+    //      scale-2 renditions whose bytes never appeared in the eval
+    //      set (the cross-scale catch is the point). Every corpus doc
+    //      comes back with its verdict, so the gate pins both the
+    //      catches and the keeps; a decode/pooling divergence on
+    //      either side of the join breaks it. Scale: eval blocklists
+    //      are tiny by nature — the hash side broadcasts; the corpus
+    //      decodes once, scan-side, and only (id, dhash) travels. ----
+    Q("m21_media_decontaminate",
+      (s, dir) => {
+        val mm = graft.llm.Multimodal
+        val corpus = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id").cast("long").as("id"),
+            (col("doc_id") % 25).as("key"),
+            when(col("doc_id") < 75, 1).otherwise(2).as("scale"))
+        val eval0 = t(s, dir, "documents")
+          .filter(col("doc_id") >= 315 && col("doc_id") < 325)
+          .select(col("doc_id").cast("long").as("id"),
+            (col("doc_id") % 25).as("key"), lit(1).as("scale"))
+        val corpusH = mm.dhashes(mm.withSyntheticImagesScaled(
+            corpus, "id", "key", "scale", baseW = 36, baseH = 32), "id")
+          .filter(col("dhash").isNotNull)
+        val evalH = mm.dhashes(mm.withSyntheticImagesScaled(
+            eval0, "id", "key", "scale", baseW = 36, baseH = 32), "id")
+          .filter(col("dhash").isNotNull)
+          .select(col("dhash")).distinct()
+          .withColumn("__hit", lit(1))
+        corpusH.join(broadcast(evalH), Seq("dhash"), "left")
+          .select(col("id"),
+            coalesce(col("__hit"), lit(0)).as("contaminated"))
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id,
+             |  CAST(CASE WHEN doc_id % 25 >= 15 THEN 1 ELSE 0 END
+             |    AS INT) AS contaminated
+             |FROM documents WHERE doc_id < 150
+             |ORDER BY id""".stripMargin)),
+
+    // ---- N23: PERSISTED vector index — t35's fit-once/score-forever
+    //      protocol on the ANN axis: a production vector index is
+    //      trained once and mounted by every retrieval/dedup job, and
+    //      a refit over a grown corpus yields DIFFERENT Forgy cells —
+    //      a silently different index — so the artifact is the
+    //      contract. Build the portable IVF centroids (first-10 Forgy
+    //      over quantized vectors) → saveIvfIndex (≤10-row exact-
+    //      BIGINT parquet) → loadIvfIndex → answer every query FROM
+    //      THE LOADED ARTIFACT (3-probe, top-4 exact quantized-cosine
+    //      rerank). The oracle replays the FULL build + query from
+    //      source rows, so the hash match proves the parquet round
+    //      trip lossless — one quantized centroid component off and a
+    //      probe set shifts. Params differ from n13 (10 cells,
+    //      3 probes, k=4) so the two gates pin different plans. ------
+    Q("n23_ivf_persisted",
+      (s, dir) => {
+        val sim = graft.llm.Similarity
+        val emb = t(s, dir, "embeddings")
+        val tmp = Registry.scratchDir("n23_ivf")
+        sim.saveIvfIndex(sim.ivfCentroidsPortable(
+          emb, "vec_id", "embedding", nCells = 10), s"$tmp/index")
+        val cent = sim.loadIvfIndex(s, s"$tmp/index")
+        sim.ivfTopKFromIndex(emb, "vec_id", "embedding", cent,
+            queryMaxId = 15L, k = 4, nProbe = 3)
+          .orderBy("query_id", "rank")
+      },
+      Some(graft.llm.Similarity.ivfTopKPortableOracleSql(
+        "embeddings", "vec_id", "embedding", queryMaxId = 15L, k = 4,
+        nCells = 10, nProbe = 3) + "")),
+
+    // ---- L28: WATERFILLING token-budget allocation — the training-mix
+    //      solve the l05/l13 family lacked: given per-source token
+    //      masses and a total budget B (60% of the corpus here), give
+    //      every source min(mass, L) tokens with ONE common level L
+    //      chosen so allocations sum to exactly B — small sources keep
+    //      everything, big sources are capped at the waterline (the
+    //      proportional-fair mix every budgeted pretraining run
+    //      computes; integer remainder goes one token each to the
+    //      first sources past the cut in (mass, source) order, so the
+    //      sum is EXACT). The cumulative mass rides the DISTRIBUTED
+    //      runningTotal (source cardinality is domain cardinality at
+    //      100 TB — never a one-task window); the oracle IS the window
+    //      form (the u11/l25/t36 gate shape), replaying mass, prefix,
+    //      cut row, level and remainder from source rows. ------------
+    Q("l28_waterfill_budget",
+      (s, dir) => {
+        val tc = graft.llm.TextAnalysis.tokenCount(col("text"))
+        val bySrc = t(s, dir, "documents").groupBy(col("source"))
+          .agg(sum(tc).as("mass"))
+        graft.llm.CorpusPipeline.waterfillBudget(bySrc, num = 3, den = 5)
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT source, CAST(sum(len(list_filter(
+             |    string_split_regex(trim(text), '\s+'),
+             |    t -> strlen(t) > 0))) AS BIGINT) AS mass
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT source, mass,
+             |    sum(mass) OVER (ORDER BY mass, source
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    CAST(row_number() OVER (ORDER BY mass, source)
+             |      AS BIGINT) AS j
+             |  FROM m),
+             |b AS (SELECT CAST(sum(mass) AS BIGINT) AS t_mass,
+             |        CAST(count(*) AS BIGINT) AS n_src FROM m),
+             |lv AS (
+             |  SELECT w.*, b.n_src,
+             |    ((b.t_mass * 3) // 5) - (cum - mass) AS avail,
+             |    b.n_src - j + 1 AS remaining
+             |  FROM w, b),
+             |fl AS (SELECT *, avail // remaining AS lvl FROM lv),
+             |cut AS (SELECT min(j) AS cutj FROM fl WHERE mass >= lvl),
+             |cl AS (SELECT f.lvl AS cut_lvl,
+             |         f.avail % f.remaining AS cut_rem
+             |       FROM fl f, cut WHERE f.j = cut.cutj)
+             |SELECT source, mass,
+             |  CAST(CASE WHEN j < cutj THEN mass
+             |    ELSE cut_lvl + CASE WHEN j - cutj < cut_rem
+             |      THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+             |FROM fl, cut, cl ORDER BY source""".stripMargin))
   )
 }

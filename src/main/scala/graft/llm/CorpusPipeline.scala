@@ -344,6 +344,57 @@ object CorpusPipeline {
       .drop("__tb_key", "__tb_nt")
   }
 
+  /** WATERFILLING token-budget allocation across sources — the
+    * training-mix solve a budgeted pretraining run computes: given one
+    * row per source with its token mass and a budget B =
+    * total·num div den, allocate every source `min(mass, L)` tokens
+    * with ONE common waterline L chosen so allocations sum to EXACTLY
+    * B — small sources keep everything, big sources are capped at the
+    * line (proportional-fair; the integer remainder goes one token
+    * each to the first sources past the cut in (mass, source) order).
+    * All exact BIGINT arithmetic; by the waterfill invariant the cut
+    * row's available budget is positive, so `div`/`%` only ever see
+    * positive operands (truncating vs floor division cannot diverge).
+    *
+    * Scale shape: source cardinality is DOMAIN cardinality at 100 TB,
+    * so the cumulative mass rides the distributed
+    * [[graft.etl.Ids.runningTotal]] (range partition + broadcast
+    * offsets — never a one-task global window); the cut and its level
+    * are one-row broadcasts. Output: (srcCol, mass, alloc).
+    */
+  def waterfillBudget(masses: DataFrame, num: Long, den: Long,
+                      srcCol: String = "source",
+                      massCol: String = "mass",
+                      scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    require(num > 0 && den > 0 && num < den,
+      "waterfillBudget: need 0 < num/den < 1 (a budget below the corpus)")
+    val ord = Seq(col(massCol), col(srcCol))
+    val c1 = graft.etl.Ids.runningTotal(masses, ord, col(massCol),
+      totalName = "__wf_cum", scope = scope)
+    val c2 = graft.etl.Ids.runningTotal(c1, ord, lit(1L),
+      totalName = "__wf_j", scope = scope)
+    val tot = masses.agg(sum(col(massCol)).cast("long").as("__wf_t"),
+      count(lit(1)).as("__wf_n"))
+    val lv = c2.crossJoin(broadcast(tot))
+      .withColumn("__wf_b", expr(s"__wf_t * ${num}L div ${den}L"))
+      .withColumn("__wf_avail",
+        col("__wf_b") - (col("__wf_cum") - col(massCol)))
+      .withColumn("__wf_rem", col("__wf_n") - col("__wf_j") + 1L)
+      .withColumn("__wf_lvl", expr("__wf_avail div __wf_rem"))
+    val cut = lv.filter(col(massCol) >= col("__wf_lvl"))
+      .agg(min(col("__wf_j")).as("__wf_cutj"))
+    val cutRow = lv.join(broadcast(cut), col("__wf_j") === col("__wf_cutj"))
+      .select(col("__wf_cutj"), col("__wf_lvl").as("__wf_cutlvl"),
+        (col("__wf_avail") % col("__wf_rem")).as("__wf_cutrem"))
+    lv.crossJoin(broadcast(cutRow))
+      .select(col(srcCol), col(massCol),
+        when(col("__wf_j") < col("__wf_cutj"), col(massCol))
+          .otherwise(col("__wf_cutlvl") +
+            when(col("__wf_j") - col("__wf_cutj") < col("__wf_cutrem"),
+              1L).otherwise(0L)).as("alloc"))
+  }
+
   /** Quality-tiered epoch repetition — the "repeat the good data"
     * mixing lever (wiki ×3, average web ×1): each document is emitted
     * `repeats` times, decided by its quality score against descending

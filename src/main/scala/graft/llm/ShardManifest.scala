@@ -121,7 +121,35 @@ object ShardManifest {
           ".shard-*.jsonl.*.tmp")))
         .foreach(s => dfs.delete(s.getPath, false))
     }
-    val rows = assignShards(blocks, nShards, blockCol, binCol)
+    writeShardFiles(assignShards(blocks, nShards, blockCol, binCol),
+      dir, nShards, idCol, blockCol, binCol, countCol)
+  }
+
+  /** SELECTIVE shard rewrite — the repair loop [[auditShards]] feeds: a
+    * lost or corrupt shard file is regenerated from the packed rows
+    * WITHOUT touching the healthy files (byte-stability means the
+    * rewritten file is bit-identical to what the original write
+    * produced — spec-pinned), so repairing one shard of a 100k-shard
+    * directory costs one shard's rows, not a full rewrite. Same
+    * two-phase per-attempt commit as [[writeShards]]. Returns the
+    * number of files written.
+    */
+  def repairShards(blocks: DataFrame, dir: String, nShards: Int,
+                   shards: Seq[Long], idCol: String = "doc_id",
+                   blockCol: String = "block", binCol: String = "bin",
+                   countCol: String = "n_tokens"): Long = {
+    if (shards.isEmpty) return 0L
+    writeShardFiles(
+      assignShards(blocks, nShards, blockCol, binCol)
+        .filter(col("shard").isin(shards: _*)),
+      dir, nShards, idCol, blockCol, binCol, countCol)
+  }
+
+  private def writeShardFiles(assigned: DataFrame, dir: String,
+                              nShards: Int, idCol: String,
+                              blockCol: String, binCol: String,
+                              countCol: String): Long = {
+    val rows = assigned
       .select(col("shard"), col(blockCol).cast("long").as("block"),
         col(binCol).cast("long").as("bin"),
         col(idCol).cast("long").as("id"),
@@ -168,6 +196,84 @@ object ShardManifest {
         Iterator.single(files)
       }
     }.sum().toLong
+  }
+
+  /** Read [[writeShards]]' JSONL artifacts back: (shard, doc_id, block,
+    * bin, n_tokens), shard parsed from the FILE NAME — the loader's
+    * view of the corpus, scanned with an explicit schema (no inference
+    * pass) and the `shard-*.jsonl` glob (per-attempt `.tmp` orphans are
+    * invisible by construction).
+    */
+  def readShards(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("block", LongType),
+      StructField("bin", LongType), StructField("n_tokens", LongType)))
+    // corrupt-is-data: a torn line (truncated file, bit rot) is DROPPED
+    // here, so [[auditShards]] reports it as missing mass on its shard —
+    // never an all-null row that would trip the bkey guard mid-audit
+    spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(s"$dir/shard-*.jsonl")
+      .filter(col("doc_id").isNotNull && col("block").isNotNull &&
+        col("bin").isNotNull && col("n_tokens").isNotNull)
+      .withColumn("shard",
+        regexp_extract(input_file_name(), "shard-(\\d+)\\.jsonl", 1)
+          .cast("long"))
+      .select(col("shard"), col("doc_id"), col("block"), col("bin"),
+        col("n_tokens"))
+  }
+
+  /** SHARD-DIRECTORY INTEGRITY AUDIT — the check a training loader runs
+    * before trusting mounted files: recompute every manifest statistic
+    * (bin count, doc count, token count, order-independent checksum)
+    * from the rows actually READ BACK from the shard files and diff
+    * them against the trusted manifest, plus a placement check
+    * (re-derive each row's shard from its (block, bin) and count rows
+    * sitting in the wrong file). A truncated file, a lost row, a
+    * flipped token count or a mis-landed bin each surface as a
+    * per-shard `corrupt` row naming exactly what is missing; a shard
+    * present in the manifest but absent on disk audits as fully
+    * missing (found side coalesced to zero). One skinny-row shuffle
+    * (the shard groupBy) + a broadcast join of two ≤nShards-row
+    * frames — corpus text never moves, so the audit costs a scan of
+    * the shard files and nothing else.
+    */
+  def auditShards(found: DataFrame, expected: DataFrame, nShards: Int)
+      : DataFrame = {
+    val recomputed = manifest(found, nShards, idCol = "doc_id",
+      blockCol = "block", binCol = "bin", countCol = "n_tokens")
+      .withColumnRenamed("n_bins", "f_bins")
+      .withColumnRenamed("n_docs", "f_docs")
+      .withColumnRenamed("n_tokens", "f_tokens")
+      .withColumnRenamed("checksum", "f_checksum")
+    // manifest() RE-DERIVES shard from (block, bin) — identical to the
+    // writer's assignment — so a row in the wrong file would move its
+    // stats to its TRUE shard and break both shards' rows; the explicit
+    // misplacement count localizes that failure mode per shard.
+    val misplaced = assignShards(found.withColumnRenamed("shard", "__fs"),
+        nShards, blockCol = "block", binCol = "bin")
+      .withColumnRenamed("shard", "__true")
+      .groupBy(col("__fs").as("shard"))
+      .agg(sum(when(col("__true") =!= col("__fs"), 1L).otherwise(0L))
+        .as("n_misplaced"))
+    expected.join(recomputed, Seq("shard"), "left")
+      .join(misplaced, Seq("shard"), "left")
+      .select(col("shard"),
+        (col("n_docs") - coalesce(col("f_docs"), lit(0L)))
+          .as("n_docs_missing"),
+        (col("n_tokens") - coalesce(col("f_tokens"), lit(0L)))
+          .as("n_tokens_missing"),
+        (col("n_bins") - coalesce(col("f_bins"), lit(0L)))
+          .as("n_bins_missing"),
+        (coalesce(col("f_checksum"), lit(-1L)) === col("checksum"))
+          .as("checksum_match"),
+        coalesce(col("n_misplaced"), lit(0L)).as("n_misplaced"))
+      .withColumn("status",
+        when(col("n_docs_missing") === 0L &&
+          col("n_tokens_missing") === 0L &&
+          col("n_bins_missing") === 0L && col("checksum_match") &&
+          col("n_misplaced") === 0L, lit("ok")).otherwise(lit("corrupt")))
   }
 
   /** Per-(shard, bin) partial stats — the MERGEABLE granularity of the

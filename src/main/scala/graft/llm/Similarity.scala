@@ -820,16 +820,51 @@ object Similarity {
     * candidates are bounded by the probed cells' populations, never the
     * corpus.
     */
-  def ivfTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
-                      queryMaxId: Long, k: Int, nCells: Int = 8,
-                      nProbe: Int = 2): DataFrame = {
+  /** The PORTABLE IVF index itself: (cell, cv) — Forgy first-`nCells`
+    * centroids over the quantized vectors, the artifact
+    * [[saveIvfIndex]] persists and [[ivfTopKFromIndex]] queries. Split
+    * out so the index can be BUILT ONCE and applied to every later
+    * corpus drop (the fit-once/score-forever posture of every other
+    * artifact — t35's protocol on the ANN axis).
+    */
+  def ivfCentroidsPortable(emb: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int): DataFrame = {
     val q = emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, e -> " +
         "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
-    val cent = q.orderBy("id").limit(nCells)
+    q.orderBy("id").limit(nCells)
       .withColumn("cell",
         (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       .select(col("cell"), col("qv").as("cv"))
+  }
+
+  /** Persist a [[ivfCentroidsPortable]] index: ≤nCells rows of exact
+    * BIGINT-quantized centroid components — lossless by construction,
+    * the UnigramLm.saveVocab posture. A production vector index is
+    * trained once and mounted by every retrieval/dedup job; without
+    * the artifact each job refits (and a refit over a GROWN corpus
+    * yields different Forgy cells — a silently different index).
+    */
+  def saveIvfIndex(cent: DataFrame, dir: String): Unit =
+    cent.select(col("cell").cast("int"), col("cv"))
+      .repartition(1).write.mode("overwrite").parquet(dir)
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("cell"), col("cv"))
+
+  /** [[ivfTopKPortable]]'s query path against a GIVEN (possibly loaded)
+    * index: corpus rows land on their nearest cell, queries probe their
+    * `nProbe` nearest cells, candidates exist only inside the (cell)
+    * equi-join, exact quantized-cosine rerank on the survivors. The
+    * index broadcasts (≤nCells rows); one scan pass assigns the corpus.
+    */
+  def ivfTopKFromIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       cent: DataFrame, queryMaxId: Long, k: Int,
+                       nProbe: Int = 2): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, e -> " +
+        "CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))").as("qv"))
     val sumSq = sumSqSql _
     val dotE = dotSql _
     val cosSql = cosCaseSql _
@@ -862,6 +897,13 @@ object Similarity {
       col("rank").cast("long").as("rank"), col("id").as("neighbor_id"),
       col("cos"))
   }
+
+  def ivfTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      queryMaxId: Long, k: Int, nCells: Int = 8,
+                      nProbe: Int = 2): DataFrame =
+    ivfTopKFromIndex(emb, idCol, vecCol,
+      ivfCentroidsPortable(emb, idCol, vecCol, nCells),
+      queryMaxId, k, nProbe)
 
   /** DuckDB replay of [[ivfTopKPortable]] over `table`. */
   def ivfTopKPortableOracleSql(table: String, idCol: String,

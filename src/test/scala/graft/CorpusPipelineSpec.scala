@@ -317,4 +317,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
     assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
   }
+
+  test("waterfillBudget: allocations sum EXACTLY to the budget, caps " +
+      "respected, small sources saturated, deterministic under " +
+      "repartitioning — on a skewed mix") {
+    // one whale source (~70% of mass), a few mid sources, many minnows
+    val masses = (Seq(("whale", 70000L), ("mid1", 9000L),
+      ("mid2", 8000L), ("mid3", 7000L)) ++
+      (0 until 12).map(i => (s"minnow$i", 500L)))
+      .toDF("source", "mass")
+    val out = CorpusPipeline.waterfillBudget(masses, num = 3, den = 5)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("mass"), r.getAs[Long]("alloc")))
+    spark.catalog.clearCache() // runningTotal pins its range exchange
+    val total = 70000L + 9000L + 8000L + 7000L + 12 * 500L // 100000
+    val budget = total * 3 / 5 // 60000
+    assert(out.map(_._3).sum == budget, out.mkString(","))
+    // caps: never allocate more than a source has
+    out.foreach { case (s, m, a) => assert(a <= m, s"$s: $a > $m") }
+    // minnows + mids are below the waterline -> fully kept; the whale
+    // absorbs the entire cut (60000 - 30000 = 30000)
+    out.filter(_._1 != "whale").foreach { case (s, m, a) =>
+      assert(a == m, s"$s should be saturated: $a != $m") }
+    assert(out.find(_._1 == "whale").get._3 == 30000L)
+    // deterministic under a different input partitioning
+    val out2 = CorpusPipeline.waterfillBudget(masses.repartition(7),
+        num = 3, den = 5)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("mass"), r.getAs[Long]("alloc"))).sorted.toSeq
+    spark.catalog.clearCache()
+    assert(out2 == out.sorted.toSeq)
+    // a budget that does not divide evenly: remainder placed one token
+    // each, sum still exact
+    val uneven = Seq(("a", 10L), ("b", 10L), ("c", 10L))
+      .toDF("source", "mass")
+    val got = CorpusPipeline.waterfillBudget(uneven, num = 2, den = 3)
+      .collect().map(r => r.getAs[Long]("alloc")).sorted.toSeq
+    spark.catalog.clearCache()
+    assert(got.sum == 20L, got.toString) // 30*2/3
+    assert(got == Seq(6L, 7L, 7L), got.toString)
+  }
 }

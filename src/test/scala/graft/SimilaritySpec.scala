@@ -593,4 +593,38 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().toSeq
     assert(a == b)
   }
+
+  test("IVF index artifact: save/load lossless, query-from-loaded ≡ " +
+      "refit-and-query, and the loaded index pins results when the " +
+      "corpus grows") {
+    val r = new scala.util.Random(77)
+    def vec() = Array.fill(16)(r.nextGaussian().toFloat)
+    val emb = (0 until 40).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val dir = Registry.scratchDir("ivf_artifact") + "/index"
+    val cent = Similarity.ivfCentroidsPortable(
+      emb, "vec_id", "embedding", nCells = 6)
+    Similarity.saveIvfIndex(cent, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // lossless: exact BIGINT components round-trip bit-for-bit
+    assert(loaded.orderBy("cell").collect().toSeq ==
+      cent.orderBy("cell").collect().toSeq)
+    // query-from-loaded ≡ the one-shot fit+query wrapper
+    val viaArtifact = Similarity.ivfTopKFromIndex(emb, "vec_id",
+        "embedding", loaded, queryMaxId = 5L, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneShot = Similarity.ivfTopKPortable(emb, "vec_id", "embedding",
+        queryMaxId = 5L, k = 3, nCells = 6)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaArtifact == oneShot)
+    // THE reason the artifact exists: a refit over a grown corpus
+    // yields different Forgy cells (ids shift into the first-n window);
+    // the persisted index keeps the cell geometry fixed
+    val grown = emb.unionByName(
+      Seq((-1L, vec())).toDF("vec_id", "embedding"))
+    val refit = Similarity.ivfCentroidsPortable(
+      grown, "vec_id", "embedding", nCells = 6)
+    assert(refit.orderBy("cell").collect().toSeq !=
+      loaded.orderBy("cell").collect().toSeq)
+  }
 }
