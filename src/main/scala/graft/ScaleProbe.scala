@@ -442,7 +442,32 @@ object ScaleProbe {
     // their exact pair sets. rows = pairs emitted (the forgone-pairs
     // accounting), shuffle = the valve's effect.
     "m13_pairs_uncapped" -> ((s, dir) => mediaPairs(s, dir, cap = 0)),
-    "m13_pairs_capped" -> ((s, dir) => mediaPairs(s, dir, cap = 128))
+    "m13_pairs_capped" -> ((s, dir) => mediaPairs(s, dir, cap = 128)),
+
+    // round-16 batch 2: the shard-audit loop priced at scale — write
+    // the corpus's shard files (64 shards), read them back, recompute
+    // every manifest statistic and diff. The audit is one scan of the
+    // JSONL files + a skinny groupBy; wall and shuffle should grow
+    // linearly with the corpus.
+    "l27_audit" -> ((s, dir) => {
+      val sm = graft.llm.ShardManifest
+      val packed = graft.llm.CorpusPipeline.packSequences(
+        docs(s, dir), capacity = 120, blockSize = 256)
+      val tmp = graft.Registry.scratchDir("probe_l27")
+      sm.writeShards(packed, tmp, nShards = 64)
+      sm.auditShards(sm.readShards(s, tmp),
+        sm.manifest(packed, nShards = 64), nShards = 64)
+    }),
+    // round-16 batch 2: waterfill over DOMAIN-cardinality sources (997
+    // synthetic domains) — the distributed runningTotal path priced at
+    // 10x; the corpus shuffles once into the skinny per-source frame.
+    "l28_waterfill" -> ((s, dir) => {
+      val tc = graft.llm.TextAnalysis.tokenCount(col("text"))
+      val bySrc = docs(s, dir)
+        .groupBy((col("doc_id") % 997).as("source"))
+        .agg(sum(tc).as("mass"))
+      graft.llm.CorpusPipeline.waterfillBudget(bySrc, num = 3, den = 5)
+    })
   )
 
   /** The m13 registry shape — synthetic WAVs, real RIFF decode, exact
