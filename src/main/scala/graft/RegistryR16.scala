@@ -443,21 +443,7 @@ object RegistryR16 {
         val heldout = lr.hashedCounts(docs.filter(!col("is_train")),
           "doc_id", "is_pos", "text", buckets = 256)
         val sc = lr.margins(heldout, lr.fit(train, iters = 10, lrDen = 4L))
-        val byM = sc.groupBy(col("m").as("thr_micro"))
-          .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
-            sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
-        val ord = Seq(negate(col("thr_micro")))
-        val tp = graft.etl.Ids.runningTotal(byM, ord, col("pos"),
-          totalName = "tp").select(col("thr_micro"), col("tp"))
-        val fp = graft.etl.Ids.runningTotal(byM, ord, col("neg"),
-          totalName = "fp").select(col("thr_micro"), col("fp"))
-        val tot = byM.agg(sum(col("pos")).as("tpos"),
-          sum(col("neg")).as("tneg"))
-        tp.join(fp, "thr_micro").crossJoin(broadcast(tot))
-          .select(col("thr_micro"), col("tp"), col("fp"),
-            (col("tpos") - col("tp")).as("fn"),
-            (col("tneg") - col("fp")).as("tn"))
-          .orderBy("thr_micro")
+        lr.calibrationSweep(sc).orderBy("thr_micro")
       },
       Some {
         val ctes = graft.llm.LogReg.oracleCtes(buckets = 256, iters = 10,
@@ -494,6 +480,75 @@ object RegistryR16 {
            |  CAST(tpos - tp AS BIGINT) AS fn,
            |  CAST(tneg - fp AS BIGINT) AS tn
            |FROM cal_c, cal_t ORDER BY thr_micro""".stripMargin
+      }),
+
+    // ---- T37: OPERATING POINT — the choose-threshold step that closes
+    //      the calibration loop (calibrate t36 → choose HERE → deploy
+    //      t35/l26): the threshold maximizing F1 over the held-out
+    //      sweep, in exact integer fixed-point (f1_micro = 2·tp·10⁶
+    //      div (2·tp + fp + fn); denominator ≥ total positives > 0),
+    //      ties to the SMALLER threshold (keep more). ONE argmax
+    //      aggregate over the sweep (the a35 machinery) — never a
+    //      global sort of the threshold distribution. The oracle
+    //      replays fit → margins → window cumsum → fixed-point F1 →
+    //      ORDER BY/LIMIT 1, so a one-micro drift in any confusion
+    //      count flips the pick and breaks the hash. -----------------
+    Q("t37_operating_point",
+      (s, dir) => {
+        val lr = graft.llm.LogReg
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          (conv(substring(md5(concat(lit("t34:"), col("doc_id"))),
+            1, 15), 16, 10).cast("long") % 100 < 70).as("is_train"),
+          (col("lang") === "en").as("is_pos"),
+          concat(col("text"), when(col("doc_id") % 2 === 0,
+            concat(lit(" m"), col("lang"))).otherwise(lit("")))
+            .as("text"))
+        val train = lr.hashedCounts(docs.filter(col("is_train")),
+          "doc_id", "is_pos", "text", buckets = 256)
+        val heldout = lr.hashedCounts(docs.filter(!col("is_train")),
+          "doc_id", "is_pos", "text", buckets = 256)
+        val sc = lr.margins(heldout, lr.fit(train, iters = 10, lrDen = 4L))
+        lr.operatingPoint(lr.calibrationSweep(sc))
+      },
+      Some {
+        val ctes = graft.llm.LogReg.oracleCtes(buckets = 256, iters = 10,
+          lrDen = 4L)
+        s"""WITH lr_d AS (
+           |  SELECT doc_id,
+           |    (CAST(concat('0x', substr(md5('t34:' ||
+           |       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |       % 100) < 70 AS is_train,
+           |    lang = 'en' AS is_pos,
+           |    list_filter(string_split_regex(trim(lower(
+           |      text || CASE WHEN doc_id % 2 = 0
+           |        THEN ' m' || lang ELSE '' END)), '\\s+'),
+           |      x -> strlen(x) > 0) AS ts
+           |  FROM documents),
+           |${ctes.mkString(",\n")},
+           |cal_m AS (
+           |  SELECT score_micro AS thr_micro,
+           |    CAST(sum(label) AS BIGINT) AS pos,
+           |    CAST(sum(1 - label) AS BIGINT) AS neg
+           |  FROM lr_out GROUP BY 1),
+           |cal_c AS (
+           |  SELECT thr_micro,
+           |    CAST(sum(pos) OVER (ORDER BY thr_micro DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+           |    CAST(sum(neg) OVER (ORDER BY thr_micro DESC
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+           |  FROM cal_m),
+           |cal_t AS (
+           |  SELECT CAST(sum(pos) AS BIGINT) AS tpos,
+           |    CAST(sum(neg) AS BIGINT) AS tneg FROM cal_m),
+           |cal_f AS (
+           |  SELECT thr_micro, tp, fp,
+           |    tpos - tp AS fn, tneg - fp AS tn,
+           |    (tp * 2000000) // (tp * 2 + (fp + (tpos - tp)))
+           |      AS f1_micro
+           |  FROM cal_c, cal_t)
+           |SELECT thr_micro, f1_micro, tp, fp, fn, tn
+           |FROM cal_f ORDER BY f1_micro DESC, thr_micro ASC
+           |LIMIT 1""".stripMargin
       }),
 
     // ---- M21: MEDIA DECONTAMINATION — d10's eval-set anti-join on the

@@ -91,6 +91,55 @@ object LogReg {
       .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
   }
 
+  /** CALIBRATION SWEEP over labeled margins — every DISTINCT margin
+    * becomes a candidate threshold with its exact integer confusion
+    * counts (tp/fp/fn/tn at "keep iff margin ≥ thr"). The cumulatives
+    * ride the DISTRIBUTED [[graft.etl.Ids.runningTotal]] (range
+    * partition + broadcast offsets — never a one-task global window
+    * over the margin distribution, whose cardinality grows with the
+    * corpus); the u11/l25 gate shape, so the oracle is the plain
+    * window form. Input: [[margins]]' (id, y, m); output one row per
+    * distinct m: (thr_micro, tp, fp, fn, tn).
+    */
+  def calibrationSweep(sc: DataFrame,
+                       scope: graft.CacheScope = graft.CacheScope.harness)
+      : DataFrame = {
+    val byM = sc.groupBy(col("m").as("thr_micro"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val ord = Seq(negate(col("thr_micro")))
+    val tp = graft.etl.Ids.runningTotal(byM, ord, col("pos"),
+      totalName = "tp", scope = scope)
+      .select(col("thr_micro"), col("tp"))
+    val fp = graft.etl.Ids.runningTotal(byM, ord, col("neg"),
+      totalName = "fp", scope = scope)
+      .select(col("thr_micro"), col("fp"))
+    val tot = byM.agg(sum(col("pos")).as("tpos"),
+      sum(col("neg")).as("tneg"))
+    tp.join(fp, "thr_micro").crossJoin(broadcast(tot))
+      .select(col("thr_micro"), col("tp"), col("fp"),
+        (col("tpos") - col("tp")).as("fn"),
+        (col("tneg") - col("fp")).as("tn"))
+  }
+
+  /** The OPERATING POINT off a [[calibrationSweep]]: the threshold
+    * maximizing F1 in exact integer fixed-point —
+    * f1_micro = 2·tp·10⁶ div (2·tp + fp + fn), ties to the SMALLER
+    * threshold (keep more). One argmax aggregate (the a35 machinery) —
+    * the sweep never sorts globally. Output: one row
+    * (thr_micro, f1_micro, tp, fp, fn, tn) — what a deployment pins.
+    */
+  def operatingPoint(cal: DataFrame): DataFrame = {
+    val scored = cal.withColumn("f1_micro",
+      expr("tp * 2000000L div (tp * 2L + fp + fn)"))
+    scored.agg(max_by(
+        struct(col("thr_micro"), col("f1_micro"), col("tp"), col("fp"),
+          col("fn"), col("tn")),
+        struct(col("f1_micro"), negate(col("thr_micro")))).as("b"))
+      .select(col("b.thr_micro"), col("b.f1_micro"), col("b.tp"),
+        col("b.fp"), col("b.fn"), col("b.tn"))
+  }
+
   /** Persist trained weights as a ≤(buckets+1)-row parquet artifact —
     * the fit-once-score-forever posture every sibling artifact has (BPE
     * merges, Unigram vocab, KN stats, BM25): the production quality

@@ -89,7 +89,8 @@ object CorpusStream {
   def scoredIngest(spark: SparkSession, inDir: String, schema: StructType,
                    idCol: String, textCol: String, weightsDir: String,
                    tableDir: String, checkpointDir: String,
-                   buckets: Int = 256): StreamingQuery = {
+                   buckets: Int = 256,
+                   thresholdMicro: Long = 0L): StreamingQuery = {
     val w = graft.llm.LogReg.loadWeights(spark, weightsDir)
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
@@ -97,7 +98,11 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val verdicts = graft.llm.LogReg.scores(
           graft.llm.LogReg.features(batch, idCol, textCol, buckets), w)
-        batch.join(verdicts.filter(col("m") > 0)
+        // keep iff margin > thresholdMicro — the default 0 is the raw
+        // classifier sign; a deployment passes the calibrated operating
+        // point (LogReg.operatingPoint's thr_micro − 1: the sweep's
+        // "keep iff m ≥ thr" is this gate at thresholdMicro = thr − 1)
+        batch.join(verdicts.filter(col("m") > thresholdMicro)
             .select(col("id").as(idCol), col("m").as("score_micro")),
           idCol)
           .write.mode("overwrite").parquet(s"$tableDir/batch=$batchId")

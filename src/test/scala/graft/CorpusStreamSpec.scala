@@ -119,5 +119,15 @@ class CorpusStreamSpec extends SparkSpec {
         batchVerdicts2.filter(_._2 > 0L).keySet))
     assert(t2.forall { case (id, m) =>
       batchVerdicts1.getOrElse(id, batchVerdicts2(id)) == m })
+
+    // calibrated gate: a threshold above every margin rejects all —
+    // the operating-point deployment path (keep iff m > thr)
+    val root2 = Registry.scratchDir("graft-cs-thresh")
+    val maxM = (batchVerdicts1.values ++ batchVerdicts2.values).max
+    b1.coalesce(1).write.mode("append").parquet(s"$root2/in")
+    CorpusStream.scoredIngest(spark, s"$root2/in", schema, "doc_id",
+        "text", wDir, s"$root2/table", s"$root2/cp", buckets = 16,
+        thresholdMicro = maxM).awaitTermination(120000)
+    assert(CorpusStream.readTable(spark, s"$root2/table").count() == 0L)
   }
 }

@@ -86,4 +86,40 @@ class LogRegSpec extends SparkSpec {
     assert(viaScores == viaMargins)
     spark.catalog.clearCache()
   }
+
+  test("calibrationSweep counts are the sequential definition; " +
+      "operatingPoint picks max-F1 with ties to the smaller threshold") {
+    import spark.implicits._
+    // hand-built margins: 4 positives at high scores, 2 negatives
+    // interleaved — every confusion cell checkable by hand
+    val sc = Seq((1L, true, 30L), (2L, true, 20L), (3L, false, 25L),
+      (4L, true, 10L), (5L, false, 5L), (6L, true, 3L))
+      .toDF("id", "y", "m")
+    val cal = LogReg.calibrationSweep(sc)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    // thr=30: keep {30} -> tp1 fp0 fn3 tn2; thr=3: keep all -> tp4 fp2
+    assert(cal(30L) == ((1L, 0L, 3L, 2L)))
+    assert(cal(25L) == ((1L, 1L, 3L, 1L)))
+    assert(cal(20L) == ((2L, 1L, 2L, 1L)))
+    assert(cal(10L) == ((3L, 1L, 1L, 1L)))
+    assert(cal(3L) == ((4L, 2L, 0L, 0L)))
+    // F1 micro: thr=10 -> 6e6/8=750000; thr=3 -> 8e6/10=800000 (max);
+    // thr=20 -> 4e6/7=571428
+    val op = LogReg.operatingPoint(LogReg.calibrationSweep(sc)).collect()
+    spark.catalog.clearCache()
+    assert(op.length == 1)
+    assert(op(0).getLong(0) == 3L, op(0).toString)   // thr_micro
+    assert(op(0).getLong(1) == 800000L, op(0).toString) // f1_micro
+    // tie case on a hand-built sweep frame: (tp1,fp0,fn1) and
+    // (tp2,fp2,fn0) both give micro-F1 = 666666 — the SMALLER
+    // threshold wins (keep more)
+    val tie = Seq((5L, 1L, 0L, 1L, 9L), (3L, 2L, 2L, 0L, 7L))
+      .toDF("thr_micro", "tp", "fp", "fn", "tn")
+    val op2 = LogReg.operatingPoint(tie).collect()
+    spark.catalog.clearCache()
+    assert(op2(0).getLong(0) == 3L, op2(0).toString)
+    assert(op2(0).getLong(1) == 666666L, op2(0).toString)
+  }
 }
