@@ -7,6 +7,35 @@ import org.apache.spark.sql.functions._
 /** Surrogate-key assignment. */
 object Ids {
 
+  /** Partition count for the range-partition machinery, derived from the
+    * input's optimizer size estimate and CLAMPED to the configured
+    * `spark.sql.shuffle.partitions` ceiling (guide §2: scale-adaptive
+    * partitioning — derive from input size, never a constant tuned for
+    * one deployment). An explicit `repartitionByRange(N, ...)` /
+    * `repartition(N, ...)` is exempt from AQE partition coalescing, so
+    * the former fixed N pinned `numPartitions` tasks onto every pass of
+    * frames that are often tiny (threshold sweeps, bin-stats folds,
+    * per-iteration fit passes); at production scale the size estimate
+    * clamps back up to the configured ceiling, so big inputs keep full
+    * parallelism. Every caller's result is partition-count-INDEPENDENT
+    * by contract (the plain window/aggregate form is the oracle), so
+    * this changes task counts, never values.
+    */
+  private[graft] def adaptiveParts(df: DataFrame): Int = {
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    // Target bytes per partition: AQE's own advisory knob (default
+    // 64 MB), so one conf tunes both AQE coalescing and this machinery;
+    // estimates come from file sizes × selectivity, so this is a
+    // floor-setting heuristic, not an exact packing.
+    val target = BigInt(math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((est + target - 1) / target).min(BigInt(parts)).max(BigInt(1)).toInt
+  }
+
   /** Dense, gap-free 1-based ids in the total order of `orderCols` — the
     * scale-correct zipWithIndex. `monotonically_increasing_id` is sparse
     * (partition-stamped) and a global `row_number` window collapses to
@@ -30,8 +59,7 @@ object Ids {
                idName: String = "row_id",
                scope: graft.CacheScope = graft.CacheScope.harness)
       : DataFrame = {
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val parts = adaptiveParts(df)
     // Persisted: the counts pass and the final pass MUST see the same
     // physical partitioning — re-evaluating the range shuffle twice
     // would let AQE (or fresh boundary sampling) repartition differently
@@ -73,8 +101,7 @@ object Ids {
                    totalName: String = "running_total",
                    scope: graft.CacheScope = graft.CacheScope.harness)
       : DataFrame = {
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
+    val parts = adaptiveParts(df)
     // persisted for the same reason as denseIds: the offsets pass and
     // the final pass must see one physical partitioning
     val ranged = scope.track(df.withColumn("__v", value.cast("long"))
@@ -93,6 +120,73 @@ object Ids {
     ranged.join(broadcast(offDf), "__part")
       .withColumn(totalName, sum(col("__v")).over(w) + col("__off"))
       .drop("__part", "__off", "__v")
+  }
+
+  /** Multi-VALUE running totals in ONE range-partitioned pass — the
+    * [[runningTotal]] machinery generalized to N value columns sharing
+    * one exchange, one persisted snapshot and one driver offsets
+    * round-trip. N same-order [[runningTotal]] calls would range-
+    * partition, persist and scan the SAME input N times (and callers
+    * needing the grand totals would pay yet another whole-frame
+    * aggregate); here the driver already holds every per-partition sum,
+    * so the grand totals come back for free as the second member.
+    *
+    * Returns (annotated frame, grand total per value column, in
+    * `values` order). Semantics per column are exactly
+    * [[runningTotal]]'s; cache lifecycle identical (the ranged snapshot
+    * registers in `scope`).
+    */
+  def runningTotals(df: DataFrame, orderCols: Seq[Column],
+                    values: Seq[(Column, String)],
+                    scope: graft.CacheScope = graft.CacheScope.harness)
+      : (DataFrame, Seq[Long]) = {
+    require(values.nonEmpty, "runningTotals: need at least one value")
+    val spark = df.sparkSession
+    val parts = adaptiveParts(df)
+    val n = values.size
+    val vcols = values.zipWithIndex.map { case ((v, _), i) =>
+      v.cast("long").as(s"__v$i")
+    }
+    val ranged = scope.track(
+      df.select(df.columns.map(col).toSeq ++ vcols: _*)
+        .repartitionByRange(parts, orderCols: _*)
+        .withColumn("__part", spark_partition_id()))
+    val aggs = (0 until n).map(i => sum(col(s"__v$i")).as(s"__s$i"))
+    val sums = ranged.groupBy(col("__part"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getInt(0) -> (0 until n).map(i =>
+          if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+      }
+      .sortBy(_._1)
+    val grand = (0 until n).map(i => sums.map(_._2(i)).sum)
+    val offsets = sums.map(_._1).zip(
+      sums.map(_._2).scanLeft(Seq.fill(n)(0L)) { (acc, s) =>
+        acc.zip(s).map { case (a, b) => a + b }
+      })
+    val offRows: Seq[org.apache.spark.sql.Row] =
+      offsets.toSeq.map { case (p, offs) =>
+        org.apache.spark.sql.Row.fromSeq(p +: offs)
+      }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          (0 until n).map(i => org.apache.spark.sql.types.StructField(
+            s"__off$i", org.apache.spark.sql.types.LongType,
+            nullable = false))))
+    val w = Window.partitionBy(col("__part")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = values.zipWithIndex.foldLeft(
+      ranged.join(broadcast(offDf), "__part")) {
+      case (d, ((_, name), i)) =>
+        d.withColumn(name, sum(col(s"__v$i")).over(w) + col(s"__off$i"))
+    }
+    val dropCols = "__part" +: (0 until n)
+      .flatMap(i => Seq(s"__v$i", s"__off$i"))
+    (annotated.drop(dropCols: _*), grand)
   }
 
   /** PER-KEY running total of `value` in the order of `orderCols`
@@ -138,7 +232,7 @@ object Ids {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     require(keyCols.nonEmpty, "runningTotalByKey: need at least one key")
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = adaptiveParts(df)
     // persisted for the same reason as runningTotal: the offsets pass
     // and the final pass must see one physical partitioning
     val ranged = scope.track(df.withColumn("__v", value.cast("long"))

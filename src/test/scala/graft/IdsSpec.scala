@@ -95,8 +95,20 @@ class IdsSpec extends SparkSpec {
     "(partition, key), the plan range-partitions") {
     val df = (0L until 200L).map(i => (i, "onlykey", 1L))
       .toDF("id", "g", "v")
-    val out = Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"),
-      "rt")
+    // partition counts are size-adaptive now (Ids.adaptiveParts); pin a
+    // tiny advisory size so this toy frame plans the at-scale multi-
+    // partition shape the lint is about
+    val prev = spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+    val out =
+      try Ids.runningTotalByKey(df, Seq("g"), Seq(col("id")), col("v"), "rt")
+      finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
     import org.apache.spark.sql.catalyst.plans.logical.Window

@@ -14,6 +14,22 @@ import graft.llm.CorpusPipeline
 class PlanShapeSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Partition counts are size-adaptive (Ids.adaptiveParts): a toy
+    * frame legitimately coalesces to one partition. Tests pinning the
+    * AT-SCALE multi-partition shape run under a 1-byte advisory
+    * partition size so the machinery plans as it would on real data.
+    */
+  private def withTinyAdvisory[T](body: => T): T = {
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1b")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
   private lazy val docs = (0L until 100L).map(i =>
     (i, words(10 + (i % 5).toInt), s"src${i % 3}"))
@@ -41,7 +57,7 @@ class PlanShapeSpec extends SparkSpec {
     // source would sort its whole slice in one task. The grouped
     // runningTotal range-partitions by (source, hash, id) and every
     // window group is (physical partition, source).
-    val out = CorpusPipeline.sampleToTokenBudget(docs, 60L)
+    val out = withTinyAdvisory(CorpusPipeline.sampleToTokenBudget(docs, 60L))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("rangepartitioning"), plan.take(600))
     import org.apache.spark.sql.catalyst.plans.logical.Window
@@ -255,7 +271,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("w04 ntile: exact global quartiles with every heavy step distributed") {
-    val df = SparkEntry.queries("w04_ntile")(spark, sf)
+    val df = withTinyAdvisory(SparkEntry.queries("w04_ntile")(spark, sf))
     val plan = df.queryExecution.executedPlan.toString
     // the global rank comes from the denseIds range partitioning; every
     // Window in the plan is partitioned (no single-partition window over
