@@ -377,12 +377,20 @@ object RegistryExtra {
             approx_count_distinct(col("l_orderkey"), 0.02).as("hll_orders"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
               .as("approx_median_price"),
-            expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
-            // the sketch guarantees RANK error, so the certificate is a
-            // rank window, not a value tolerance (value gaps near the
-            // median dominate at small n)
-            expr("percentile(l_extendedprice, 0.48)").as("p48"),
-            expr("percentile(l_extendedprice, 0.52)").as("p52"))
+            // ONE exact-percentile buffer for all three cut points —
+            // three scalar percentile() aggregates each build their own
+            // value->count OpenHashMap over the whole column (3x the
+            // dominant aggregation cost); the array form computes the
+            // same interpolated values from a single buffer. The rank
+            // window (0.48/0.52) exists because the sketch guarantees
+            // RANK error, not a value tolerance (value gaps near the
+            // median dominate at small n).
+            expr("percentile(l_extendedprice, array(0.48, 0.5, 0.52))")
+              .as("pcts"))
+          .select(col("hll_orders"), col("approx_median_price"),
+            col("pcts").getItem(1).as("exact_median_price"),
+            col("pcts").getItem(0).as("p48"),
+            col("pcts").getItem(2).as("p52"))
         distinctSide.crossJoin(sketchSide)
           .select(col("exact_orders"),
             (abs(col("hll_orders") - col("exact_orders")) /

@@ -42,8 +42,13 @@ object Bfs {
   def distances(edges: DataFrame, seeds: Column, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"bfs: maxHops must be >= 1, got $maxHops")
     val big = maxHops + 1L // unreached sentinel; never overflows
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+    val eSel = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // partition count derived from the edge relation's size estimate
+    // (Ids.adaptiveParts): an explicit repartition(col) is AQE-exempt,
+    // so a fixed count pins shuffle.partitions tasks onto every round's
+    // passes even when the graph is small; result is partition-
+    // independent (pure min/least relaxation)
+    val e = eSel.repartition(graft.etl.Ids.adaptiveParts(eSel), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

@@ -36,9 +36,11 @@ object LabelPropagation {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val msgs = und.select(col("a").as("n"), col("b").as("nb"))
+    val msgsSel = und.select(col("a").as("n"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("n"), col("a").as("nb")))
-      .repartition(col("nb"))
+    // adaptive partition count, same rationale as PageRank/Bfs
+    val msgs = msgsSel
+      .repartition(graft.etl.Ids.adaptiveParts(msgsSel), col("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = msgs.select(col("n").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -45,8 +45,13 @@ object PageRank {
   def ranksInt(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
                seeds: Option[Column] = None): DataFrame = {
     require(iters >= 1, "pagerank: iters must be >= 1")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src"))
+    val eSel = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // partition count derived from the edge relation's size estimate
+    // (Ids.adaptiveParts): an explicit repartition(col) is AQE-exempt,
+    // so a fixed count pins shuffle.partitions tasks onto every round's
+    // passes even when the graph is small; result is partition-
+    // independent (exact integer sums)
+    val e = eSel.repartition(graft.etl.Ids.adaptiveParts(eSel), col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -364,13 +364,23 @@ object Dedup {
   def portableSimhash(df: DataFrame, textCol: String,
                       idCol: String): DataFrame = {
     val hexDigits = "0123456789abcdef"
+    // The first 64 md5 bits decode to TWO 32-bit integers per token
+    // (one conv each), and every bit vote is then a shift+mask on a
+    // long: bit i (nibble-major j = i/4, MSB-first b = 3 - i%4) of the
+    // big-endian 8-hex-char value H is (H >> (31 - i)) & 1. The former
+    // per-nibble decode ran 64 conv(substring) string conversions per
+    // token row — ~30x the expression work per row for identical vote
+    // sums (same bits, same ±1 votes).
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    def nib(j: Int): Column = hexNibble(substring(col("h"), j + 1, 1))
+      .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("h2", conv(substring(col("h"), 9, 8), 16, 10)
+        .cast("long"))
     val votes = (0 until 64).map { i =>
-      val j = i / 4; val b = 3 - (i % 4)
-      sum(when(shiftright(nib(j), b).bitwiseAND(1) === 1, 1)
+      val (src, sh) = if (i < 32) (col("h1"), 31 - i) else (col("h2"), 63 - i)
+      sum(when(shiftright(src, sh).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$i")
     }
     val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)

@@ -526,6 +526,11 @@ object TextAnalysis {
     */
   def knScoreFromStats(score: DataFrame, stats: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    // NB: tri/mid are consumed by several derived tables, but caching
+    // them was MEASURED SLOWER at sf0.1 (3.2/5.3/3.0 s vs 2.1/3.0/2.6
+    // for t30/t31/t32): the InMemoryRelation barrier costs more than
+    // exchange-reuse re-aggregation of the small stat tables and
+    // interferes with the broadcast-join pipeline on the scoring side.
     val tri = stats.filter(col("kind") === "tri")
       .select(col("w1"), col("w2"), col("w3"), col("c").as("c3"))
     val ctx = tri.groupBy("w1", "w2")
