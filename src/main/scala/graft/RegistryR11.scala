@@ -387,7 +387,9 @@ object RegistryR11 {
         // The previous posexplode + lead(window) form paid an extra
         // hash-exchange + sort on doc_id for the SAME gram multiset:
         // at corpus scale that exchange carries every token occurrence.
-        val grams = t(s, dir, "documents")
+        val grams = graft.sources.Scans.withParallelismFloor(
+            t(s, dir, "documents")
+              .select(col("doc_id"), col("lang"), col("text")))
           .select(col("doc_id"), col("lang"), explode(expr(
             """element_at(transform(
               |  array(filter(split(lower(trim(text)), '\\s+'),

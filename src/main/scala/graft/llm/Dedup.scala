@@ -335,8 +335,10 @@ object Dedup {
     * then folded into a long.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+    val toks = graft.sources.Scans.withParallelismFloor(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(TextAnalysis.tokens(lower(col("__t")))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
@@ -371,8 +373,10 @@ object Dedup {
     // per-nibble decode ran 64 conv(substring) string conversions per
     // token row — ~30x the expression work per row for identical vote
     // sums (same bits, same ±1 votes).
-    val toks = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+    val toks = graft.sources.Scans.withParallelismFloor(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(TextAnalysis.tokens(lower(col("__t")))).as("tok"))
       .withColumn("h", md5(col("tok")))
       .withColumn("h1", conv(substring(col("h"), 1, 8), 16, 10)
         .cast("long"))
@@ -812,8 +816,10 @@ object Dedup {
     // filtered start-index set is a prefix of the candidate sequence, so
     // posexplode's position stays the window index; docs shorter than w
     // emit no windows at all.
-    val segs = df
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+    // parallelism floor before the stride-w md5 scan (see toWords)
+    val segs = graft.sources.Scans.withParallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), split(col("__t"), " ").as("words"))
       .select(col("id"), posexplode(expr(
         s"transform(filter(sequence(0, greatest(CAST((size(words) + ${stride - 1}) div $stride AS INT) - 1, 0)), " +
           s"i -> i * $stride + $w <= size(words)), " +
@@ -860,7 +866,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // null text behaves as empty (the Bpe/encodePortable convention) so
     // the rebuilt clean_text is '' on both engines, never NULL vs ''
-    val words = toWords(df, textCol, idCol)
+    val words = toWords(df, textCol, idCol, floor = true)
     // FULL w-token windows only, stride 1 (see dupSpans for why tails
     // are excluded): (id, span_idx, digest) — never the window text.
     // The fingerprint scan is the dominant cost and BOTH the winner
@@ -886,9 +892,22 @@ object Dedup {
     * text behaves as empty.
     */
   private[llm] def toWords(df: DataFrame, textCol: String,
-                           idCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      split(coalesce(col(textCol), lit("")), " ").as("words"))
+                           idCol: String,
+                           floor: Boolean = false): DataFrame = {
+    // parallelism floor (opt-in) BEFORE the split + window-fingerprint
+    // work: the md5 stride-1 pass is the family's dominant CPU and a
+    // one-row-group input would otherwise run it on a single core
+    // (no-op at scale); the exchange carries raw (id, text) only.
+    // FULL-corpus rewrites opt in; the incremental/indexed variants'
+    // small eager batches measured slower with it (d33 4.0 s vs 3.1 —
+    // filter selectivity does not reach size estimates, so a guard
+    // cannot tell a 50-doc batch from the corpus).
+    val base = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val src = if (floor) graft.sources.Scans.withParallelismFloor(base)
+      else base
+    src.select(col("id"), split(col("__t"), " ").as("words"))
+  }
 
   /** Stride-1 FULL-window fingerprint scan: (id, span_idx, h) — never
     * the window text (see [[dupSpans]] for the tail-window exclusion).
@@ -949,7 +968,7 @@ object Dedup {
                            scope: graft.CacheScope = graft.CacheScope.harness)
       : DataFrame = {
     require(w >= 1, s"exactSubstrWithIndex: w must be >= 1, got $w")
-    val words = toWords(batch, textCol, idCol)
+    val words = toWords(batch, textCol, idCol, floor = true)
     // both the index probe (semi + anti) and the within-batch election
     // consume the batch scan — tracked once, scope-released
     val segs = scope.track(toSegs(words, w))

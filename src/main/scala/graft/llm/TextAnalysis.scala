@@ -452,6 +452,12 @@ object TextAnalysis {
     */
   private def knTris(df: DataFrame, idCol: String, textCol: String)
       : DataFrame =
+    // NB deliberately NO Scans.withParallelismFloor here: the stat
+    // tables fan out into ~5 aggregation trees that each re-consume
+    // this frame via exchange reuse, so flooring the (small) train side
+    // multiplies task counts across every tree — measured 2.3 -> 3.8 s
+    // on t30 with the floor, the opposite of its effect on the
+    // single-consumer md5 scans (d26/d31/d29).
     df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("id"), explode(expr(
