@@ -26,6 +26,18 @@ object Registry {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Floored table load — `t` behind
+    * [[graft.sources.Scans.withParallelismFloor]], for entries whose
+    * dominant cost is per-row CPU in ONE downstream pipeline (vector
+    * kernels, tokenize+hash scans, parse cascades): a single-row-group
+    * input otherwise runs that pipeline on one core. Opt-in PER ENTRY —
+    * queries that fan a small scan into many aggregation subtrees get
+    * slower with a floor (each subtree re-reads the exchange at full
+    * task width; the knTris measurement), so `t` stays the default.
+    */
+  def tf(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Scans.withParallelismFloor(t(s, dir, name))
+
   /** Events table with its `ts` column surfaced as a microsecond
     * TimestampType regardless of how the parquet writer encoded it.
     * Generations of the testdata have shipped TIMESTAMP(NANOS) — which

@@ -373,7 +373,7 @@ object RegistryLlm {
     //      → rows-only summary (exact-gram d10 is the hash-checked twin) --
     Q("d13_fuzzy_decontaminate",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tf(s, dir, "documents")
         val train = docs.filter(col("doc_id") % 10 =!= 0)
         val kept = graft.llm.CorpusPipeline.decontaminateFuzzy(
           train, docs.filter(col("doc_id") % 10 === 0), threshold = 0.5)
@@ -1344,7 +1344,7 @@ object RegistryLlm {
     // ---- T6: Gopher-style repetition signals — duplicate-trigram fraction
     //      and top-bigram fraction, exact integer counts + one division ----
     Q("t06_repetition",
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      (s, dir) => tf(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.duplicateNgramFraction(col("text"), 3)
             .as("dup_trigram_frac"),
           TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"))

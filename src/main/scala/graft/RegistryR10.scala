@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import Registry.t
+import Registry.{t, tf}
 
 /** Round-10 widening: WARC/WET crawl-archive ingest (the canonical
   * 100 TB text-corpus input format) with an oracle-exact round-trip —

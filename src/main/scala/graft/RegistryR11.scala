@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import Registry.t
+import Registry.{t, tf}
 
 /** Round-11 widening: the in-engine HTML table scan wired end-to-end
   * (S3/S4 literal parity — the page TEXT is now the input, closing the
@@ -214,7 +214,7 @@ object RegistryR11 {
     //      Grams shuffle as 60-bit digests only; exact oracle. ------------
     Q("t22_ngram_novelty",
       (s, dir) => graft.llm.TextAnalysis.ngramNovelty(
-          t(s, dir, "documents"), "doc_id", "text")
+          tf(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(graft.llm.TextAnalysis.ngramNoveltyOracleSql(
@@ -1485,7 +1485,7 @@ object RegistryR11 {
     Q("l15_cluster_balanced_sample",
       (s, dir) => {
         val asg = graft.llm.Similarity.forgyAssignPortable(
-          t(s, dir, "embeddings"), "vec_id", "embedding", nCells = 8)
+          tf(s, dir, "embeddings"), "vec_id", "embedding", nCells = 8)
         val cc = asg.groupBy("cell").agg(count(lit(1)).as("n_cell"))
         val rt = cc.crossJoin(broadcast(cc.agg(min(col("n_cell")).as("m"))))
           .select(col("cell"), col("n_cell"),

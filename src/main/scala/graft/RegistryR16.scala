@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import Registry.t
+import Registry.{t, tf}
 
 /** Round-16 widening: the trained-classifier ARTIFACT (fit once →
   * persist → score forever, the posture every sibling artifact already
@@ -613,7 +613,7 @@ object RegistryR16 {
     Q("n23_ivf_persisted",
       (s, dir) => {
         val sim = graft.llm.Similarity
-        val emb = t(s, dir, "embeddings")
+        val emb = tf(s, dir, "embeddings")
         val tmp = Registry.scratchDir("n23_ivf")
         sim.saveIvfIndex(sim.ivfCentroidsPortable(
           emb, "vec_id", "embedding", nCells = 10), s"$tmp/index")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Multimodal, Ranking, TextAnalysis}
-import Registry.{events, t}
+import Registry.{events, t, tf}
 
 /** Round-8 widening: retrieval-style corpus scoring (BM25, plus its
   * incrementally-merged stats variant), scan-speed intra-document
@@ -261,7 +261,7 @@ object RegistryR8 {
     //      deterministic, no rounding. -----------------------------------
     Q("n09_knn_eval",
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tf(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 500)
         val nn = graft.llm.Similarity.bruteForceTopK(
           emb, probes, "vec_id", "embedding", 5)
@@ -1068,7 +1068,7 @@ object RegistryR8 {
     //      (for d in the thousands you'd block or sketch instead). -----
     Q("n11_embed_covariance",
       (s, dir) => {
-        val q = t(s, dir, "embeddings")
+        val q = tf(s, dir, "embeddings")
           .select(col("vec_id"), col("label").cast("int").as("label"),
             posexplode(col("embedding")).as(Seq("pos", "e")))
           .select(col("vec_id"), col("label"), col("pos"),
@@ -1206,7 +1206,7 @@ object RegistryR8 {
     //      every cell assignment and keep/drop verdict bit-for-bit. ----
     Q("d24_semantic_dedup_portable",
       (s, dir) => graft.llm.Similarity.semanticDedupPortable(
-          t(s, dir, "embeddings"), "vec_id", "embedding",
+          tf(s, dir, "embeddings"), "vec_id", "embedding",
           nCells = 8, threshold = 0.92, cap = 16)
         .orderBy("id"),
       Some(graft.llm.Similarity.semanticDedupPortableOracleSql(
@@ -1327,7 +1327,7 @@ object RegistryR8 {
     //      probe choice and ranked neighbor replays bit-for-bit. -------
     Q("n13_ann_ivf_portable",
       (s, dir) => graft.llm.Similarity.ivfTopKPortable(
-          t(s, dir, "embeddings"), "vec_id", "embedding",
+          tf(s, dir, "embeddings"), "vec_id", "embedding",
           queryMaxId = 5L, k = 3)
         .orderBy("query_id", "rank"),
       Some(graft.llm.Similarity.ivfTopKPortableOracleSql(

@@ -70,7 +70,7 @@ object RegistryScalars {
           case (acc, (f, i)) =>
             acc.when(col("o_orderkey") % 12 === i, date_format(d, f))
         }
-        t(s, dir, "orders").select(col("o_orderkey"), raw.as("raw"),
+        tf(s, dir, "orders").select(col("o_orderkey"), raw.as("raw"),
             date_format(Normalize.normalizeDate(raw), "yyyy-MM-dd")
               .as("parsed"))
           .orderBy("o_orderkey")

@@ -735,24 +735,36 @@ object Dedup {
   def portableMinhashBands(df: DataFrame, textCol: String, idCol: String,
                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val p = 2147483647L
-    val gramRows = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), 3)).as("gram"))
-    val sig = gramRows
-      .select(col("id"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
-          .cast("long") % p).as("g"))
-      .select(col("id"), col("g"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("id"), col("seed"),
-        (((lit(2654435761L) * (col("seed") + 1) % p) * col("g")
-          + lit(40503L) * (col("seed") + 1) % p) % p).as("h"))
-      .groupBy("id", "seed").agg(min(col("h")).as("mh"))
-    sig
-      .groupBy(col("id"),
-        (col("seed") / (numHashes / bands)).cast("int").as("band"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh").cast("string")), "-").as("sig"))
+    // One min aggregate PER SEED over the gram stream instead of the
+    // old explode(sequence(0, numHashes-1)): that form materialized and
+    // SHUFFLED numHashes rows per gram occurrence (plus a second
+    // (id, band) exchange for the collect_list), where this computes
+    // all per-seed hashes as projections of one gram row — the seed is
+    // a literal, so the (a, b) affine constants constant-fold — and
+    // map-side partial mins reduce each partition to |docs| rows before
+    // the single id exchange. Same mins, same band signatures, same
+    // oracle (the CTE replays the explode form; integer mins agree).
+    val gramRows = graft.sources.Scans.withParallelismFloor(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"), explode(wordShingles(col("__t"), 3)).as("gram"))
+    val g = gramRows.select(col("id"),
+      (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+        .cast("long") % p).as("g"))
+    val mins = (0 until numHashes).map { s =>
+      val a = 2654435761L * (s + 1) % p
+      val b = 40503L * (s + 1) % p
+      min((lit(a) * col("g") + lit(b)) % p).as(s"__mh$s")
+    }
+    val sig = g.groupBy("id").agg(mins.head, mins.tail: _*)
+    val perBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (b * perBand until (b + 1) * perBand)
+          .map(s => col(s"__mh$s").cast("string")): _*).as("sig"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("__bs"))
+      .select(col("id"), col("__bs.band").as("band"),
+        col("__bs.sig").as("sig"))
   }
 
   /** DuckDB CTE chain replaying [[portableMinhashBands]] over `table`:
