@@ -341,7 +341,8 @@ object RegistryR12 {
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
         val clean = graft.llm.Dedup
-          .exactSubstrDedup(docs, "text", "doc_id", w = 8)
+          .exactSubstrDedup(docs, "text", "doc_id", w = 8,
+            floor = false) // clean feeds the iterative BPE fit
           .select(col("id").as("doc_id"), col("clean_text").as("text"))
         val merges = graft.llm.Bpe.fit(clean, "text", numMerges = 8,
           maxVocabWords = 200)

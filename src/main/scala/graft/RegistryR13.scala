@@ -94,6 +94,9 @@ object RegistryR13 {
     Q("t31_kn_perplexity_buckets",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // NB scored is consumed twice (sample chain + final join), but
+        // caching it was MEASURED SLOWER (3.0 -> 3.9 s): the cache
+        // barrier costs more than exchange-reuse recomputation
         val scored = graft.llm.TextAnalysis.knTrigramScores(
             docs.filter(col("doc_id") < 400), docs, "doc_id", "text")
           .join(docs.select(col("doc_id").as("id"), col("source")), "id")
@@ -240,7 +243,8 @@ object RegistryR13 {
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
         val clean = graft.llm.Dedup
-          .exactSubstrDedup(docs, "text", "doc_id", w = 8)
+          .exactSubstrDedup(docs, "text", "doc_id", w = 8,
+            floor = false) // clean feeds the iterative BPE fit
           .select(col("id").as("doc_id"), col("clean_text").as("text"))
         val merges = graft.llm.Bpe.fit(clean, "text", numMerges = 8,
           maxVocabWords = 200)

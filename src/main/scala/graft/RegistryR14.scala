@@ -126,7 +126,7 @@ object RegistryR14 {
             "array_join(transform(kept, l -> array_join(l, ' ')), ' ')")
             .as("ctext"))).toDF()
         val dd = graft.llm.Dedup.exactSubstrDedup(c1, "ctext", "doc_id",
-          w = 8)
+          w = 8, floor = false) // c1 is a cached derived frame, not a scan
         // dd derives from c1 (self-join lineage) — disambiguate by
         // alias. Persisted: the ExactSubstr rewrite feeds the sampling
         // stage, its count, AND the block fold — one rewrite, not three.

@@ -1423,6 +1423,10 @@ object RegistryR8 {
     Q("t20_perplexity_buckets",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // NB scored is consumed twice (sample chain + final join), but
+        // caching it was MEASURED SLOWER (2.2 -> 3.0 s): the cache
+        // barrier costs more than exchange-reuse recomputation of the
+        // post-shuffle aggregates
         val scored = graft.llm.TextAnalysis.bigramLmScores(
             docs, "doc_id", "text")
           .join(docs.select(col("doc_id").as("id"), col("source")), "id")

@@ -872,13 +872,18 @@ object Dedup {
     */
   def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
                        w: Int = 8, minSpanChars: Long = 0L,
-                       scope: graft.CacheScope = graft.CacheScope.harness)
+                       scope: graft.CacheScope = graft.CacheScope.harness,
+                       floor: Boolean = true)
       : DataFrame = {
     require(w >= 1, s"exactSubstrDedup: w must be >= 1, got $w")
     import org.apache.spark.sql.expressions.Window
     // null text behaves as empty (the Bpe/encodePortable convention) so
-    // the rebuilt clean_text is '' on both engines, never NULL vs ''
-    val words = toWords(df, textCol, idCol, floor = true)
+    // the rebuilt clean_text is '' on both engines, never NULL vs ''.
+    // `floor=false` for callers that feed the rebuilt text into
+    // ITERATIVE consumers (BPE fits re-evaluate it per merge round —
+    // l18/l19/l22 measured slower with the floor multiplied across
+    // rounds) or pass a derived, non-scan frame.
+    val words = toWords(df, textCol, idCol, floor = floor)
     // FULL w-token windows only, stride 1 (see dupSpans for why tails
     // are excluded): (id, span_idx, digest) — never the window text.
     // The fingerprint scan is the dominant cost and BOTH the winner
