@@ -35,7 +35,7 @@ class CorpusStreamSpec extends SparkSpec {
     Seq((1L, good1), (2L, junk), (3L, good2)).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(in)
     CorpusStream.ingest(spark, in, schema, "text", table, cp)
-      .awaitTermination(120000)
+      .drain()
     val t1 = CorpusStream.readTable(spark, table)
     assert(t1.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L))
@@ -49,14 +49,14 @@ class CorpusStreamSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(in)
     CorpusStream.ingest(spark, in, schema, "text", table, cp)
-      .awaitTermination(120000)
+      .drain()
     val t2 = CorpusStream.readTable(spark, table)
     assert(t2.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L, 5L))
 
     // drain 3: no new files — nothing changes, no new rows
     CorpusStream.ingest(spark, in, schema, "text", table, cp)
-      .awaitTermination(120000)
+      .drain()
     assert(CorpusStream.readTable(spark, table).count() == 3L)
 
     // sink idempotency shape: every row lives under a batch=N directory
@@ -89,7 +89,7 @@ class CorpusStreamSpec extends SparkSpec {
       (101L, "filler the and badmark tail2")).toDF("doc_id", "text")
     b1.coalesce(1).write.mode("append").parquet(in)
     CorpusStream.scoredIngest(spark, in, schema, "doc_id", "text",
-      wDir, table, cp, buckets = 16).awaitTermination(120000)
+      wDir, table, cp, buckets = 16).drain()
     val batchVerdicts1 = LogReg.scores(
         LogReg.features(b1, "doc_id", "text", buckets = 16), w)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -107,7 +107,7 @@ class CorpusStreamSpec extends SparkSpec {
       (202L, "filler the and goodmark tail5")).toDF("doc_id", "text")
     b2.coalesce(1).write.mode("append").parquet(in)
     CorpusStream.scoredIngest(spark, in, schema, "doc_id", "text",
-      wDir, table, cp, buckets = 16).awaitTermination(120000)
+      wDir, table, cp, buckets = 16).drain()
     val batchVerdicts2 = LogReg.scores(
         LogReg.features(b2, "doc_id", "text", buckets = 16), w)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -127,7 +127,7 @@ class CorpusStreamSpec extends SparkSpec {
     b1.coalesce(1).write.mode("append").parquet(s"$root2/in")
     CorpusStream.scoredIngest(spark, s"$root2/in", schema, "doc_id",
         "text", wDir, s"$root2/table", s"$root2/cp", buckets = 16,
-        thresholdMicro = maxM).awaitTermination(120000)
+        thresholdMicro = maxM).drain()
     assert(CorpusStream.readTable(spark, s"$root2/table").count() == 0L)
   }
 }

@@ -61,13 +61,14 @@ class ShowcaseSpec extends SparkSpec {
     val q = TeamFormState.rollingForm(input.toDS(), lookback = 2)
       .writeStream.format("memory").queryName("form")
       .outputMode("append").start()
-    input.addData(matches.take(2): _*)   // batch 1: m1, m2
-    q.processAllAvailable()
-    input.addData(matches(2))            // batch 2: m3 — state must persist
-    q.processAllAvailable()
-    val out = spark.sql("SELECT * FROM form").as[TeamForm].collect()
-      .map(f => f.matchId -> f.winRatio).toMap
-    q.stop()
+    val out = try {
+      input.addData(matches.take(2): _*) // batch 1: m1, m2
+      q.processAllAvailable()
+      input.addData(matches(2))          // batch 2: m3 — state must persist
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM form").as[TeamForm].collect()
+        .map(f => f.matchId -> f.winRatio).toMap
+    } finally q.stop()
     assert(out == Map("m1" -> 1.0, "m2" -> 0.75, "m3" -> 0.25))
   }
 }

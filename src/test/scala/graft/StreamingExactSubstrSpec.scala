@@ -42,7 +42,7 @@ class StreamingExactSubstrSpec extends SparkSpec {
     // maxFilesPerTrigger=1 forces one micro-batch per file drop
     StreamingExactSubstr.run(spark, in, schema, idx, table, ck,
         w = 8, expectedNdv = 10000L, maxFilesPerTrigger = Some(1))
-      .awaitTermination(120000)
+      .drain()
     val got = StreamingExactSubstr.readTable(spark, table)
       .select(col("id"), col("clean_text"), col("n_spans_cut"),
         col("n_tokens_removed"))
@@ -75,7 +75,7 @@ class StreamingExactSubstrSpec extends SparkSpec {
     val before = StreamingExactSubstr.readTable(spark, table).count()
     StreamingExactSubstr.run(spark, in, schema, idx, table, ck,
         w = 8, expectedNdv = 10000L, maxFilesPerTrigger = Some(1))
-      .awaitTermination(120000)
+      .drain()
     assert(StreamingExactSubstr.readTable(spark, table).count() == before)
     assert(Dedup.readDigestIndex(spark, idx).count() == expectDigests)
     // provenance guard: a RESET checkpoint over the kept tableDir
@@ -86,7 +86,7 @@ class StreamingExactSubstrSpec extends SparkSpec {
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamingExactSubstr.run(spark, in, schema, idx, table, freshCk,
           w = 8, expectedNdv = 10000L, maxFilesPerTrigger = Some(1))
-        .awaitTermination(120000)
+        .drain()
     }
     assert(ex.getMessage.contains("DIFFERENT stream incarnation") ||
       Option(ex.getCause).exists(_.getMessage != null &&

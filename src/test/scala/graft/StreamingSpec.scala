@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
       val stream = EventStream.readEvents(spark, in, schema = eventsDf.schema)
       val q = EventStream.writeCounts(
         EventStream.windowedCounts(stream), out, cp).start()
-      q.awaitTermination(120000)
+      q.drain()
     }
     append(Seq(
       ("2024-01-01 01:00:00", "click", 1.0),
@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit =
       graft.sources.Lake.maintainUpsert(spark, in, schema, table, cp,
         keys = Seq("k"), versionCol = Some("version"),
-        deleteCol = Some("del")).awaitTermination(120000)
+        deleteCol = Some("del")).drain()
 
     append(Seq((1L, "a", 1L, false), (2L, "b", 1L, false)))
     drain()
@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
     def drain(): Unit =
       graft.sources.Lake.maintainUpsert(spark, in, schema, table, cp,
         keys = Seq("k"), versionCol = Some("version"),
-        deleteCol = Some("del")).awaitTermination(120000)
+        deleteCol = Some("del")).drain()
 
     append(Seq((1L, "a", 1L, false), (2L, "b", 1L, false)))
     drain()
@@ -168,7 +168,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drainAvailable()
       }
       append(Seq((1L, 1.00)))
       drain()
@@ -213,7 +213,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       append(Seq((1L, 1.25), (1L, 2.00), (2L, 0.50)))
       drain()
@@ -266,7 +266,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drainAvailable()
       }
       append(Seq((1L, 1.25), (1L, 2.00)))
       drain() // session open, timer armed (handleInputRows emits nothing)
@@ -330,7 +330,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drainAvailable()
       }
       append(Seq((1L, 1.00), (1L, 0.50)))
       drain() // session (2 events, 150¢) open, timer armed
@@ -395,7 +395,7 @@ class StreamingSpec extends SparkSpec {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      q.drain()
       val state = spark.read.format("statestore")
         .option("path", cp)
         .option("stateVarName", "spend")
@@ -440,7 +440,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       Seq((1L, 0.10), (1L, 0.20), (2L, 0.50)).toDF("user_id", "value")
         .coalesce(1).write.mode("append").parquet(in)
@@ -501,7 +501,7 @@ class StreamingSpec extends SparkSpec {
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      q.drainAvailable()
       val timers = spark.read.format("statestore")
         .option("path", cp)
         .option("readRegisteredTimers", "true")
@@ -545,7 +545,7 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      q.drain()
     }
     runOnce()
     assert(spark.read.parquet(out).select("event_id").distinct().count() == 2)
@@ -584,7 +584,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.drain()
     val rows = spark.read.parquet(out)
       .orderBy("session_start")
       .collect()
@@ -619,7 +619,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.drain()
     val rows = spark.read.parquet(out)
       .filter(col("window_start") === "2024-01-01 00:00:00")
       .orderBy("segment")
@@ -656,7 +656,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.drain()
     val rows = spark.read.parquet(out)
       .select("left_id", "right_id").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -694,7 +694,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    q.drain()
     val rows = spark.read.parquet(out)
       .select("left_id", "right_id").collect()
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet
@@ -723,7 +723,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       Seq((1L, "food", 1.25), (1L, "fuel", 2.00), (2L, "food", 0.50))
         .toDF("user_id", "category", "value")
@@ -799,7 +799,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(in)
@@ -898,7 +898,7 @@ class StreamingSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       Seq((1L, dup), (2L, dup), (3L, other)).toDF("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(in)
@@ -950,7 +950,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete") // memory+complete: watermark not needed to close
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    q.drain()
     val out = spark.sql("SELECT * FROM wc ORDER BY window_start, event_type")
       .collect()
     assert(out.length == 3)

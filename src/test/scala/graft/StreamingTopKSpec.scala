@@ -30,7 +30,7 @@ class StreamingTopKSpec extends SparkSpec {
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        q.drain()
       }
       Seq((1L, 101L, 5L), (1L, 102L, 9L), (1L, 103L, 7L), (1L, 104L, 1L),
         (2L, 201L, 3L))

@@ -60,14 +60,15 @@ class TimeWindowStateSpec extends SparkSpec {
     val q = TeamFormState.rollingFormByDays(input.toDS(), 90)
       .writeStream.format("memory").queryName("dform")
       .outputMode("append").start()
-    input.addData(MatchResult("A", "m1", ts("2025-01-01"), "W", 1.0))
-    q.processAllAvailable()
-    input.addData(MatchResult("A", "m2", ts("2025-02-01"), "D", 1.0),
-      MatchResult("A", "m3", ts("2025-06-01"), "L", 0.0))
-    q.processAllAvailable()
-    val out = spark.sql("SELECT * FROM dform").as[TeamForm].collect()
-      .map(f => f.matchId -> (f.matches, f.winRatio)).toMap
-    q.stop()
+    val out = try {
+      input.addData(MatchResult("A", "m1", ts("2025-01-01"), "W", 1.0))
+      q.processAllAvailable()
+      input.addData(MatchResult("A", "m2", ts("2025-02-01"), "D", 1.0),
+        MatchResult("A", "m3", ts("2025-06-01"), "L", 0.0))
+      q.processAllAvailable()
+      spark.sql("SELECT * FROM dform").as[TeamForm].collect()
+        .map(f => f.matchId -> (f.matches, f.winRatio)).toMap
+    } finally q.stop()
     assert(out("m1") == ((1, 1.0)))
     assert(out("m2") == ((2, 0.75)))   // m1 still in 90d window
     assert(out("m3") == ((1, 0.0)))    // both evicted
