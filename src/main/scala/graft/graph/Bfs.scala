@@ -53,33 +53,26 @@ object Bfs {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each round consumes dist_{i-1} TWICE — once as the message sender
-    // side (keyed by src) and once as the receiver side of the final
-    // left join (keyed by id). Left unpersisted, the two references
-    // re-evaluate the whole previous-round subtree under DIFFERENT
-    // partitionings (no exchange reuse across keys), so the dist
-    // lineage re-executes 2^k-fashion instead of once per round
-    // (measured at sf0.1: concurrent recompute of the same rounds,
-    // "Block already exists" churn, ~2x the per-round cost at k=4 and
-    // worse as k grows). Persisting each round's |nodes|-row snapshot —
-    // the same discipline as the edge relation above — makes every
-    // round compute exactly once; memory held is k node tables, tiny
-    // next to the edges.
+    // Round fusion (guide §2.4): message emission and the merge are ONE
+    // grouped-min over the union of the previous distances and the
+    // candidate rows — min(dist_{i-1}(v), 1 + min over senders) — so
+    // each round is a single exchange on `id` instead of a message
+    // aggregate PLUS a left join. Because every round now ENDS in an
+    // aggregate, its exchange is the natural materialization point:
+    // both consumers of dist_{i-1} (the sender join and the union arm)
+    // reuse one shuffle, so the per-round MEMORY_AND_DISK snapshots the
+    // old join form needed against 2^k lineage re-evaluation are gone —
+    // at 100 TB the k pinned |nodes|-row tables with them.
     var dist = nodes.select(col("id"),
       when(seeds, lit(0L)).otherwise(lit(big)).cast("long").as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
     while (i < maxHops) {
       val msgs = e
         .join(dist.withColumnRenamed("id", "src"), "src")
         .filter(col("dist") < big) // only reached nodes send
-        .select(col("dst").as("id"), (col("dist") + 1L).as("cand"))
-        .groupBy("id").agg(min(col("cand")).as("cand"))
-      dist = dist.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("dist"), coalesce(col("cand"), lit(big))).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(msgs)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
       i += 1
     }
     dist.select(col("id"),

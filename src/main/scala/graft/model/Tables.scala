@@ -16,9 +16,25 @@ object Tables {
   /** Read one synthetic testdata table (TESTDATA.md). Parquet scan:
     * Catalyst pushes filters + prunes columns at the source, so callers
     * should filter/select early and let the optimizer do the rest.
+    *
+    * The footer-inferred schema is memoized per (path) for the JVM's
+    * lifetime — the catalog-metadata role a metastore plays in
+    * production. Without it EVERY query load runs a schema-inference
+    * Spark job (~30-40 ms); a 337-query sweep pays that ~1000×. This
+    * caches METADATA only (Spark itself already caches file listings
+    * session-wide the same way); table data is re-read from parquet on
+    * every use, and the testdata dirs are read-only so the schema
+    * cannot drift within a run.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val st = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(st).parquet(path)
+  }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   // -- Football-domain schemas (SURVEY §1.2, FIXTURES.md) -----------------
 
